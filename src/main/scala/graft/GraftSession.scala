@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Singleton-style SparkSession factory (≙ reference's
+  * DuckLakeConnectionManager, /root/reference/airflow/dags/bronze/utils.py:23-56).
+  *
+  * Tuned for the driver's local[32] single-JVM harness but with settings that
+  * transfer to a real cluster: AQE on (runtime re-planning, skew-join
+  * handling), shuffle partitions sized to cores (local) — on a cluster AQE
+  * coalesces post-shuffle partitions anyway.
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false") // reference semantics: bad cast → NULL (SURVEY §2.8 F4)
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

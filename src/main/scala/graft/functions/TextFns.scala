@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: tokenization,
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  * All pure `functions._` combinators (codegen'd, no UDFs) so they stay
+  * inside whole-stage codegen over the 100 TB `documents` scan.
+  */
+object TextFns {
+
+  /** Whitespace tokenizer, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word count: splits on word/number/punct boundaries like a
+    * byte-pair pre-tokenizer would (letters runs, digit runs, single punct).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"), t => t =!= "" && t =!= " "))
+
+  /** Punctuation character ratio ∈ [0,1]. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / len)
+  }
+
+  /** Ratio of tokens found in a stopword list (signal of natural language). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
+  }
+
+  /** Composite document quality score ∈ [0,1]: mean-word-length sanity,
+    * stopword presence, low punctuation noise, non-trivial length.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = LangId.profiles.flatMap(_._2)): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val meanWordLen = when(nTok === 0, lit(0.0)).otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / nTok)
+    val lenOk = when(nTok >= 10 && nTok <= 100000, lit(1.0)).otherwise(lit(0.3))
+    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0)).otherwise(lit(0.3))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val stopOk = least(stopwordRatio(text, stopwords.distinct) * 5, lit(1.0))
+    round((lenOk * 0.25 + wordLenOk * 0.25 + punctOk * 0.25 + stopOk * 0.25), 6)
+  }
+
+  /** Deterministic language-ID heuristic: count stopword hits per language
+    * profile, argmax with fixed tie order (profile declaration order).
+    * N-gram-free but same shape as fastText-style scoring; SQL-expressible,
+    * so it is oracle-testable (see SparkEntry).
+    */
+  object LangId {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "with"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "dans"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "für", "auf"))
+
+    def score(text: Column, words: Seq[String]): Column =
+      size(filter(tokens(lower(text)), t => t.isin(words.map(lit): _*)))
+
+    /** Best-scoring language, or "und" when nothing matches. */
+    def langId(text: Column): Column = {
+      val scores = profiles.map { case (lang, ws) => (lang, score(text, ws)) }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, s)) =>
+        acc.when(s === best, lit(lang))
+      }.otherwise(lit("und"))
+    }
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * stable content hash for exact dedup across formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit rolling content hash (xxhash64 of normalized text) — cheap
+    * integer fingerprint for join keys / bucketing at scale.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All shuffle-conscious:
+  *   - exact dedup = one hash-aggregate on the content key;
+  *   - near-dup variants avoid the O(n²) all-pairs comparison by banding /
+  *     bucketing so candidate pairs co-locate in one shuffle, then verify
+  *     exactly within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical content. One
+    * map-side-combinable aggregate; no window needed.
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup by md5 fingerprint (normalized text) — the scale path:
+    * group by a 16-byte hash instead of the full document, so the shuffle
+    * carries hashes + ids, not 100 TB of text.
+    */
+  def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextFns.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Character n-gram shingle set (distinct, sorted for determinism). */
+  def charShingles(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))))
+
+  /** Word n-gram shingles over whitespace tokens (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = TextFns.tokens(text)
+    array_distinct(
+      when(size(ts) < n, array(concat_ws(" ", ts)))
+        .otherwise(transform(
+          sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+
+  /** All-pairs n-gram Jaccard similarity ≥ threshold (exact, quadratic) —
+    * the verification baseline. Blocked on `blockCols` (e.g. language) so
+    * each block's pair space shuffles independently; only use unblocked on
+    * small-dimension data.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        blockCols: Seq[String] = Nil): DataFrame = {
+    val withSh = df.select((idCol +: blockCols).map(col) :+
+      wordShingles(col(textCol), n).as("sh"): _*)
+    val a = withSh.select(Seq(col(idCol).as("id_a"), col("sh").as("sh_a")) ++
+      blockCols.map(c => col(c).as(s"${c}_a")): _*)
+    val b = withSh.select(Seq(col(idCol).as("id_b"), col("sh").as("sh_b")) ++
+      blockCols.map(c => col(c).as(s"${c}_b")): _*)
+    val cond = blockCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
+      .foldLeft(col("id_a") < col("id_b"))(_ && _)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+    a.join(b, cond)
+      .withColumn("jaccard", round(inter / uni.cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min
+    * xxhash64(seed, shingle) over the document's shingle set. Pure column
+    * combinators — the per-seed min is an array `aggregate`, no UDF.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
+    * bands × rowsPerBand = numHashes. Pipeline:
+    *   shingles → signature → explode bands → groupBy (band, band-slice hash)
+    *   → candidate pairs within buckets → exact Jaccard verify.
+    * The only all-to-all shuffle is on band-bucket keys — candidates
+    * co-locate; no quadratic blow-up as long as buckets stay small (banding
+    * parameters control the collision probability curve).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                      threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col(idCol), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard", round(inter / uni, 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash-64 of a token multiset: per-bit majority vote over token
+    * hashes, built from pure column ops (no UDF): for each bit b, sum
+    * (hash>>b & 1 ? +1 : -1); bit set if sum > 0.
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(TextFns.tokens(lower(text)), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-blocked
+    * on 4 16-bit chunks (any pair within distance ≤3 shares ≥1 exact chunk —
+    * pigeonhole), so the join is equi-key, not quadratic.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk blocking guarantees recall only for maxDist<=3")
+    val withH = df.select(col(idCol), simhash64(col(textCol)).as("h"))
+    val chunked = withH.select(col(idCol), col("h"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    val l = chunked.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("h").as("h_a"))
+    val r = chunked.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("h").as("h_b"))
+    l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

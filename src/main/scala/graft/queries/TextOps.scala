@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline query catalog over `documents` / `embeddings`:
+  * text statistics, language ID, quality scoring, fingerprinting, exact +
+  * near dedup, vector similarity. SQL-expressible ops carry a DuckDB oracle;
+  * hash-family ops (MinHash/SimHash/LSH use xxhash64, which DuckDB lacks)
+  * are declared without an oracle → driver's rows-only check, with ScalaTest
+  * cross-checks against the exact variants instead.
+  */
+object TextOps {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Shared stopword list literal for the SQL oracles. */
+  private val langProfilesSql: Map[String, String] =
+    TextFns.LangId.profiles.toMap.map { case (k, ws) =>
+      k -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+    }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + basic text stats (all codegen'd column ops).
+    "qt01_token_stats" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val toks = TextFns.tokens(col("text"))
+      docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_chars_nospace"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(toks).cast("double"), 6).as("mean_word_len"))
+    }),
+
+    // Language-ID heuristic: stopword-profile scoring, deterministic argmax.
+    "qt02_langid" -> ((s, d) => {
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextFns.LangId.langId(col("text")).as("lang_guess"))
+    }),
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text.
+    "qt03_fingerprint" -> ((s, d) => {
+      T(s, d, "documents").select(
+        col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Exact dedup via fingerprint grouping (the 100 TB path: shuffle carries
+    // 16-byte hashes, not document text).
+    "qt04_dedup_exact" -> ((s, d) =>
+      Dedup.exactByFingerprint(T(s, d, "documents"), "text", "doc_id")),
+
+    // Exact all-pairs word-3-gram Jaccard ≥ 0.15 (quadratic verification
+    // baseline — documents is a fixed 500-row dimension here; the scale path
+    // is qt06_minhash_lsh).
+    "qt05_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.15)),
+
+    // MinHash + LSH banding near-dup candidates (no oracle: xxhash64 family).
+    "qt06_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.15)),
+
+    // SimHash hamming-distance near-dups (no oracle: xxhash64 family).
+    "qt07_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)),
+
+    // Brute-force cosine top-5 neighbors for the first 20 vectors.
+    "qt08_cosine_topk" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // LSH-bucketed approximate top-5 (no oracle: xxhash64-derived planes;
+    // recall vs brute force is asserted in ScalaTest).
+    "qt09_lsh_topk" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .withColumn("rnk", col("rnk").cast("long"))
+    }))
+
+  private val tokensSql = "list_filter(string_split(text, ' '), t -> t != '')"
+
+  val oracle: Map[String, String] = Map(
+    "qt01_token_stats" ->
+      s"""SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens,
+         | length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS n_chars_nospace,
+         | round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len($tokensSql), 6) AS mean_word_len
+         |FROM documents""".stripMargin,
+    "qt02_langid" -> {
+      val toks = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+      def score(lang: String) =
+        s"len(list_filter($toks, t -> t IN ${langProfilesSql(lang)}))"
+      s"""WITH sc AS (SELECT doc_id, ${score("en")} AS s_en, ${score("es")} AS s_es,
+         |  ${score("fr")} AS s_fr, ${score("de")} AS s_de FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+         |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |      WHEN s_fr >= s_de THEN 'fr'
+         |      ELSE 'de' END AS lang_guess
+         |FROM sc""".stripMargin
+    },
+    "qt03_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "qt04_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "qt05_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         | sh AS (SELECT doc_id,
+         |   CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+         |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
+         |  FROM toks),
+         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
+         |   (len(a.sh) + len(b.sh))::DOUBLE AS tot
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(inter/(tot - inter), 6) AS jaccard
+         |FROM pairs WHERE round(inter/(tot - inter), 6) >= 0.15""".stripMargin,
+    "qt08_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        | c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        | p AS (SELECT query_id, corpus_id,
+        |   list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+        |   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS nq,
+        |   sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))) AS nc
+        |  FROM q JOIN c ON query_id != corpus_id),
+        | s AS (SELECT query_id, corpus_id, round(dot/(nq*nc), 6) AS sim FROM p),
+        | r AS (SELECT query_id, corpus_id, sim,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk FROM s)
+        |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources layer (SURVEY §2.1).
+  *
+  * The reference ingests everything schema-on-read (all VARCHAR) and appends
+  * audit columns (`loaded_at`, `source_file`) —
+  * /root/reference/airflow/dags/bronze/utils.py:319-331. Here:
+  *   - parquet fixtures load typed (driver testdata),
+  *   - CSV/JSON bronze readers reproduce the all-varchar + audit-column
+  *     convention (S1/S2),
+  * both as plain declarative reads so Catalyst gets pushdown + pruning.
+  */
+object Tables {
+
+  /** Load one driver fixture table, e.g. table(spark, sfDir, "lineitem"). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every fixture table of a scale-factor dir as a temp view, so
+    * raw `spark.sql` works against the same names the DuckDB oracle uses
+    * (SURVEY §3.3 — the reference's ad-hoc SQL surface).
+    */
+  val fixtureTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    fixtureTables.foreach { t =>
+      table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** S1: pipe-delimited (optionally gzipped) CSV, all columns as string,
+    * with audit columns — matches
+    * /root/reference/airflow/dags/bronze/utils.py:325-330 and the explicit
+    * delim at docs/dag_bronze_mitma.py:134-139.
+    * `.csv.gz` decompresses transparently; `input_file_name()` plays the
+    * role of DuckDB's `filename=true`.
+    */
+  def pipeCsv(spark: SparkSession, paths: Seq[String],
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("sep", "|")
+      .option("header", "true")
+      .option("inferSchema", "false") // all-varchar bronze (utils.py:328)
+    val base = schema.map(r.schema).getOrElse(r).csv(paths: _*)
+    withAudit(base.withColumn("source_file", input_file_name()))
+  }
+
+  /** S2: JSON array-of-objects (INE API shape, bronze/utils.py:392-400).
+    * Spark needs multiLine for a top-level JSON array in one file.
+    */
+  def jsonArray(spark: SparkSession, paths: Seq[String]): DataFrame =
+    withAudit(spark.read.option("multiLine", "true").json(paths: _*)
+      .withColumn("source_url", input_file_name()))
+
+  /** Audit column convention (bronze/utils.py:322-324). */
+  def withAudit(df: DataFrame): DataFrame =
+    df.withColumn("loaded_at", current_timestamp())
+
+  /** S8 sink: full-rebuild materialization (CREATE OR REPLACE TABLE ... AS).
+    * Partitioning columns are the caller's scale knob — e.g. silver_od by
+    * zone_level/date at 100 TB.
+    */
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
