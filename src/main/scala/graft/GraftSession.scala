@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false") // reference semantics: bad cast → NULL (SURVEY §2.8 F4)
+      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's reader
+      // rejects; read as long nanos and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -20,6 +20,17 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `events` with its INT64-nanos `ts` normalized: requires
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by all graft entry
+    * points), then truncates to microsecond TimestampType as `ts`, keeping
+    * the raw nanos in `ts_ns` for sub-µs ordering when needed.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      // integer `div`, not `/`: ns epochs (~1.7e18) overflow double precision
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
   /** Register every fixture table of a scale-factor dir as a temp view, so
     * raw `spark.sql` works against the same names the DuckDB oracle uses
     * (SURVEY §3.3 — the reference's ad-hoc SQL surface).
