@@ -53,12 +53,13 @@ object Similarity {
 
   /** Sign-random-projection LSH bucket id: `planes` hyperplanes → one bit
     * each (dot ≥ 0) → integer bucket. Vectors in the same bucket are
-    * cosine-similar with probability rising in their angle.
+    * cosine-similar with probability rising in their angle. `family` selects
+    * an independent hyperplane set (one per hash table).
     */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  def lshBucket(vec: Column, planes: Int, family: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (v, i) => v.cast("double") * planeComponent(p, i)),
+        (v, i) => v.cast("double") * planeComponent(family * 10007 + p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -76,10 +77,10 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def bucketed(df: DataFrame, prefix: String): DataFrame =
       df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"))
-        .withColumn("table", explode(array((0 until tables).map(lit(_)): _*)))
-        .withColumn("bucket",
-          when(col("table") === 0, lshBucket(col(s"${prefix}v"), planes))
-            .otherwise(lshBucket(reverse(col(s"${prefix}v")), planes)))
+        .withColumn("tb", explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), lshBucket(col(s"${prefix}v"), planes, t).as("b"))): _*)))
+        .select(col(s"${prefix}_id"), col(s"${prefix}v"),
+          col("tb.t").as("table"), col("tb.b").as("bucket"))
     val c = bucketed(corpus, "c")
     val q = bucketed(queries, "q")
     val cands = q.join(c, Seq("table", "bucket"))

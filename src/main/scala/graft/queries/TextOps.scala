@@ -78,10 +78,11 @@ object TextOps {
     }),
 
     // LSH-bucketed approximate top-5 (no oracle: xxhash64-derived planes;
-    // recall vs brute force is asserted in ScalaTest).
+    // recall vs brute force is asserted in ScalaTest). 6 planes × 4 tables
+    // ≈ 6% of the corpus scanned per query.
     "qt09_lsh_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5, planes = 6, tables = 4)
         .withColumn("rnk", col("rnk").cast("long"))
     }))
 

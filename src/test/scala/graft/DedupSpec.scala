@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 0
+    (3L, "completely different words about spark query engines and shuffle plans"),
+    (4L, "another unrelated document mentioning parquet files and column pruning")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .filter($"n_copies" > 1).select("doc_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 2L)))
+  }
+
+  test("exactByFingerprint groups formatting variants") {
+    val noisy = docs.unionByName(Seq((5L, "  THE  quick brown fox jumps over the lazy dog near the river bank today "))
+      .toDF("doc_id", "text"))
+    val got = Dedup.exactByFingerprint(noisy, "text", "doc_id")
+      .filter($"n_copies" > 1).select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L))) // ids 0, 1 and the case/whitespace variant 5
+  }
+
+  test("wordShingles: distinct n-grams, short docs collapse to whole text") {
+    val sh = docs.limit(1).select(Dedup.wordShingles($"text", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown") && sh.contains("river bank today"))
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.wordShingles($"text", 3).as("sh")).as[Seq[String]].head()
+    assert(short === Seq("two words"))
+  }
+
+  test("ngramJaccardPairs finds exact and near dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLshPairs recovers the high-jaccard pairs the exact method finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verifies candidates with exact jaccard → no false positives;
+    // banding (8 bands × 2 rows) catches j≥0.7 pairs with prob ~1-(1-.7²)⁸≈0.997
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical text → distance 0; near dup within 3 bits of original") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 1L)) === 0) // identical
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

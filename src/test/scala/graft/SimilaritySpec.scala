@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine($"a", $"b"), 9).as("c")).as[Double].collect().toSeq
+    assert(got === Seq(0.0, 1.0, -1.0))
+  }
+
+  test("bruteForceTopK: k neighbors per query, ranked by similarity desc") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val got = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 5), k = 3)
+    val byQuery = got.groupBy("query_id").agg(count(lit(1)).as("n"), max("rnk").as("maxr"))
+      .as[(Long, Long, Int)].collect()
+    assert(byQuery.length === 5 && byQuery.forall(r => r._2 === 3 && r._3 === 3))
+    // rank 1 has the highest sim within each query group
+    val sims = got.filter($"query_id" === 0).orderBy($"rnk").select("sim").as[Double].collect()
+    assert(sims.sorted.reverse.toSeq === sims.toSeq)
+  }
+
+  test("lshTopK achieves reasonable recall@5 vs brute force on real embeddings") {
+    // Fixture embeddings are near-random (top-5 sim ≈ 0.32 → per-bit
+    // collision prob ≈ 0.6), so parameters must be generous: 4 planes ×
+    // 8 tables → expected pair recall ≈ 1-(1-0.6⁴)⁸ ≈ 0.67. On clustered
+    // real-world embeddings the same budget yields much higher recall.
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, q, k = 5, planes = 4, tables = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.35, s"recall@5 = $recall") // ≫ noise floor (5/500 = 1%)
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session, lazy). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sf: String = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Spatial
+
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("haversine: Madrid→Barcelona ≈ 505 km (great-circle)") {
+    val got = Seq((-3.7038, 40.4168, 2.1734, 41.3851)).toDF("lon1", "lat1", "lon2", "lat2")
+      .select(Spatial.haversineMeters($"lon1", $"lat1", $"lon2", $"lat2").as("m"))
+      .as[Double].head()
+    assert(math.abs(got / 1000.0 - 504.6) < 1.0)
+  }
+
+  test("haversine: zero distance for identical points; symmetric") {
+    val df = Seq((10.0, 20.0, 10.0, 20.0)).toDF("lon1", "lat1", "lon2", "lat2")
+    assert(df.select(Spatial.haversineMeters($"lon1", $"lat1", $"lon2", $"lat2")).as[Double].head() === 0.0)
+    val ab = Seq((0.0, 0.0, 1.0, 1.0)).toDF("lon1", "lat1", "lon2", "lat2")
+      .select(Spatial.haversineMeters($"lon1", $"lat1", $"lon2", $"lat2")).as[Double].head()
+    val ba = Seq((1.0, 1.0, 0.0, 0.0)).toDF("lon1", "lat1", "lon2", "lat2")
+      .select(Spatial.haversineMeters($"lon1", $"lat1", $"lon2", $"lat2")).as[Double].head()
+    assert(ab === ba)
+  }
+
+  test("wktCentroid: unit square centroid is its center") {
+    val got = Spatial.wktCentroidXY("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))").get
+    assert(math.abs(got._1 - 1.0) < 1e-12 && math.abs(got._2 - 1.0) < 1e-12)
+  }
+
+  test("wktCentroid: L-shape is area-weighted, not vertex mean") {
+    // L-shape: 2x1 rect + 1x1 rect → area 3, centroid x = (2*1 + 0.5*1)/3? compute:
+    // rect A (0..2)x(0..1) area 2 centroid (1, .5); rect B (0..1)x(1..2) area 1 centroid (.5, 1.5)
+    // → ((2*1 + 1*0.5)/3, (2*0.5 + 1*1.5)/3) = (0.8333.., 0.8333..)
+    val wkt = "POLYGON((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    val got = Spatial.wktCentroidXY(wkt).get
+    assert(math.abs(got._1 - 5.0 / 6) < 1e-9 && math.abs(got._2 - 5.0 / 6) < 1e-9)
+  }
+
+  test("wktCentroid: polygon with hole subtracts the hole") {
+    // 4x4 square centered (2,2) minus 2x2 hole centered (1,1):
+    // centroid = (16*(2,2) - 4*(1,1)) / 12 = (28/12, 28/12)
+    val wkt = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (0 0, 2 0, 2 2, 0 2, 0 0))"
+    val got = Spatial.wktCentroidXY(wkt).get
+    assert(math.abs(got._1 - 28.0 / 12) < 1e-9 && math.abs(got._2 - 28.0 / 12) < 1e-9)
+  }
+
+  test("wktCentroid: multipolygon is area-weighted across parts") {
+    // unit square at origin (area 1, centroid .5,.5) + unit square at (10,0)
+    // → centroid (5.5, 0.5)
+    val wkt = "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))"
+    val got = Spatial.wktCentroidXY(wkt).get
+    assert(math.abs(got._1 - 5.5) < 1e-9 && math.abs(got._2 - 0.5) < 1e-9)
+  }
+
+  test("wktCentroid: null / garbage / POINT handling") {
+    assert(Spatial.wktCentroidXY(null).isEmpty)
+    assert(Spatial.wktCentroidXY("not wkt").isEmpty)
+    assert(Spatial.wktCentroidXY("POINT(3 4)").contains((3.0, 4.0)))
+  }
+
+  test("wktCentroid UDF works as a column over a DataFrame") {
+    val got = Seq("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))").toDF("wkt")
+      .select(Spatial.wktCentroid($"wkt").as("c"))
+      .selectExpr("c._1 as x", "c._2 as y").as[(Double, Double)].head()
+    assert(got === ((1.0, 1.0)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount ignores repeated whitespace and empties") {
+    val got = Seq("a  b   c ", "", "   ", "one").toDF("t")
+      .select(TextFns.tokenCount($"t").as("n")).as[Int].collect().toSeq
+    assert(got === Seq(3, 0, 0, 1))
+  }
+
+  test("punctRatio counts ASCII punctuation share") {
+    val got = Seq("ab,.", "abcd").toDF("t")
+      .select(TextFns.punctRatio($"t").as("r")).as[Double].collect().toSeq
+    assert(got === Seq(0.5, 0.0))
+  }
+
+  test("langId picks the profile with most stopword hits, 'und' when none") {
+    val got = Seq(
+      "the cat is in the house and it is warm",
+      "el gato de la casa y los perros",
+      "le chat dans le jardin et les fleurs",
+      "qwerty zxcvb asdf").toDF("t")
+      .select(TextFns.LangId.langId($"t").as("l")).as[String].collect().toSeq
+    assert(got === Seq("en", "es", "fr", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val fps = Seq("Hello  World", "hello world", "hello worlds").toDF("t")
+      .select(TextFns.fingerprint($"t").as("f")).as[String].collect().toSeq
+    assert(fps(0) === fps(1)); assert(fps(0) != fps(2))
+  }
+
+  test("qualityScore in [0,1]; clean prose beats punctuation soup") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and it is a fine day in the park",
+      "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@").toDF("t")
+      .select(TextFns.qualityScore($"t").as("q")).as[Double].collect().toSeq
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("subwordCount splits on word/punct boundaries") {
+    val got = Seq("don't stop-me now123").toDF("t")
+      .select(TextFns.subwordCount($"t").as("n")).as[Int].head()
+    assert(got >= 6) // don ' t stop - me now 123
+  }
+}
