@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs over the `events` shape. The reference itself
+  * is batch-only (SURVEY §2.10) — its "incremental" loads are idempotent
+  * batch MERGEs — so these are the capability extension for continuous
+  * ingestion: the streaming twins of the batch queries in
+  * graft.queries.Events, sharing semantics so a user can switch modes.
+  *
+  * All jobs take a streaming DataFrame (readStream-sourced) and return the
+  * transformed streaming DataFrame; sinks/triggers are the caller's choice.
+  * State is bounded by watermarks (windows) / timeouts (sessions) — the
+  * 100 TB/day concern is state size, not throughput.
+  */
+object Streams {
+
+  /** Typed event for stateful APIs. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code instantiates it reflectively).
+    */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling-window aggregation with late-data watermark — the streaming
+    * twin of q18_event_window.
+    */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"), col("approx_users"))
+
+  /** Per-user session transition function (public for direct unit testing
+    * with TestGroupState). Emits a closed session when the gap exceeds
+    * `gapMs` (on the next event) or when the state times out.
+    */
+  def sessionFn(gapMs: Long, useTimeout: Boolean)(
+      userId: Long, evs: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(SessionOut(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n, s.total))
+    }
+    val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var out = Vector.empty[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last > gapMs =>
+          out :+= SessionOut(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case Some(s) =>
+          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      if (useTimeout) state.setTimeoutDuration(gapMs)
+    }
+    out.iterator
+  }
+
+  /** Gap-based sessionization with per-key state — the streaming twin of
+    * q20_sessionize. With `useTimeout` (production default) open sessions
+    * also close after `gapSeconds` of processing-time silence; pair it with
+    * a real trigger interval (the no-delay test trigger would busy-loop
+    * empty micro-batches while waiting on the clock).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 useTimeout: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeout = if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        sessionFn(gapSeconds * 1000, useTimeout))
+  }
+
+  /** Streaming exact dedup on a content key within the watermark horizon —
+    * the streaming twin of Dedup.exactByFingerprint. `dropDuplicates` keeps
+    * per-key state; the watermark bounds it.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Micro-batch upsert sink: maintains a keyed parquet snapshot by applying
+    * Upsert.keyedUpsert per micro-batch (foreachBatch) — the streaming
+    * continuation of the reference's idempotent MERGE loads.
+    */
+  def upsertSink(batch: DataFrame, batchId: Long, targetPath: String, keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val target = scala.util.Try(spark.read.parquet(targetPath)).getOrElse(batch.limit(0))
+    val merged = graft.operators.Upsert.keyedUpsert(target, batch, keys)
+    // write to tmp then swap would be the production move; overwrite is fine
+    // for the local harness (parquet committer handles atomicity per dir)
+    merged.write.mode("overwrite").parquet(targetPath + "_next")
+    spark.read.parquet(targetPath + "_next").write.mode("overwrite").parquet(targetPath)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, SessionOut}
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedCounts aggregates a bounded stream like the batch twin") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0))
+    val q = Streams.windowedCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc").orderBy("window_start")
+        .select("event_type", "n", "total_value").as[(String, Long, Double)].collect().toSeq
+      assert(got === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gaps > 30 min and matches batch semantics") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(50), 1, "a", 4.0), // gap 40 min → new session, emits first
+      Event(4, ts(0), 2, "b", 8.0))
+    val q = Streams.sessionize(input.toDS(), gapSeconds = 1800, useTimeout = false)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess").as[SessionOut].collect()
+      // only user 1's first session is emitted (second is still open in state)
+      assert(got.toSeq === Seq(SessionOut(1L, ts(0), ts(10), 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionFn timeout branch closes and clears the open session") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val state = TestGroupState.create[Streams.SessionState](
+      optionalState = Optional.of(Streams.SessionState(ts(0).getTime, ts(10).getTime, 2L, 3.0)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = ts(60).getTime,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val out = Streams.sessionFn(1800 * 1000, useTimeout = true)(1L, Iterator.empty, state).toSeq
+    assert(out === Seq(SessionOut(1L, ts(0), ts(10), 2L, 3.0)))
+    assert(state.isRemoved)
+  }
+
+  test("dedupStream drops in-horizon duplicates") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "x", 1.0),
+      Event(1, ts(0), 1, "x", 1.0), // exact dup
+      Event(2, ts(1), 1, "x", 1.0))
+    val q = Streams.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dd").count() === 2)
+    } finally q.stop()
+  }
+}
