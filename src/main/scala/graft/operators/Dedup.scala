@@ -70,6 +70,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard ≥ threshold via an inverted-index join — the
+    * 100 TB formulation. Identical output to `ngramJaccardPairs` for any
+    * threshold > 0 (jaccard > 0 requires ≥1 shared shingle), but pairs with
+    * no shared shingle never materialize:
+    *   explode shingles → self-join on (block, shingle) → count = |∩| →
+    *   jaccard from carried set sizes.
+    * The only shuffles are the shingle-key join and the (id_a, id_b)
+    * aggregation; cost scales with Σ(docs-per-shingle)², not n².
+    */
+  def ngramJaccardPairsIndexed(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, threshold: Double,
+                               blockCols: Seq[String] = Nil): DataFrame = {
+    val sized = df.select(Seq(col(idCol)) ++ blockCols.map(col) :+
+        wordShingles(col(textCol), n).as("sh"): _*)
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+    val posts = sized.select(Seq(col(idCol)) ++ blockCols.map(col) :+
+      col("n_sh") :+ explode(col("sh")).as("shingle"): _*)
+    val a = posts.select(Seq(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle")) ++
+      blockCols.map(col): _*)
+    val b = posts.select(Seq(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle")) ++
+      blockCols.map(col): _*)
+    a.join(b, Seq("shingle") ++ blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** MinHash signature: for each of `numHashes` hash functions, the min
     * xxhash64(seed, shingle) over the document's shingle set. Pure column
     * combinators — the per-seed min is an array `aggregate`, no UDF.

@@ -55,11 +55,13 @@ object TextOps {
     "qt04_dedup_exact" -> ((s, d) =>
       Dedup.exactByFingerprint(T(s, d, "documents"), "text", "doc_id")),
 
-    // Exact all-pairs word-3-gram Jaccard ≥ 0.15 (quadratic verification
-    // baseline — documents is a fixed 500-row dimension here; the scale path
-    // is qt06_minhash_lsh).
+    // Exact word-3-gram Jaccard ≥ 0.15 within a language block, via the
+    // inverted-index join (identical results to all-pairs, sub-quadratic;
+    // Dedup.ngramJaccardPairs remains the quadratic verification baseline,
+    // cross-checked in DedupSpec).
     "qt05_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.15)),
+      Dedup.ngramJaccardPairsIndexed(T(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.15, blockCols = Seq("lang"))),
 
     // MinHash + LSH banding near-dup candidates (no oracle: xxhash64 family).
     "qt06_minhash_lsh" -> ((s, d) =>
@@ -116,18 +118,21 @@ object TextOps {
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "qt05_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-         | sh AS (SELECT doc_id,
+      s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+         | sh AS (SELECT doc_id, lang,
          |   CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
          |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
          |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
          |  FROM toks),
-         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |   len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
-         |   (len(a.sh) + len(b.sh))::DOUBLE AS tot
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, round(inter/(tot - inter), 6) AS jaccard
-         |FROM pairs WHERE round(inter/(tot - inter), 6) >= 0.15""".stripMargin,
+         | sized AS (SELECT doc_id, lang, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+         | posts AS (SELECT doc_id, lang, n, unnest(sh) AS shingle FROM sized),
+         | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         |   count(*) AS inter
+         |  FROM posts a JOIN posts b
+         |   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
+         |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.15""".stripMargin,
     "qt08_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         | c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),

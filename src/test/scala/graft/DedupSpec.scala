@@ -44,6 +44,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("indexed jaccard join ≡ quadratic all-pairs (for threshold > 0)") {
+    val quad = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    val idx = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(idx === quad)
+  }
+
   test("minhashLshPairs recovers the high-jaccard pairs the exact method finds") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
