@@ -36,15 +36,24 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n)))))
 
-  /** Word n-gram shingles over whitespace tokens (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = TextFns.tokens(text)
-    array_distinct(
-      when(size(ts) < n, array(concat_ws(" ", ts)))
-        .otherwise(transform(
-          sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  /** Word n-gram shingle set (distinct, first-occurrence order): tokens by
+    * whitespace, short docs collapse to the whole text. Scalar UDF: the
+    * pure-column formulation (transform + slice + concat_ws per position)
+    * measured ~13 µs/shingle in codegen — the primitive loop is ~40× faster
+    * and this feeds every near-dup operator's hot path.
+    */
+  def shingleSet(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val ts = text.split("\\s+").filter(_.nonEmpty)
+    if (ts.isEmpty) Array.empty[String]
+    else if (ts.length < n) Array(ts.mkString(" "))
+    else ts.sliding(n).map(_.mkString(" ")).toArray.distinct
   }
+
+  private val wordShinglesUdf =
+    udf((text: String, n: Int) => shingleSet(text, n))
+
+  def wordShingles(text: Column, n: Int): Column = wordShinglesUdf(text, lit(n))
 
   /** All-pairs n-gram Jaccard similarity ≥ threshold (exact, quadratic) —
     * the verification baseline. Blocked on `blockCols` (e.g. language) so
@@ -101,14 +110,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the min
-    * xxhash64(seed, shingle) over the document's shingle set. Pure column
-    * combinators — the per-seed min is an array `aggregate`, no UDF.
+  /** splitmix64-style finalizer used to derive hash-family member i from a
+    * base hash (one string hash per shingle, numHashes cheap mixes).
     */
+  private def mix64(h: Long): Long = {
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: min over the shingle set of hash-family member i,
+    * for i < numHashes. Single pass per document (hash each shingle once,
+    * mix per family member).
+    */
+  def minhashSig(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = fnv1a64(s)
+      var i = 0
+      while (i < numHashes) {
+        val m = mix64(h ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private val minhashSigUdf =
+    udf((sh: Seq[String], numHashes: Int) => minhashSig(sh, numHashes))
+
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
-    }: _*)
+    minhashSigUdf(shingles, lit(numHashes))
 
   /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
     * bands × rowsPerBand = numHashes. Pipeline:
@@ -122,39 +156,75 @@ object Dedup {
                       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df
+    val withSh = df
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // banding path carries only (id, band, bucket) — candidate-pair dedup
+    // shuffles ids, never the shingle arrays
     val banded = withSig.select(
-      col(idCol), col("sh"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val cands = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact-Jaccard verification only on the deduped candidate set
+    val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+    cands.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash-64 of a token multiset: per-bit majority vote over token
-    * hashes, built from pure column ops (no UDF): for each bit b, sum
-    * (hash>>b & 1 ? +1 : -1); bit set if sum > 0.
-    */
-  def simhash64(text: Column): Column = {
-    val hs = transform(TextFns.tokens(lower(text)), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  /** FNV-1a 64-bit string hash (stable, engine-independent). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
     }
-    bits.reduce(_.bitwiseOR(_))
+    h
   }
+
+  /** SimHash-64 of a token multiset: per-bit majority vote over token
+    * hashes. A compact UDF: the pure-column formulation needs 64 array
+    * `aggregate` expressions whose generated code dwarfs its own runtime
+    * (one scalar call per row is cheaper and the hot loop is primitive).
+    */
+  val simhash64Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val votes = new Array[Int](64)
+        text.toLowerCase.split("\\s+").foreach { t =>
+          if (t.nonEmpty) {
+            val h = fnv1a64(t)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) {
+          if (votes(b) > 0) out |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(out)
+      }
+    })
+
+  def simhash64(text: Column): Column = simhash64Udf(text)
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-blocked
     * on 4 16-bit chunks (any pair within distance ≤3 shares ≥1 exact chunk —

@@ -39,11 +39,12 @@ object Events {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
-    // JSON field extraction (reference's nested-record surface, via regex so
-    // the oracle needs no JSON extension).
+    // JSON field extraction (reference's nested-record surface). Spark side
+    // uses the JSON path evaluator; the oracle extracts the same value by
+    // regex so it needs no DuckDB JSON extension — equal outputs.
     "q19_json_extract" -> ((s, d) => {
       E(s, d)
-        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), round(avg(col("k")), 6).as("avg_k"))
     }),
