@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Relational, TextOps}
+import graft.queries.{Events, Extras, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` aggregates the per-family catalogs; every SQL-expressible entry
@@ -15,12 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TextOps.defs ++ Events.defs
+    Relational.defs ++ TextOps.defs ++ Events.defs ++ Extras.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (xxhash64-based MinHash/SimHash/LSH) → driver rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ Events.oracle
+    Relational.oracle ++ TextOps.oracle ++ Events.oracle ++ Extras.oracle
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.AsOf
+
+/** Extended analytics operators beyond the reference's own surface (SURVEY
+  * §7.1 step 6): rollup, ordered string aggregation, exact percentiles,
+  * semi/anti joins as filters, conditional aggregation, range (non-equi)
+  * join, as-of join, pivot, approximate distinct. All but the approx op are
+  * DuckDB-oracled.
+  */
+object Extras {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP grouping-set hierarchy (subtotals + grand total).
+    "q21_rollup" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Ordered string aggregation (deterministic: sort before concat).
+    "q22_string_agg" -> ((s, d) => {
+      T(s, d, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("s_name")))).as("names"),
+          count(lit(1)).as("n_supp"))
+    }),
+
+    // Exact percentiles (linear interpolation — same definition as DuckDB's
+    // quantile_cont).
+    "q23_percentile" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+    }),
+
+    // Semi + anti joins as filters: customers with a finished order and no
+    // pending order.
+    "q24_exists" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders")
+      c.join(o.filter(col("o_orderstatus") === "F").select("o_custkey"),
+          c("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("p_key")),
+          col("c_custkey") === col("p_key"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // Conditional aggregation (FILTER/CASE shapes).
+    "q25_conditional_agg" -> ((s, d) => {
+      T(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(when(col("c_acctbal") > 0, 1)).as("n_positive"),
+          round(sum(when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(0.0)), 2).as("sum_positive"),
+          round(avg(when(col("c_nationkey") < 12, col("c_acctbal"))), 6).as("avg_low_nation"))
+    }),
+
+    // Range (non-equi) join against a broadcast bucket dimension.
+    "q26_range_join" -> ((s, d) => {
+      val buckets = s.range(5).select(
+        (col("id") * 10).cast("double").as("lo"),
+        ((col("id") + 1) * 10).cast("double").as("hi"),
+        concat(lit("q"), col("id").cast("string")).as("bucket"))
+      T(s, d, "lineitem")
+        .join(broadcast(buckets), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
+    // As-of join: latest order at-or-before each event's timestamp for the
+    // event's user (union+window formulation — AsOf.asofJoin).
+    "q27_asof_join" -> ((s, d) => {
+      val events = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      // unique right rows per (key, time): keep max orderkey
+      val orders = T(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOf.asofJoin(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightValues = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("asof_o_orderkey"))
+    }),
+
+    // Approximate distinct (HLL) next to the exact count — no oracle
+    // (estimator-specific); relative error asserted in ScalaTest.
+    "q28_approx_distinct" -> ((s, d) => {
+      T(s, d, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+    }),
+
+    // Pivot: order status → columns, yearly totals.
+    "q29_pivot" -> ((s, d) => {
+      T(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q22_string_agg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names, count(*) AS n_supp
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "q23_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q24_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin,
+    "q25_conditional_agg" ->
+      """SELECT c_mktsegment,
+        | count(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+        | round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END), 2) AS sum_positive,
+        | round(avg(CASE WHEN c_nationkey < 12 THEN c_acctbal END), 6) AS avg_low_nation
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q26_range_join" ->
+      """WITH buckets AS (
+        | SELECT (id*10)::DOUBLE AS lo, ((id+1)*10)::DOUBLE AS hi, 'q' || id::VARCHAR AS bucket
+        | FROM range(5) t(id))
+        |SELECT bucket, count(*) AS n, round(sum(l_extendedprice),2) AS revenue
+        |FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY bucket""".stripMargin,
+    "q27_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        | e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts_us FROM events)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_o_orderkey
+        |FROM e ASOF LEFT JOIN o
+        | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts_us""".stripMargin,
+    "q29_pivot" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin)
+}

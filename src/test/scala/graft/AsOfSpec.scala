@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{AsOf, Skew}
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("asofJoin picks latest right row at-or-before left time, null when none") {
+    val quotes = Seq(
+      (1L, ts(1), 10.0), (1L, ts(5), 50.0), (1L, ts(9), 90.0),
+      (2L, ts(4), 40.0)).toDF("sym", "qts", "px")
+    val trades = Seq(
+      (1L, ts(1), "t1"),  // exact tie → matches ts(1) quote (<= semantics)
+      (1L, ts(6), "t2"),  // between → ts(5)
+      (1L, ts(20), "t3"), // after all → ts(9)
+      (2L, ts(3), "t4"),  // before any → null
+      (3L, ts(5), "t5")   // key never quoted → null
+    ).toDF("sym", "tts", "tid")
+    val got = AsOf.asofJoin(trades, quotes, "sym", "sym", "tts", "qts", Seq("px"))
+      .select("tid", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(got === Map("t1" -> Some(10.0), "t2" -> Some(50.0), "t3" -> Some(90.0),
+      "t4" -> None, "t5" -> None))
+  }
+
+  test("asofJoin tiebreak: highest rightOrder wins at equal (key, time)") {
+    val right = Seq((1L, ts(1), 100.0, 1.0), (1L, ts(1), 200.0, 2.0)).toDF("k", "rt", "v", "ord")
+    val left = Seq((1L, ts(2), "x")).toDF("k", "lt", "id")
+    val got = AsOf.asofJoin(left, right, "k", "k", "lt", "rt", Seq("v"), rightOrder = Some("ord"))
+      .select("asof_v").as[Double].head()
+    assert(got === 200.0)
+  }
+
+  test("saltedJoin is row-identical to the plain inner join") {
+    val left = Seq.tabulate(100)(i => (i % 3, s"l$i")).toDF("k", "lv")
+    val right = Seq((0, "r0"), (1, "r1"), (1, "r1b"), (5, "r5")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+    val salted = Skew.saltedJoin(left, right, Seq("k"), salt = 8)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() === plain.count())
+  }
+}
