@@ -6,7 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM-wide session, lazy). */
 object TestSession {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_test_wh").toString
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
