@@ -105,6 +105,44 @@ object Extras {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .pivot("o_orderstatus", Seq("O", "F", "P"))
         .agg(round(sum(col("o_totalprice")), 2))
+    }),
+
+    // J7: FULL OUTER equi-join with coalesced key.
+    "q30_outer_join" -> ((s, d) => {
+      val a = T(s, d, "nation").filter(col("n_nationkey") >= 5)
+        .select(col("n_nationkey").as("id"), col("n_name"))
+      val b = T(s, d, "customer").filter(col("c_nationkey") < 12)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      a.join(b, col("id") === col("c_nationkey"), "full_outer")
+        .select(coalesce(col("id"), col("c_nationkey")).as("nation_id"),
+          col("n_name"), col("n_cust"))
+    }),
+
+    // F1/F2/F3/F6/F7/F16/F17/F21/F22 scalar kernel: the reference's exact
+    // date/string conversions (silver_od datetime build, INE epoch fix,
+    // 1-based list index, id/population cleanup) on fixture-derived strings.
+    "q31_scalar_dates" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
+          (col("l_linenumber") % 24).cast("string").as("periodo"),
+          col("l_shipdate"), col("l_partkey"))
+        .select(
+          col("l_orderkey"), col("line_no"),
+          // F1+F3: fecha || lpad(periodo) → timestamp
+          to_timestamp(concat(col("fecha"), lpad(col("periodo"), 2, "0")), "yyyyMMddHH").as("dt"),
+          // F2: yyyyMMdd string → date
+          to_date(col("fecha"), "yyyyMMdd").as("d"),
+          // F7: epoch millis → date + 1 day (UTC)
+          date_add(to_date(timestamp_millis(col("l_orderkey") * 86400000)), 1).as("epoch_day"),
+          // F16/F17: 1-based element_at + size over a split array
+          element_at(split(date_format(col("l_shipdate"), "yyyy-MM-dd"), "-"), 1).as("yr_str"),
+          size(split(date_format(col("l_shipdate"), "yyyy-MM-dd"), "-")).cast("long").as("n_parts"),
+          // F21: clean_id — trim + strip trailing '.0'
+          regexp_replace(trim(concat(col("l_partkey").cast("string"), lit(".0"))), "\\.0$", "").as("clean_id"),
+          // F22: clean_poblacion — strip dots, int cast, nulls→0
+          coalesce(regexp_replace(concat(lit("1.2"), col("line_no").cast("string")), "\\.", "")
+            .cast("int"), lit(0)).cast("long").as("clean_pop"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -148,5 +186,25 @@ object Extras {
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
         | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
         | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q30_outer_join" ->
+      """SELECT coalesce(a.id, b.c_nationkey) AS nation_id, a.n_name, b.n_cust
+        |FROM (SELECT n_nationkey AS id, n_name FROM nation WHERE n_nationkey >= 5) a
+        |FULL OUTER JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |                 WHERE c_nationkey < 12 GROUP BY c_nationkey) b
+        | ON a.id = b.c_nationkey""".stripMargin,
+    "q31_scalar_dates" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber::BIGINT AS line_no,
+        |   strftime(l_shipdate, '%Y%m%d') AS fecha,
+        |   (l_linenumber % 24)::VARCHAR AS periodo, l_shipdate, l_partkey
+        |  FROM lineitem)
+        |SELECT l_orderkey, line_no,
+        | strptime(fecha || lpad(periodo, 2, '0'), '%Y%m%d%H') AS dt,
+        | strptime(fecha, '%Y%m%d')::DATE AS d,
+        | (epoch_ms(l_orderkey * 86400000)::DATE + INTERVAL 1 DAY)::DATE AS epoch_day,
+        | string_split(strftime(l_shipdate, '%Y-%m-%d'), '-')[1] AS yr_str,
+        | len(string_split(strftime(l_shipdate, '%Y-%m-%d'), '-'))::BIGINT AS n_parts,
+        | regexp_replace(trim(l_partkey::VARCHAR || '.0'), '\.0$', '') AS clean_id,
+        | coalesce(TRY_CAST(regexp_replace('1.2' || line_no::VARCHAR, '\.', '', 'g') AS INTEGER), 0)::BIGINT AS clean_pop
+        |FROM base""".stripMargin)
 }

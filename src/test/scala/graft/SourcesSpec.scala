@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+import graft.sources.Tables
+import graft.pipeline.Schemas
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipeCsv reads gzipped pipe-delimited all-varchar with audit columns") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("od_20220305.csv.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(f))
+    out.write(("fecha|periodo|origen|destino|distancia|actividad_origen|actividad_destino|" +
+      "residencia|renta|edad|sexo|viajes|viajes_km|estudio_destino_posible|estudio_origen_posible\n" +
+      "20220305|7|A1|B1|0.5-2|casa|trabajo_estudio|28|10-15|NA|NA|12.5|20.1|si|no\n" +
+      "20220305|8|A1|B2|2-10|casa|frecuente|28|<10|NA|NA|3.0|9.9|no|si\n").getBytes("UTF-8"))
+    out.close()
+
+    val df = Tables.pipeCsv(spark, Seq(f.toString), Some(Schemas.mitmaOd))
+    assert(df.count() === 2)
+    // all-varchar bronze: every declared column is string (utils.py:328)
+    val dataCols = df.columns.filterNot(Seq("loaded_at", "source_file").contains)
+    assert(dataCols.forall(c => df.schema(c).dataType.typeName === "string"))
+    // audit columns present and populated (utils.py:322-324)
+    val r = df.head()
+    assert(r.getAs[String]("source_file").contains("od_20220305.csv.gz"))
+    assert(r.getAs[java.sql.Timestamp]("loaded_at") != null)
+    assert(df.filter($"periodo" === "7").head().getAs[String]("viajes") === "12.5")
+  }
+
+  test("pipeCsv infers header names when no schema given") {
+    val dir = Files.createTempDirectory("graft_csv2")
+    val f = dir.resolve("rel.csv")
+    Files.writeString(f, "seccion_ine|municipio_ine\nS1|46250\n")
+    val df = Tables.pipeCsv(spark, Seq(f.toString))
+    assert(df.select("municipio_ine").as[String].collect().toSeq === Seq("46250"))
+  }
+
+  test("jsonArray reads a top-level JSON array with nested Data structs") {
+    val dir = Files.createTempDirectory("graft_json")
+    val f = dir.resolve("ine.json")
+    Files.writeString(f,
+      """[{"COD": "X1", "Nombre": "València. Total.", "Data": [{"Fecha": 1672531200000, "Valor": 1.5}]},
+        | {"COD": "X2", "Nombre": "Madrid. Total.", "Data": []}]""".stripMargin)
+    val df = Tables.jsonArray(spark, Seq(f.toString))
+    assert(df.count() === 2)
+    assert(df.schema("Data").dataType.typeName === "array")
+    val v = df.filter($"COD" === "X1")
+      .selectExpr("Data[0].Valor").as[Double].head()
+    assert(v === 1.5)
+    assert(df.head().getAs[String]("source_url").nonEmpty)
+  }
+}
