@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.Expressions
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so the ad-hoc SQL surface (SURVEY §3.3) can call them:
+  *
+  *   SELECT graft_simhash64(text) FROM documents
+  *
+  * Wired by GraftSession via `withExtensions`, or externally with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_fnv1a64"),
+      info("graft_fnv1a64", "graft_fnv1a64(str) - FNV-1a 64-bit hash."),
+      (args: Seq[Expression]) => Expressions.Fnv1a64(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(str) - SimHash-64 of the token multiset."),
+      (args: Seq[Expression]) => Expressions.SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_wkt_centroid"),
+      info("graft_wkt_centroid", "graft_wkt_centroid(wkt) - area-weighted centroid struct(x, y)."),
+      (args: Seq[Expression]) => Expressions.WktCentroid(args.head)))
+  }
+}

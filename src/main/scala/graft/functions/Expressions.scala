@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.Dedup
+
+/** Native Catalyst expressions for graft's custom scalar functions — the
+  * upgrade path from UDFs (SURVEY §7.3): no Scala-object serialization per
+  * row, null handling via `UnaryExpression.nullSafeEval`, and codegen that
+  * stays inside whole-stage compilation (emitting a static-helper call,
+  * exactly how Spark's own hash expressions generate).
+  */
+object Expressions {
+
+  /** Static helpers referenced from generated code (must be stable names). */
+  object Impl {
+    def fnv1a64(s: UTF8String): Long = Dedup.fnv1a64(s.toString)
+
+    def simhash64(s: UTF8String): Long = {
+      val text = s.toString
+      val votes = new Array[Int](64)
+      text.toLowerCase.split("\\s+").foreach { t =>
+        if (t.nonEmpty) {
+          val h = Dedup.fnv1a64(t)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+  }
+
+  /** fnv1a64(string) → long, with full whole-stage codegen. */
+  case class Fnv1a64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      Impl.fnv1a64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Expressions.Impl.fnv1a64($c)")
+    override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
+    override def prettyName: String = "graft_fnv1a64"
+  }
+
+  /** simhash64(string) → long, with full whole-stage codegen. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      Impl.simhash64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Expressions.Impl.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override def prettyName: String = "graft_simhash64"
+  }
+
+  /** wkt_centroid(string) → struct<x double, y double>. CodegenFallback on
+    * purpose: WKT parsing is dimension-side (thousands of zone polygons,
+    * not the 100 TB fact side), so interpreted eval costs nothing while
+    * keeping the expression usable inside any plan, SQL included.
+    */
+  case class WktCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      Spatial.wktCentroidXY(v.asInstanceOf[UTF8String].toString) match {
+        case Some((x, y)) => InternalRow(x, y)
+        case None => null
+      }
+    override protected def withNewChildInternal(c: Expression): WktCentroid = copy(c)
+    override def prettyName: String = "graft_wkt_centroid"
+  }
+
+  // Column ↔ Expression bridges (Spark 4 classic API, via graftbridge)
+  private def wrap(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def unwrap(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  def fnv1a64(c: Column): Column = wrap(Fnv1a64(unwrap(c)))
+  def simhash64(c: Column): Column = wrap(SimHash64(unwrap(c)))
+  def wktCentroid(c: Column): Column = wrap(WktCentroid(unwrap(c)))
+}

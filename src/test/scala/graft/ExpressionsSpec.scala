@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Expressions, Spatial}
+import graft.operators.Dedup
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native Fnv1a64 matches the scalar implementation, null-safe") {
+    val got = Seq("hello", "world", null).toDF("s")
+      .select(Expressions.fnv1a64($"s").as("h")).as[Option[Long]].collect().toSeq
+    assert(got === Seq(Some(Dedup.fnv1a64("hello")), Some(Dedup.fnv1a64("world")), None))
+  }
+
+  test("native SimHash64 matches the UDF implementation on fixture docs") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents").limit(50)
+    val both = docs.select(
+      Expressions.simhash64($"text").as("native"),
+      Dedup.simhash64($"text").as("viaUdf"))
+    assert(both.filter($"native" =!= $"viaUdf").count() === 0)
+  }
+
+  test("native expressions are SQL-callable through GraftExtensions") {
+    // TestSession is built via GraftSession.builder → extensions installed
+    val h = spark.sql("SELECT graft_fnv1a64('abc') AS h").as[Long].head()
+    assert(h === Dedup.fnv1a64("abc"))
+    val c = spark.sql(
+      "SELECT graft_wkt_centroid('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))') AS c")
+      .selectExpr("c.x", "c.y").as[(Double, Double)].head()
+    assert(c === ((1.0, 1.0)))
+    assert(spark.sql("SELECT graft_wkt_centroid('garbage') AS c").head().isNullAt(0))
+  }
+
+  test("simhash native expression stays inside whole-stage codegen") {
+    // parquet-backed source: a local Seq would be constant-folded away
+    val df = graft.sources.Tables.table(spark, sf, "documents")
+      .select(Expressions.simhash64($"text").as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen span; the expression must sit inside
+    // one, not fall back to interpreted projection
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_simhash64.*"), plan)
+    assert(df.count() === 500)
+  }
+
+  test("native wktCentroid equals the UDF path on polygons with holes") {
+    val wkt = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (0 0, 2 0, 2 2, 0 2, 0 0))"
+    val native = Seq(wkt).toDF("w").select(Expressions.wktCentroid($"w").as("c"))
+      .selectExpr("c.x", "c.y").as[(Double, Double)].head()
+    val viaUdf = Spatial.wktCentroidXY(wkt).get
+    assert(native === viaUdf)
+  }
+}
