@@ -121,9 +121,8 @@ object Spatial {
     out.result()
   }
 
-  /** Column form: wkt → struct(x, y). UDF for now (WKT parsing is cold-path
-    * dimension data — thousands of zones, not the 100 TB fact side).
+  /** Column form: wkt → struct<x, y> via the native Catalyst expression
+    * (Expressions.WktCentroid; CodegenFallback — dimension-side data).
     */
-  val wktCentroid: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((wkt: String) => wktCentroidXY(wkt))
+  def wktCentroid(wkt: Column): Column = Expressions.wktCentroid(wkt)
 }

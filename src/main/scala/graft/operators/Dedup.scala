@@ -224,7 +224,10 @@ object Dedup {
       }
     })
 
-  def simhash64(text: Column): Column = simhash64Udf(text)
+  /** Production path: the native codegen'd expression; the UDF above stays
+    * as an independent implementation for differential testing.
+    */
+  def simhash64(text: Column): Column = graft.functions.Expressions.simhash64(text)
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-blocked
     * on 4 16-bit chunks (any pair within distance ≤3 shares ≥1 exact chunk —

@@ -92,8 +92,8 @@ object Silver {
     }.reduce(_ unionByName _)
     base
       .withColumn("__centroid", Spatial.wktCentroid(col("geometry")))
-      .withColumn("centroid_longitude", col("__centroid._1"))
-      .withColumn("centroid_latitude", col("__centroid._2"))
+      .withColumn("centroid_longitude", col("__centroid.x"))
+      .withColumn("centroid_latitude", col("__centroid.y"))
       .drop("__centroid")
       .filter(col("id").isNotNull && col("name").isNotNull && col("geometry").isNotNull)
   }

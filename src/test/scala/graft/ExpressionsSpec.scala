@@ -13,11 +13,11 @@ class ExpressionsSpec extends SparkSpec {
     assert(got === Seq(Some(Dedup.fnv1a64("hello")), Some(Dedup.fnv1a64("world")), None))
   }
 
-  test("native SimHash64 matches the UDF implementation on fixture docs") {
+  test("native SimHash64 matches the independent UDF implementation on fixture docs") {
     val docs = graft.sources.Tables.table(spark, sf, "documents").limit(50)
     val both = docs.select(
       Expressions.simhash64($"text").as("native"),
-      Dedup.simhash64($"text").as("viaUdf"))
+      Dedup.simhash64Udf($"text").as("viaUdf"))
     assert(both.filter($"native" =!= $"viaUdf").count() === 0)
   }
 

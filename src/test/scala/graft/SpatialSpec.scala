@@ -59,10 +59,10 @@ class SpatialSpec extends SparkSpec {
     assert(Spatial.wktCentroidXY("POINT(3 4)").contains((3.0, 4.0)))
   }
 
-  test("wktCentroid UDF works as a column over a DataFrame") {
+  test("wktCentroid works as a column over a DataFrame") {
     val got = Seq("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))").toDF("wkt")
       .select(Spatial.wktCentroid($"wkt").as("c"))
-      .selectExpr("c._1 as x", "c._2 as y").as[(Double, Double)].head()
+      .selectExpr("c.x", "c.y").as[(Double, Double)].head()
     assert(got === ((1.0, 1.0)))
   }
 }
