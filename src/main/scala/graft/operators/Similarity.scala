@@ -66,6 +66,65 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
+    * cells with a few Lloyd iterations of k-means (deterministic seeding:
+    * the vectors with the smallest hashed ids), then probe only the
+    * `nProbe` nearest cells per query and exact-rerank inside them.
+    *
+    * At 100 TB the corpus is partitioned by cell id (one shuffle at index
+    * build); each query touches nProbe/nlist of the data. Training runs on
+    * the corpus itself via posexplode→per-dim mean — all DataFrame ops, no
+    * driver-side vectors except the (nlist × dim) centroid table, which is
+    * broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    // deterministic seeds: nlist vectors with smallest hash(id)
+    var centroids = c.withColumn("__h", xxhash64(col("corpus_id")))
+      .orderBy(col("__h")).limit(nlist)
+      .select(monotonically_increasing_id().as("cell"), col("cv").as("centroid"))
+    var iter = 0
+    while (iter < lloydIters) {
+      val assigned = assignCells(c, centroids, 1)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+      iter += 1
+    }
+    val indexed = assignCells(c, centroids, 1) // corpus: home cell only
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = assignCells(q.withColumnRenamed("query_id", "corpus_id")
+        .withColumnRenamed("qv", "cv"), centroids, nProbe)
+      .select(col("corpus_id").as("query_id"), col("cv").as("qv"), col("cell"))
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv")).distinct()
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+  }
+
+  /** Attach the `take` nearest cells (by cosine to centroid) to each vector
+    * row of (corpus_id, cv). Centroid table is tiny → broadcast join.
+    */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame, take: Int): DataFrame = {
+    val joined = vecs.crossJoin(broadcast(centroids))
+      .withColumn("__d", cosine(col("cv"), col("centroid")))
+    val w = Window.partitionBy(col("corpus_id")).orderBy(col("__d").desc, col("cell").asc)
+    joined.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= take)
+      .select(vecs.columns.map(col) :+ col("cell"): _*)
+  }
+
   /** Approximate top-k: bucket corpus and queries with `planes`-bit LSH
     * (optionally multiple tables via `tables` different plane offsets),
     * join within buckets only, exact cosine re-rank inside the candidate

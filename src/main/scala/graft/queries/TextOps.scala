@@ -86,6 +86,14 @@ object TextOps {
       val e = T(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5, planes = 6, tables = 4)
         .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // IVF ANN scale path (no oracle: k-means cells; recall asserted in
+    // SimilaritySpec): probe 4 of 16 cells per query, exact rerank inside.
+    "qt10_ivf_topk" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4)
+        .withColumn("rnk", col("rnk").cast("long"))
     }))
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t != '')"

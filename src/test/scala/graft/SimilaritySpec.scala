@@ -27,6 +27,20 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.sorted.reverse.toSeq === sims.toSeq)
   }
 
+  test("ivfTopK probes a fraction of cells with useful recall@5") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(e, q, k = 5, nlist = 8, nProbe = 4)
+    val got = approx.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // probing half the cells (4/8) on near-random vectors: expect roughly
+    // ≥ the probe fraction; far above the 1% noise floor
+    assert(recall > 0.3, s"recall@5 = $recall")
+    assert(approx.groupBy("query_id").count().count() === 20)
+  }
+
   test("lshTopK achieves reasonable recall@5 vs brute force on real embeddings") {
     // Fixture embeddings are near-random (top-5 sim ≈ 0.32 → per-bit
     // collision prob ≈ 0.6), so parameters must be generous: 4 planes ×
