@@ -92,7 +92,8 @@ object TextOps {
     // SimilaritySpec): probe 4 of 16 cells per query, exact rerank inside.
     "qt10_ivf_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4,
+        lloydIters = 1)
         .withColumn("rnk", col("rnk").cast("long"))
     }))
 

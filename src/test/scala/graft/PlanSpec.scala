@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
       s"pair generation degenerated:\n$p")
   }
 
+  test("partitioned writes enable partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.overwrite(Tables.table(spark, sf, "customer"), dir, partitionBy = Seq("c_mktsegment"))
+    val q = spark.read.parquet(dir).filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey")).count()
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(c_mktsegment"),
+      s"no partition pruning:\n$p")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.table(spark, sf, "orders")
     val l = Tables.table(spark, sf, "lineitem")
