@@ -95,6 +95,20 @@ object TextOps {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4,
         lloydIters = 1)
         .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // Multimodal plumbing over deterministic synthetic assets (no fixture
+    // table exists for binary payloads; rows-only check — semantics tested
+    // in MultimodalSpec). Asset count scales with the documents table.
+    "qm01_payload_stats" -> ((s, d) => {
+      val n = Tables.table(s, d, "documents").count().toInt
+      graft.multimodal.Multimodal.payloadStats(
+        graft.multimodal.Multimodal.syntheticAssets(s, n))
+    }),
+    "qm02_frame_sample" -> ((s, d) => {
+      val n = Tables.table(s, d, "documents").count().toInt
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.syntheticAssets(s, n), everyMs = 10000)
     }))
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t != '')"

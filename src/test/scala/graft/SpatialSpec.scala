@@ -23,6 +23,26 @@ class SpatialSpec extends SparkSpec {
     assert(ab === ba)
   }
 
+  test("haversine bounds: in [0, πR] and symmetric over generated coordinates") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val coord = for {
+      lon <- Gen.choose(-180.0, 180.0); lat <- Gen.choose(-90.0, 90.0)
+    } yield (lon, lat)
+    val pairs = (0 until 40).map(i =>
+      (coord.apply(Gen.Parameters.default, Seed(i)).get,
+        coord.apply(Gen.Parameters.default, Seed(1000 + i)).get))
+    val df = pairs.map { case ((lo1, la1), (lo2, la2)) => (lo1, la1, lo2, la2) }
+      .toDF("lon1", "lat1", "lon2", "lat2")
+    val fwd = df.select(Spatial.haversineMeters($"lon1", $"lat1", $"lon2", $"lat2")).as[Double].collect()
+    val bwd = df.select(Spatial.haversineMeters($"lon2", $"lat2", $"lon1", $"lat1")).as[Double].collect()
+    val maxD = math.Pi * Spatial.EarthRadiusM
+    fwd.zip(bwd).foreach { case (a, b) =>
+      assert(a >= 0.0 && a <= maxD + 1e-6)
+      assert(math.abs(a - b) < 1e-6)
+    }
+  }
+
   test("wktCentroid: unit square centroid is its center") {
     val got = Spatial.wktCentroidXY("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))").get
     assert(math.abs(got._1 - 1.0) < 1e-12 && math.abs(got._2 - 1.0) < 1e-12)
