@@ -16,40 +16,18 @@ import graft.operators.Dedup
   */
 object Expressions {
 
-  /** Static helpers referenced from generated code (must be stable names). */
-  object Impl {
-    def fnv1a64(s: UTF8String): Long = Dedup.fnv1a64(s.toString)
-
-    def simhash64(s: UTF8String): Long = {
-      val text = s.toString
-      val votes = new Array[Int](64)
-      text.toLowerCase.split("\\s+").foreach { t =>
-        if (t.nonEmpty) {
-          val h = Dedup.fnv1a64(t)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      out
-    }
-  }
-
-  /** fnv1a64(string) → long, with full whole-stage codegen. */
+  /** fnv1a64(string) → long, with full whole-stage codegen. Generated Java
+    * calls ExprImpl's STATIC forwarders — ExprImpl must stay a top-level
+    * object (nested Scala objects get no static forwarders, and Janino
+    * would reject `Expressions$Impl$` references, silently degrading the
+    * whole stage to interpreted execution).
+    */
   case class Fnv1a64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      Impl.fnv1a64(v.asInstanceOf[UTF8String])
+      ExprImpl.fnv1a64(v.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.Expressions.Impl.fnv1a64($c)")
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.fnv1a64($c)")
     override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
     override def prettyName: String = "graft_fnv1a64"
   }
@@ -58,9 +36,9 @@ object Expressions {
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      Impl.simhash64(v.asInstanceOf[UTF8String])
+      ExprImpl.simhash64(v.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.Expressions.Impl.simhash64($c)")
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.simhash64($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
     override def prettyName: String = "graft_simhash64"
   }

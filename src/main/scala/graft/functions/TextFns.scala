@@ -21,7 +21,8 @@ object TextFns {
     * byte-pair pre-tokenizer would (letters runs, digit runs, single punct).
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"), t => t =!= "" && t =!= " "))
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => t.rlike("\\S"))) // drop empty + all-whitespace fragments (tabs, newlines)
 
   /** Punctuation character ratio ∈ [0,1]. */
   def punctRatio(text: Column): Column = {

@@ -103,7 +103,10 @@ object Multimodal {
     * metadata, leaving payload decode to the downstream consumer.
     */
   def sampleFrames(assets: Dataset[Asset], everyMs: Long): DataFrame = {
-    val videos = assets.toDF().filter(col("modality") === "video")
+    // durationMs <= 0 (probe failed / metadata missing) → zero frames, not
+    // an Illegal-sequence-boundaries crash
+    val videos = assets.toDF()
+      .filter(col("modality") === "video" && col("meta.durationMs") > 0)
     videos.select(col("asset_id"), col("meta.durationMs").as("duration_ms"),
         explode(sequence(lit(0L), col("meta.durationMs") - 1, lit(everyMs))).as("frame_ts_ms"))
       .withColumn("frame_index", (col("frame_ts_ms") / everyMs).cast("long"))

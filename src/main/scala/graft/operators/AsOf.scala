@@ -29,8 +29,10 @@ object AsOf {
                rightOrder: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val rv = struct(rightValues.map(col): _*)
-    // side 0 (right) sorts before side 1 (left) at equal times → `<=` holds
-    val taggedRight = right.select(
+    // side 0 (right) sorts before side 1 (left) at equal times → `<=` holds;
+    // null-time right rows are dropped (they'd sort first and masquerade as
+    // earliest matches — `rightTime <= leftTime` is unknowable for null)
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("__key"),
       col(rightTime).cast("timestamp").as("__time"),
       lit(0).as("__side"),

@@ -30,12 +30,6 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Character n-gram shingle set (distinct, sorted for determinism). */
-  def charShingles(text: Column, n: Int): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => text.substr(i, lit(n)))))
-
   /** Word n-gram shingle set (distinct, first-occurrence order): tokens by
     * whitespace, short docs collapse to the whole text. Scalar UDF: the
     * pure-column formulation (transform + slice + concat_ws per position)

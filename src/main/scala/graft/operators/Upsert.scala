@@ -23,10 +23,13 @@ object Upsert {
   def allColumnsUpsert(target: DataFrame, source: DataFrame,
                        auditCols: Seq[String] = Seq("loaded_at", "source_file", "source_url")): DataFrame = {
     val keys = target.columns.filterNot(auditCols.contains).toSeq
-    // target rows win on duplicate key, matching MERGE's "WHEN MATCHED" (the
-    // matched target row is updated with identical values, i.e. kept).
-    source.unionByName(target, allowMissingColumns = true)
-      .dropDuplicates(keys)
+    // Matched keys keep the TARGET row deterministically (MERGE's "UPDATE
+    // SET *" writes identical data values; keeping target preserves its
+    // audit columns). Only genuinely-new rows come from source; their
+    // internal duplicates collapse arbitrarily — harmless, since rows equal
+    // on `keys` differ at most in audit columns.
+    val incoming = source.join(target, keys, "left_anti").dropDuplicates(keys)
+    target.unionByName(incoming, allowMissingColumns = true)
   }
 
   /** S10: keyed MERGE — source wins on key collision (`WHEN MATCHED UPDATE

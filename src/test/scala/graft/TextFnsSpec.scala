@@ -43,9 +43,17 @@ class TextFnsSpec extends SparkSpec {
     assert(scores(0) > scores(1))
   }
 
-  test("subwordCount splits on word/punct boundaries") {
+  test("subwordCount splits on word/punct boundaries, ignores all whitespace kinds") {
     val got = Seq("don't stop-me now123").toDF("t")
       .select(TextFns.subwordCount($"t").as("n")).as[Int].head()
     assert(got >= 6) // don ' t stop - me now 123
+    val ws = Seq("a\tb\nc").toDF("t").select(TextFns.subwordCount($"t").as("n")).as[Int].head()
+    assert(ws === 3) // tabs/newlines are separators, not tokens
+  }
+
+  test("fingerprint64 is whitespace/case-insensitive, content-sensitive") {
+    val fps = Seq("Hello  World", "hello world", "hello worlds").toDF("t")
+      .select(TextFns.fingerprint64($"t").as("f")).as[Long].collect().toSeq
+    assert(fps(0) === fps(1)); assert(fps(0) != fps(2))
   }
 }
