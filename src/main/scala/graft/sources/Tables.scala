@@ -80,4 +80,24 @@ object Tables {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Incremental sink: overwrite ONLY the partitions present in `df`,
+    * leaving the rest of the table untouched (dynamic partition overwrite).
+    * This is the 100 TB replacement for the reference's full
+    * `CREATE OR REPLACE TABLE` re-runs: a daily re-load rewrites that day's
+    * partitions, not the whole history — and stays idempotent like the
+    * MERGE loads (same day re-shipped → same partition content).
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

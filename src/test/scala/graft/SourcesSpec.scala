@@ -38,6 +38,24 @@ class SourcesSpec extends SparkSpec {
     assert(df.select("municipio_ine").as[String].collect().toSeq === Seq("46250"))
   }
 
+  test("overwritePartitions rewrites only the shipped partitions (incremental daily load)") {
+    val dir = Files.createTempDirectory("graft_dyn").toString
+    val day1 = Seq(("2022-03-05", "A", 1.0), ("2022-03-05", "B", 2.0),
+      ("2022-03-06", "A", 3.0)).toDF("day", "zone", "v")
+    Tables.overwrite(day1, dir, partitionBy = Seq("day"))
+    // day-2 correction re-ships ONLY 2022-03-06, with different content
+    val day2fix = Seq(("2022-03-06", "A", 30.0), ("2022-03-06", "C", 31.0))
+      .toDF("day", "zone", "v")
+    Tables.overwritePartitions(day2fix, dir, partitionBy = Seq("day"))
+    val got = spark.read.parquet(dir).orderBy("day", "zone")
+      .select("day", "zone", "v").as[(String, String, Double)].collect().toSeq
+    assert(got === Seq(("2022-03-05", "A", 1.0), ("2022-03-05", "B", 2.0),
+      ("2022-03-06", "A", 30.0), ("2022-03-06", "C", 31.0)))
+    // idempotent: re-shipping the same partition is a no-op
+    Tables.overwritePartitions(day2fix, dir, partitionBy = Seq("day"))
+    assert(spark.read.parquet(dir).count() === 4)
+  }
+
   test("jsonArray reads a top-level JSON array with nested Data structs") {
     val dir = Files.createTempDirectory("graft_json")
     val f = dir.resolve("ine.json")
