@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.AsOf
+import graft.pipeline.Silver
 
 /** Extended analytics operators beyond the reference's own surface (SURVEY
   * §7.1 step 6): rollup, ordered string aggregation, exact percentiles,
@@ -143,6 +144,37 @@ object Extras {
           // F22: clean_poblacion — strip dots, int cast, nulls→0
           coalesce(regexp_replace(concat(lit("1.2"), col("line_no").cast("string")), "\\.", "")
             .cast("int"), lit(0)).cast("long").as("clean_pop"))
+    }),
+
+    // The flagship silver transform itself (pipeline/Silver.od) under the
+    // oracle: bronze-shaped all-string OD rows derived from lineitem, a
+    // holiday dim derived from orders, then the full reference semantics —
+    // datetime build, double casts, si/no booleans, weekend/holiday flags,
+    // critical-field null filter (null distancia rows must drop).
+    "q32_silver_od" -> ((s, d) => {
+      val bronze = T(s, d, "lineitem").select(
+        date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
+        (col("l_linenumber") % 24).cast("string").as("periodo"),
+        col("l_orderkey").cast("string").as("origen"),
+        col("l_partkey").cast("string").as("destino"),
+        when(col("l_quantity") < 25, "0.5-2").when(col("l_returnflag") === "R", lit(null))
+          .otherwise("2-10").as("distancia"),
+        lit("casa").as("actividad_origen"),
+        col("l_linestatus").as("actividad_destino"),
+        col("l_suppkey").cast("string").as("residencia"),
+        lit("10-15").as("renta"), lit("NA").as("edad"), lit("NA").as("sexo"),
+        col("l_quantity").cast("string").as("viajes"),
+        col("l_extendedprice").cast("string").as("viajes_km"),
+        when(col("l_returnflag") === "R", "si").when(col("l_returnflag") === "A", "NO")
+          .otherwise("xx").as("estudio_destino_posible"),
+        when(col("l_linenumber") % 2 === 0, "Si").otherwise("no").as("estudio_origen_posible"))
+      val holidays = T(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(to_date(col("o_orderdate")).as("date")).distinct()
+      Silver.od(Map("distrito" -> bronze), holidays)
+        .select(col("zone_level"), col("datetime"), col("origin_id"), col("destination_id"),
+          col("n_trips"), col("km_trips"), col("distance"),
+          col("study_possible_destination"), col("study_possible_origin"),
+          col("is_weekend"), col("is_holiday"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -206,5 +238,35 @@ object Extras {
         | len(string_split(strftime(l_shipdate, '%Y-%m-%d'), '-'))::BIGINT AS n_parts,
         | regexp_replace(trim(l_partkey::VARCHAR || '.0'), '\.0$', '') AS clean_id,
         | coalesce(TRY_CAST(regexp_replace('1.2' || line_no::VARCHAR, '\.', '', 'g') AS INTEGER), 0)::BIGINT AS clean_pop
-        |FROM base""".stripMargin)
+        |FROM base""".stripMargin,
+    "q32_silver_od" ->
+      """WITH bronze AS (SELECT
+        |   strftime(l_shipdate, '%Y%m%d') AS fecha,
+        |   (l_linenumber % 24)::VARCHAR AS periodo,
+        |   l_orderkey::VARCHAR AS origen,
+        |   l_partkey::VARCHAR AS destino,
+        |   CASE WHEN l_quantity < 25 THEN '0.5-2'
+        |        WHEN l_returnflag = 'R' THEN NULL ELSE '2-10' END AS distancia,
+        |   l_quantity AS viajes, l_extendedprice AS viajes_km,
+        |   CASE WHEN l_returnflag = 'R' THEN 'si'
+        |        WHEN l_returnflag = 'A' THEN 'NO' ELSE 'xx' END AS est_d,
+        |   CASE WHEN l_linenumber % 2 = 0 THEN 'Si' ELSE 'no' END AS est_o
+        |  FROM lineitem),
+        | holidays AS (SELECT DISTINCT o_orderdate::DATE AS date FROM orders WHERE o_orderkey % 97 = 0),
+        | base AS (SELECT
+        |   'distrito' AS zone_level,
+        |   strptime(fecha || lpad(periodo, 2, '0'), '%Y%m%d%H') AS datetime,
+        |   origen AS origin_id, destino AS destination_id,
+        |   CAST(viajes AS DOUBLE) AS n_trips, CAST(viajes_km AS DOUBLE) AS km_trips,
+        |   distancia AS distance,
+        |   CASE WHEN lower(est_d) = 'si' THEN TRUE WHEN lower(est_d) = 'no' THEN FALSE END AS study_possible_destination,
+        |   CASE WHEN lower(est_o) = 'si' THEN TRUE WHEN lower(est_o) = 'no' THEN FALSE END AS study_possible_origin
+        |  FROM bronze),
+        | enriched AS (SELECT *,
+        |   dayofweek(datetime) IN (0, 6) AS is_weekend,
+        |   CAST(datetime AS DATE) IN (SELECT date FROM holidays) AS is_holiday
+        |  FROM base)
+        |SELECT * FROM enriched
+        |WHERE datetime IS NOT NULL AND origin_id IS NOT NULL AND destination_id IS NOT NULL
+        |  AND n_trips IS NOT NULL AND km_trips IS NOT NULL AND distance IS NOT NULL""".stripMargin)
 }
