@@ -48,7 +48,9 @@ object TextFns {
     val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0)).otherwise(lit(0.3))
     val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
     val stopOk = least(stopwordRatio(text, stopwords.distinct) * 5, lit(1.0))
-    round((lenOk * 0.25 + wordLenOk * 0.25 + punctOk * 0.25 + stopOk * 0.25), 6)
+    // no round(): element-wise doubles are bit-identical across engines,
+    // rounding is what diverges (see verify skill notes)
+    lenOk * 0.25 + wordLenOk * 0.25 + punctOk * 0.25 + stopOk * 0.25
   }
 
   /** Deterministic language-ID heuristic: count stopword hits per language

@@ -175,6 +175,34 @@ object Extras {
           col("n_trips"), col("km_trips"), col("distance"),
           col("study_possible_destination"), col("study_possible_origin"),
           col("is_weekend"), col("is_holiday"))
+    }),
+
+    // The INE silver chain (pipeline/Silver.business) under the oracle:
+    // nested Data arrays built from nation/customer, exploded, epoch-fixed,
+    // ILIKE-joined to a municipio dim, relations-joined, CNAE-filtered,
+    // DISTINCT ON COD with the deterministic tiebreak.
+    "q33_silver_business" -> ((s, d) => {
+      val n = T(s, d, "nation")
+      val empresas = n.select(
+        concat(lit("COD"), col("n_nationkey")).as("COD"),
+        concat(col("n_name"),
+          when(col("n_nationkey") % 5 === 0, lit(". Total. Empresas. Industria."))
+            .otherwise(lit(". Total. Empresas. Total CNAE."))).as("Nombre"),
+        when(col("n_nationkey") % 7 === 0, array().cast("array<struct<Fecha:long,Valor:double>>"))
+          .otherwise(array(
+            struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
+              col("n_regionkey").cast("double").as("Valor")),
+            struct((col("n_nationkey").cast("long") * 86400000L + 86400000L).as("Fecha"),
+              (col("n_regionkey") + 10).cast("double").as("Valor")))).as("Data"))
+      val municipios = n.filter(col("n_nationkey") % 3 =!= 0)
+        .select(col("n_nationkey").cast("string").as("Codigo"), upper(col("n_name")).as("Nombre"))
+      val relations = n.filter(col("n_nationkey") % 2 === 0).select(
+        lit("S").as("seccion_ine"), lit("D").as("distrito_ine"),
+        col("n_nationkey").cast("string").as("municipio_ine"),
+        concat(lit("DM"), col("n_nationkey")).as("distrito_mitma"),
+        when(col("n_nationkey") % 4 === 0, concat(lit("MM"), col("n_nationkey"))).as("municipio_mitma"),
+        lit(null).cast("string").as("gau_mitma"))
+      Silver.business(empresas, municipios, relations)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -268,5 +296,40 @@ object Extras {
         |  FROM base)
         |SELECT * FROM enriched
         |WHERE datetime IS NOT NULL AND origin_id IS NOT NULL AND destination_id IS NOT NULL
-        |  AND n_trips IS NOT NULL AND km_trips IS NOT NULL AND distance IS NOT NULL""".stripMargin)
+        |  AND n_trips IS NOT NULL AND km_trips IS NOT NULL AND distance IS NOT NULL""".stripMargin,
+    "q33_silver_business" ->
+      """WITH empresas AS (SELECT 'COD' || n_nationkey AS COD,
+        |   n_name || CASE WHEN n_nationkey % 5 = 0 THEN '. Total. Empresas. Industria.'
+        |                  ELSE '. Total. Empresas. Total CNAE.' END AS Nombre,
+        |   CASE WHEN n_nationkey % 7 = 0 THEN CAST([] AS STRUCT(Fecha BIGINT, Valor DOUBLE)[])
+        |        ELSE [{'Fecha': n_nationkey::BIGINT * 86400000, 'Valor': n_regionkey::DOUBLE},
+        |              {'Fecha': n_nationkey::BIGINT * 86400000 + 86400000, 'Valor': (n_regionkey + 10)::DOUBLE}]
+        |   END AS Data
+        |  FROM nation),
+        | municipios AS (SELECT n_nationkey::VARCHAR AS Codigo, upper(n_name) AS Nombre
+        |  FROM nation WHERE n_nationkey % 3 != 0),
+        | relations AS (SELECT n_nationkey::VARCHAR AS municipio_ine,
+        |   'DM' || n_nationkey AS distrito_mitma,
+        |   CASE WHEN n_nationkey % 4 = 0 THEN 'MM' || n_nationkey END AS municipio_mitma,
+        |   NULL::VARCHAR AS gau_mitma
+        |  FROM nation WHERE n_nationkey % 2 = 0),
+        | flat AS (SELECT e.COD,
+        |   (epoch_ms(CAST(item.Fecha AS BIGINT))::DATE + INTERVAL 1 DAY)::DATE AS fecha,
+        |   coalesce(nullif(trim(split_part(e.Nombre, '.', 1)), ''), e.Nombre) AS nombre,
+        |   trim(split_part(e.Nombre, '.', 4)) AS tipo,
+        |   CAST(item.Valor AS DOUBLE) AS valor
+        |  FROM empresas e, UNNEST(e.Data) AS t(item)
+        |  WHERE e.Data IS NOT NULL AND len(e.Data) > 0),
+        | joined AS (SELECT m.Codigo AS codigo_ine, f.COD, f.fecha, f.nombre, f.tipo, f.valor,
+        |   r.distrito_mitma, r.municipio_mitma, r.gau_mitma
+        |  FROM flat f LEFT JOIN municipios m ON lower(f.nombre) = lower(m.Nombre)
+        |  LEFT JOIN relations r ON m.Codigo = r.municipio_ine
+        |  WHERE lower(f.tipo) LIKE '%cnae%' AND
+        |   (r.distrito_mitma IS NOT NULL OR r.municipio_mitma IS NOT NULL OR r.gau_mitma IS NOT NULL)),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY COD ORDER BY
+        |   codigo_ine ASC NULLS FIRST, fecha ASC NULLS FIRST, nombre ASC NULLS FIRST,
+        |   tipo ASC NULLS FIRST, valor ASC NULLS FIRST, distrito_mitma ASC NULLS FIRST,
+        |   municipio_mitma ASC NULLS FIRST, gau_mitma ASC NULLS FIRST) AS rn FROM joined)
+        |SELECT codigo_ine, fecha, nombre, tipo, valor, distrito_mitma, municipio_mitma, gau_mitma
+        |FROM ranked WHERE rn = 1""".stripMargin)
 }

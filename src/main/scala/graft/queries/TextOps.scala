@@ -44,6 +44,13 @@ object TextOps {
         TextFns.LangId.langId(col("text")).as("lang_guess"))
     }),
 
+    // Composite quality score (length/word-length/punctuation/stopword
+    // components, equal-weighted).
+    "qt11_quality" -> ((s, d) => {
+      T(s, d, "documents").select(
+        col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+    }),
+
     // Document fingerprint: md5 of whitespace-normalized lowercase text.
     "qt03_fingerprint" -> ((s, d) => {
       T(s, d, "documents").select(
@@ -129,6 +136,28 @@ object TextOps {
          |      WHEN s_fr >= s_de THEN 'fr'
          |      ELSE 'de' END AS lang_guess
          |FROM sc""".stripMargin
+    },
+    "qt11_quality" -> {
+      val stopList = TextFns.LangId.profiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("(", ",", ")")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  len($tokensSql)::DOUBLE AS n_tok,
+         |  length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS n_chars,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio
+         | FROM documents),
+         | s AS (SELECT doc_id, n_tok, punct_ratio,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END AS mwl,
+         |  CASE WHEN n_tok = 0 THEN 0.0
+         |       ELSE len(list_filter(list_filter(string_split(lower(text), ' '), t -> t != ''),
+         |              w -> w IN $stopList))::DOUBLE / n_tok END AS stop_ratio
+         | FROM t)
+         |SELECT doc_id,
+         | (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
+         | + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.25
+         | + (1.0 - least(punct_ratio * 4, 1.0)) * 0.25
+         | + least(stop_ratio * 5, 1.0) * 0.25 AS quality
+         |FROM s""".stripMargin
     },
     "qt03_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
