@@ -59,6 +59,28 @@ class StreamsSpec extends SparkSpec {
     assert(state.isRemoved)
   }
 
+  test("file-source stream over parquet matches the batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select($"ts", $"event_type", $"value", $"user_id").limit(2000)
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = Streams.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("fc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fc")
+        .select($"window_start", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)]
+        .collect().toSet
+      val expected = spark.read.parquet(dir)
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+        .count()
+        .select($"window.start", $"event_type", $"count").as[(java.sql.Timestamp, String, Long)]
+        .collect().toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("dedupStream drops in-horizon duplicates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
