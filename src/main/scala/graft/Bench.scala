@@ -13,9 +13,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // pay session/codegen/parquet-reader warmup once, outside any timing
+    // pay session/codegen/parquet-reader/join/window machinery warmup once,
+    // outside any timing, on the tiny region/nation tables
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val r = spark.read.parquet(s"$sfDir/region.parquet")
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    n.join(org.apache.spark.sql.functions.broadcast(r),
+        n("n_regionkey") === r("r_regionkey"), "left")
+      .groupBy("r_name").count()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+          .orderBy("count")))
+      .selectExpr("explode(split(r_name, ' ')) AS w").count()
     // failed queries report -1 (and are excluded from the total) so a
     // regression can't masquerade as a fast run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
