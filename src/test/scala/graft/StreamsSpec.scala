@@ -59,6 +59,25 @@ class StreamsSpec extends SparkSpec {
     assert(state.isRemoved)
   }
 
+  test("upsertSink maintains a keyed snapshot across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_upsink").toString + "/state"
+    val input = MemoryStream[Event]
+    val q = input.toDF().writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.upsertSink(b, id, path, Seq("user_id")))
+      .start()
+    try {
+      input.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 2, "b", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 1, "a2", 9.0)) // same key 1 → replaces
+      q.processAllAvailable()
+      val state = spark.read.parquet(path)
+        .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+      assert(state === Map(1L -> 3L, 2L -> 2L))
+    } finally q.stop()
+  }
+
   test("file-source stream over parquet matches the batch aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val batch = graft.sources.Tables.events(spark, sf)
