@@ -177,6 +177,16 @@ object Extras {
           col("is_weekend"), col("is_holiday"))
     }),
 
+    // Statistical aggregates (stddev/variance/correlation/covariance).
+    "q34_stats" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_cov"))
+    }),
+
     // The INE silver chain (pipeline/Silver.business) under the oracle:
     // nested Data arrays built from nation/customer, exploded, epoch-fixed,
     // ILIKE-joined to a municipio dim, relations-joined, CNAE-filtered,
@@ -297,6 +307,12 @@ object Extras {
         |SELECT * FROM enriched
         |WHERE datetime IS NOT NULL AND origin_id IS NOT NULL AND destination_id IS NOT NULL
         |  AND n_trips IS NOT NULL AND km_trips IS NOT NULL AND distance IS NOT NULL""".stripMargin,
+    "q34_stats" ->
+      """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q33_silver_business" ->
       """WITH empresas AS (SELECT 'COD' || n_nationkey AS COD,
         |   n_name || CASE WHEN n_nationkey % 5 = 0 THEN '. Total. Empresas. Industria.'
