@@ -177,6 +177,30 @@ object Extras {
           col("is_weekend"), col("is_holiday"))
     }),
 
+    // silver_zones + silver_distances end-to-end under the oracle: WKT
+    // rectangles built from integer nation-derived coordinates — the
+    // shoelace centroid is exact integer arithmetic, so the oracle can
+    // compute the same centroid analytically ((x+1, y+1)) without a spatial
+    // extension, then the same haversine as q13.
+    "q35_silver_distances" -> ((s, d) => {
+      val x = (col("n_nationkey") * 7 % 120) - 60
+      val y = (col("n_nationkey") * 3 % 160) - 80
+      val bronze = T(s, d, "nation").select(
+        col("n_name").as("ID"),
+        concat(lit("Zona "), col("n_name")).as("Nombre"),
+        lit("100").as("Poblacion"),
+        concat(lit("POLYGON(("),
+          x, lit(" "), y, lit(", "),
+          x + 2, lit(" "), y, lit(", "),
+          x + 2, lit(" "), y + 2, lit(", "),
+          x, lit(" "), y + 2, lit(", "),
+          x, lit(" "), y, lit("))")).as("geometry"))
+      val zones = Silver.zones(Map("distrito" -> bronze))
+      Silver.distances(zones)
+        .select(col("origin"), col("destination"),
+          round(col("distance_km"), 3).as("dist_km"))
+    }),
+
     // Statistical aggregates (stddev/variance/correlation/covariance).
     "q34_stats" -> ((s, d) => {
       T(s, d, "lineitem")
@@ -213,6 +237,31 @@ object Extras {
         when(col("n_nationkey") % 4 === 0, concat(lit("MM"), col("n_nationkey"))).as("municipio_mitma"),
         lit(null).cast("string").as("gau_mitma"))
       Silver.business(empresas, municipios, relations)
+    }),
+
+    // Silver.income under the oracle: exercises the distrito/sección regex
+    // pre-filters, the suffix strip, the 3rd-segment tipo, and the
+    // valor-not-null requirement.
+    "q36_silver_income" -> ((s, d) => {
+      val n = T(s, d, "nation")
+      val renta = n.select(
+        concat(lit("R"), col("n_nationkey")).as("COD"),
+        concat(col("n_name"),
+          when(col("n_nationkey") % 4 === 0, lit(" distrito 01. Total. Renta neta media por persona."))
+            .when(col("n_nationkey") % 4 === 1, lit(" sección 0101. Total. Renta neta media por persona."))
+            .otherwise(lit(". Total. Renta neta media por persona."))).as("Nombre"),
+        array(struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
+          when(col("n_nationkey") % 5 === 0, lit(null).cast("double"))
+            .otherwise((col("n_regionkey") * 1000 + 15000).cast("double")).as("Valor"))).as("Data"))
+      val municipios = n.select(col("n_nationkey").cast("string").as("Codigo"),
+        upper(col("n_name")).as("Nombre"))
+      val relations = n.select(
+        lit("S").as("seccion_ine"), lit("D").as("distrito_ine"),
+        col("n_nationkey").cast("string").as("municipio_ine"),
+        concat(lit("DM"), col("n_nationkey")).as("distrito_mitma"),
+        lit(null).cast("string").as("municipio_mitma"),
+        lit(null).cast("string").as("gau_mitma"))
+      Silver.income(renta, municipios, relations)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -307,6 +356,57 @@ object Extras {
         |SELECT * FROM enriched
         |WHERE datetime IS NOT NULL AND origin_id IS NOT NULL AND destination_id IS NOT NULL
         |  AND n_trips IS NOT NULL AND km_trips IS NOT NULL AND distance IS NOT NULL""".stripMargin,
+    "q36_silver_income" ->
+      """WITH renta AS (SELECT 'R' || n_nationkey AS COD,
+        |   n_name || CASE WHEN n_nationkey % 4 = 0 THEN ' distrito 01. Total. Renta neta media por persona.'
+        |                  WHEN n_nationkey % 4 = 1 THEN ' sección 0101. Total. Renta neta media por persona.'
+        |                  ELSE '. Total. Renta neta media por persona.' END AS Nombre,
+        |   [{'Fecha': n_nationkey::BIGINT * 86400000,
+        |     'Valor': CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |                   ELSE (n_regionkey * 1000 + 15000)::DOUBLE END}] AS Data
+        |  FROM nation),
+        | municipios AS (SELECT n_nationkey::VARCHAR AS Codigo, upper(n_name) AS Nombre FROM nation),
+        | relations AS (SELECT n_nationkey::VARCHAR AS municipio_ine,
+        |   'DM' || n_nationkey AS distrito_mitma,
+        |   NULL::VARCHAR AS municipio_mitma, NULL::VARCHAR AS gau_mitma FROM nation),
+        | pre AS (SELECT * FROM renta
+        |  WHERE NOT regexp_matches(lower(Nombre), '(sección|seccion)\s+\d+')
+        |    AND NOT regexp_matches(lower(Nombre), 'distrito\s+\d+')),
+        | flat AS (SELECT r.COD,
+        |   (epoch_ms(CAST(item.Fecha AS BIGINT))::DATE + INTERVAL 1 DAY)::DATE AS fecha,
+        |   trim(regexp_replace(split_part(r.Nombre, '.', 1),
+        |        '\s+(distrito|sección|seccion)\s+\d+', '', 'gi')) AS nombre,
+        |   lower(trim(split_part(r.Nombre, '.', 3))) AS tipo,
+        |   CAST(item.Valor AS DOUBLE) AS valor
+        |  FROM pre r, UNNEST(r.Data) AS t(item)
+        |  WHERE r.Data IS NOT NULL AND len(r.Data) > 0),
+        | joined AS (SELECT m.Codigo AS codigo_ine, f.COD, f.fecha, f.nombre, f.tipo, f.valor,
+        |   rel.distrito_mitma, rel.municipio_mitma, rel.gau_mitma
+        |  FROM flat f LEFT JOIN municipios m ON lower(f.nombre) = lower(m.Nombre)
+        |  LEFT JOIN relations rel ON m.Codigo = rel.municipio_ine
+        |  WHERE f.valor IS NOT NULL AND
+        |   (rel.distrito_mitma IS NOT NULL OR rel.municipio_mitma IS NOT NULL OR rel.gau_mitma IS NOT NULL)),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY COD ORDER BY
+        |   codigo_ine ASC NULLS FIRST, fecha ASC NULLS FIRST, nombre ASC NULLS FIRST,
+        |   tipo ASC NULLS FIRST, valor ASC NULLS FIRST, distrito_mitma ASC NULLS FIRST,
+        |   municipio_mitma ASC NULLS FIRST, gau_mitma ASC NULLS FIRST) AS rn FROM joined)
+        |SELECT codigo_ine, fecha, nombre, tipo, valor, distrito_mitma, municipio_mitma, gau_mitma
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q35_silver_distances" ->
+      """WITH pts AS (SELECT n_name AS id,
+        |   ((n_nationkey * 7) % 120 - 60 + 1)::DOUBLE AS lon,
+        |   ((n_nationkey * 3) % 160 - 80 + 1)::DOUBLE AS lat
+        |  FROM nation),
+        | pairs AS (SELECT a.id AS origin, b.id AS destination,
+        |   radians(a.lat) AS la1, radians(b.lat) AS la2,
+        |   radians(b.lat) - radians(a.lat) AS dla,
+        |   radians(b.lon) - radians(a.lon) AS dlo
+        |  FROM pts a JOIN pts b ON a.id != b.id),
+        | h AS (SELECT origin, destination,
+        |   pow(sin(dla/2), 2) + cos(la1)*cos(la2)*pow(sin(dlo/2), 2) AS s
+        |  FROM pairs)
+        |SELECT origin, destination,
+        | round(2*6371008.8*atan2(sqrt(s), sqrt(1-s))/1000.0, 3) AS dist_km FROM h""".stripMargin,
     "q34_stats" ->
       """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
         | round(var_samp(l_quantity), 4) AS var_qty,
