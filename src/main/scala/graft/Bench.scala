@@ -36,7 +36,10 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // any failure invalidates the run: report total=-1 (a smaller-but-
+    // incomplete sum would read as a FASTER run to a total-only gate)
+    val failures = results.count(_._2 < 0)
+    val total = if (failures > 0) -1.0 else results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
+              // non-numeric env (e.g. SPARK_GRAFT_CPUS='*' for local[*]) → default 32
+              shufflePartitions: Int = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")

@@ -30,14 +30,16 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val rv = struct(rightValues.map(col): _*)
     // side 0 (right) sorts before side 1 (left) at equal times → `<=` holds;
-    // null-time right rows are dropped (they'd sort first and masquerade as
-    // earliest matches — `rightTime <= leftTime` is unknowable for null)
-    val taggedRight = right.filter(col(rightTime).isNotNull).select(
-      col(rightKey).as("__key"),
-      col(rightTime).cast("timestamp").as("__time"),
-      lit(0).as("__side"),
-      rightOrder.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__ord"),
-      rv.as("__rv"))
+    // null-time right rows are dropped AFTER the cast (an unparseable time
+    // string is as unmatchable as a null one — both would sort first and
+    // masquerade as earliest matches)
+    val taggedRight = right.select(
+        col(rightKey).as("__key"),
+        col(rightTime).cast("timestamp").as("__time"),
+        lit(0).as("__side"),
+        rightOrder.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__ord"),
+        rv.as("__rv"))
+      .filter(col("__time").isNotNull)
     val rvType = taggedRight.schema("__rv").dataType
     val taggedLeft = left.select(
       Seq(col(leftKey).as("__key"), col(leftTime).cast("timestamp").as("__time"),

@@ -82,19 +82,27 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     // deterministic seeds: nlist vectors with smallest hash(id)
-    var centroids = c.withColumn("__h", xxhash64(col("corpus_id")))
+    // Centroid tables are tiny (nlist × dim); pin each training round to the
+    // driver so the final plan doesn't embed the whole Lloyd lineage twice
+    // (once under the corpus assignment, once under the query probes) and
+    // re-train on every action.
+    def pinned(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    }
+    var centroids = pinned(c.withColumn("__h", xxhash64(col("corpus_id")))
       .orderBy(col("__h")).limit(nlist)
-      .select(monotonically_increasing_id().as("cell"), col("cv").as("centroid"))
+      .select(monotonically_increasing_id().as("cell"), col("cv").as("centroid")))
     var iter = 0
     while (iter < lloydIters) {
       val assigned = assignCells(c, centroids, 1)
-      centroids = assigned
+      centroids = pinned(assigned
         .select(col("cell"), posexplode(col("cv")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid")))
       iter += 1
     }
     val indexed = assignCells(c, centroids, 1) // corpus: home cell only

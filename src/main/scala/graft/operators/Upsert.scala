@@ -25,10 +25,17 @@ object Upsert {
     val keys = target.columns.filterNot(auditCols.contains).toSeq
     // Matched keys keep the TARGET row deterministically (MERGE's "UPDATE
     // SET *" writes identical data values; keeping target preserves its
-    // audit columns). Only genuinely-new rows come from source; their
-    // internal duplicates collapse arbitrarily — harmless, since rows equal
-    // on `keys` differ at most in audit columns.
-    val incoming = source.join(target, keys, "left_anti").dropDuplicates(keys)
+    // audit columns). Matching is NULL-SAFE (<=>): all-string bronze rows
+    // carry real nulls for empty CSV fields, and a plain equi-anti-join
+    // would re-insert such rows on every idempotent re-run. (Literal SQL
+    // MERGE shares that null blindness; the reference's intent — idempotent
+    // re-loads — requires nulls-equal matching, SURVEY §7.4 item 1.)
+    val s = source.alias("__s")
+    val t = target.alias("__t")
+    val cond = keys.map(k => col(s"__s.$k") <=> col(s"__t.$k")).reduce(_ && _)
+    val incoming = s.join(t, cond, "left_anti")
+      .select(source.columns.map(c => col(s"__s.$c")): _*)
+      .dropDuplicates(keys)
     target.unionByName(incoming, allowMissingColumns = true)
   }
 

@@ -115,7 +115,8 @@ object TextOps {
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.syntheticAssets(s, 600), everyMs = 10000)))
 
-  private val tokensSql = "list_filter(string_split(text, ' '), t -> t != '')"
+  // \s+ split matches TextFns.tokens (tabs/newlines are separators too)
+  private val tokensSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
 
   val oracle: Map[String, String] = Map(
     "qt01_token_stats" ->
@@ -124,7 +125,7 @@ object TextOps {
          | round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len($tokensSql), 6) AS mean_word_len
          |FROM documents""".stripMargin,
     "qt02_langid" -> {
-      val toks = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+      val toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
       def score(lang: String) =
         s"len(list_filter($toks, t -> t IN ${langProfilesSql(lang)}))"
       s"""WITH sc AS (SELECT doc_id, ${score("en")} AS s_en, ${score("es")} AS s_es,
@@ -149,7 +150,7 @@ object TextOps {
          | s AS (SELECT doc_id, n_tok, punct_ratio,
          |  CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END AS mwl,
          |  CASE WHEN n_tok = 0 THEN 0.0
-         |       ELSE len(list_filter(list_filter(string_split(lower(text), ' '), t -> t != ''),
+         |       ELSE len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != ''),
          |              w -> w IN $stopList))::DOUBLE / n_tok END AS stop_ratio
          | FROM t)
          |SELECT doc_id,
