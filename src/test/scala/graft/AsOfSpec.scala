@@ -25,6 +25,17 @@ class AsOfSpec extends SparkSpec {
       "t4" -> None, "t5" -> None))
   }
 
+  test("asofJoin ignores null and unparseable right times") {
+    val right = Seq(
+      (1L, null.asInstanceOf[String], 111.0),   // null time
+      (1L, "not a timestamp", 222.0),           // unparseable → null after cast
+      (1L, "2024-01-05 00:00:00", 50.0)).toDF("k", "rt", "v")
+    val left = Seq((1L, ts(3), "early"), (1L, ts(9), "late")).toDF("k", "lt", "id")
+    val got = AsOf.asofJoin(left, right, "k", "k", "lt", "rt", Seq("v"))
+      .select("id", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got === Map("early" -> None, "late" -> Some(50.0)))
+  }
+
   test("asofJoin tiebreak: highest rightOrder wins at equal (key, time)") {
     val right = Seq((1L, ts(1), 100.0, 1.0), (1L, ts(1), 200.0, 2.0)).toDF("k", "rt", "v", "ord")
     val left = Seq((1L, ts(2), "x")).toDF("k", "lt", "id")

@@ -32,6 +32,16 @@ class UpsertSpec extends SparkSpec {
     assert(got.count() === 4) // 3 original + 1 new, overlapping rows deduped
   }
 
+  test("allColumnsUpsert treats null fields as equal (idempotent re-load of null-bearing rows)") {
+    val t = Seq((1, Option("a"), Option(10.0)), (2, Option.empty[String], Option(20.0)),
+      (3, Option("c"), Option.empty[Double])).toDF("id", "name", "v")
+    // identical re-ship, including rows with nulls
+    val got = Upsert.allColumnsUpsert(t, t, auditCols = Nil)
+    assert(got.count() === 3, "null-bearing rows must not duplicate on re-load")
+    val twice = Upsert.allColumnsUpsert(got, t, auditCols = Nil)
+    assert(twice.count() === 3)
+  }
+
   test("mergeStaging folds N increments left-to-right (later staging wins)") {
     val s1 = Seq((1, "x", 1.0)).toDF("id", "name", "v")
     val s2 = Seq((1, "y", 2.0)).toDF("id", "name", "v")
