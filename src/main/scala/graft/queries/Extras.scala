@@ -201,6 +201,62 @@ object Extras {
           round(col("distance_km"), 3).as("dist_km"))
     }),
 
+    // Silver.population: 2nd-segment tipo, no CNAE filter — completes the
+    // INE trio under the oracle.
+    "q37_silver_population" -> ((s, d) => {
+      val n = T(s, d, "nation")
+      val poblacion = n.select(
+        concat(lit("P"), col("n_nationkey")).as("COD"),
+        concat(col("n_name"), lit(". Total. Población.")).as("Nombre"),
+        array(struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
+          (col("n_nationkey") * 1000).cast("double").as("Valor"))).as("Data"))
+      val municipios = n.filter(col("n_nationkey") % 3 =!= 1)
+        .select(col("n_nationkey").cast("string").as("Codigo"), upper(col("n_name")).as("Nombre"))
+      val relations = n.select(
+        lit("S").as("seccion_ine"), lit("D").as("distrito_ine"),
+        col("n_nationkey").cast("string").as("municipio_ine"),
+        when(col("n_nationkey") % 2 === 0, concat(lit("DM"), col("n_nationkey"))).as("distrito_mitma"),
+        concat(lit("MM"), col("n_nationkey")).as("municipio_mitma"),
+        lit(null).cast("string").as("gau_mitma"))
+      Silver.population(poblacion, municipios, relations)
+    }),
+
+    // Silver.overnights + Silver.peopleDay under the oracle: yyyyMMdd date
+    // parse, double casts, union tagging, critical-field null drop.
+    "q38_silver_overnights" -> ((s, d) => {
+      val li = T(s, d, "lineitem").limit(5000)
+      val branch = li.select(
+        date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
+        when(col("l_linenumber") === 7, lit(null).cast("string"))
+          .otherwise(col("l_suppkey").cast("string")).as("zona_residencia"),
+        col("l_partkey").cast("string").as("zona_pernoctacion"),
+        col("l_quantity").cast("string").as("personas"))
+      Silver.overnights(Map("distrito" -> branch, "municipio" -> branch))
+    }),
+    "q39_silver_people_day" -> ((s, d) => {
+      val li = T(s, d, "lineitem").limit(5000)
+      val branch = li.select(
+        date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
+        col("l_suppkey").cast("string").as("zona_pernoctacion"),
+        lit("25-45").as("edad"),
+        when(col("l_linenumber") % 2 === 0, "M").otherwise("F").as("sexo"),
+        when(col("l_quantity") > 40, "2+").otherwise(col("l_linenumber").cast("string")).as("numero_viajes"),
+        col("l_extendedprice").cast("string").as("personas"))
+      Silver.peopleDay(Map("gau" -> branch))
+    }),
+
+    // Silver.holidays under the oracle: nationwide filter + 1-based first
+    // element of the name list + its text field.
+    "q40_silver_holidays" -> ((s, d) => {
+      val raw = T(s, d, "nation").select(
+        concat(lit("2024-01-"), lpad((col("n_nationkey") % 28 + 1).cast("string"), 2, "0")).as("startDate"),
+        array(
+          struct(lit("ES").as("language"), concat(lit("Fiesta "), col("n_name")).as("text")),
+          struct(lit("EN").as("language"), concat(lit("Holiday "), col("n_name")).as("text"))).as("name"),
+        (col("n_nationkey") % 3 =!= 0).as("nationwide"))
+      Silver.holidays(raw)
+    }),
+
     // Statistical aggregates (stddev/variance/correlation/covariance).
     "q34_stats" -> ((s, d) => {
       T(s, d, "lineitem")
@@ -356,6 +412,64 @@ object Extras {
         |SELECT * FROM enriched
         |WHERE datetime IS NOT NULL AND origin_id IS NOT NULL AND destination_id IS NOT NULL
         |  AND n_trips IS NOT NULL AND km_trips IS NOT NULL AND distance IS NOT NULL""".stripMargin,
+    "q37_silver_population" ->
+      """WITH poblacion AS (SELECT 'P' || n_nationkey AS COD,
+        |   n_name || '. Total. Población.' AS Nombre,
+        |   [{'Fecha': n_nationkey::BIGINT * 86400000,
+        |     'Valor': (n_nationkey * 1000)::DOUBLE}] AS Data
+        |  FROM nation),
+        | municipios AS (SELECT n_nationkey::VARCHAR AS Codigo, upper(n_name) AS Nombre
+        |  FROM nation WHERE n_nationkey % 3 != 1),
+        | relations AS (SELECT n_nationkey::VARCHAR AS municipio_ine,
+        |   CASE WHEN n_nationkey % 2 = 0 THEN 'DM' || n_nationkey END AS distrito_mitma,
+        |   'MM' || n_nationkey AS municipio_mitma, NULL::VARCHAR AS gau_mitma FROM nation),
+        | flat AS (SELECT p.COD,
+        |   (epoch_ms(CAST(item.Fecha AS BIGINT))::DATE + INTERVAL 1 DAY)::DATE AS fecha,
+        |   coalesce(nullif(trim(split_part(p.Nombre, '.', 1)), ''), p.Nombre) AS nombre,
+        |   lower(trim(split_part(p.Nombre, '.', 2))) AS tipo,
+        |   CAST(item.Valor AS DOUBLE) AS valor
+        |  FROM poblacion p, UNNEST(p.Data) AS t(item)
+        |  WHERE p.Data IS NOT NULL AND len(p.Data) > 0),
+        | joined AS (SELECT m.Codigo AS codigo_ine, f.COD, f.fecha, f.nombre, f.tipo, f.valor,
+        |   r.distrito_mitma, r.municipio_mitma, r.gau_mitma
+        |  FROM flat f LEFT JOIN municipios m ON lower(f.nombre) = lower(m.Nombre)
+        |  LEFT JOIN relations r ON m.Codigo = r.municipio_ine
+        |  WHERE (r.distrito_mitma IS NOT NULL OR r.municipio_mitma IS NOT NULL OR r.gau_mitma IS NOT NULL)),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY COD ORDER BY
+        |   codigo_ine ASC NULLS FIRST, fecha ASC NULLS FIRST, nombre ASC NULLS FIRST,
+        |   tipo ASC NULLS FIRST, valor ASC NULLS FIRST, distrito_mitma ASC NULLS FIRST,
+        |   municipio_mitma ASC NULLS FIRST, gau_mitma ASC NULLS FIRST) AS rn FROM joined)
+        |SELECT codigo_ine, fecha, nombre, tipo, valor, distrito_mitma, municipio_mitma, gau_mitma
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q38_silver_overnights" ->
+      """WITH li AS (SELECT * FROM lineitem LIMIT 5000),
+        | branch AS (SELECT strftime(l_shipdate, '%Y%m%d') AS fecha,
+        |   CASE WHEN l_linenumber = 7 THEN NULL ELSE l_suppkey::VARCHAR END AS zona_residencia,
+        |   l_partkey::VARCHAR AS zona_pernoctacion,
+        |   l_quantity::VARCHAR AS personas
+        |  FROM li),
+        | base AS (
+        |  SELECT 'distrito' AS zone_level, strptime(fecha, '%Y%m%d')::DATE AS date,
+        |    zona_pernoctacion AS overnight_zone, zona_residencia AS residence_zone,
+        |    CAST(personas AS DOUBLE) AS people FROM branch
+        |  UNION ALL
+        |  SELECT 'municipio', strptime(fecha, '%Y%m%d')::DATE,
+        |    zona_pernoctacion, zona_residencia, CAST(personas AS DOUBLE) FROM branch)
+        |SELECT * FROM base
+        |WHERE date IS NOT NULL AND overnight_zone IS NOT NULL
+        |  AND residence_zone IS NOT NULL AND people IS NOT NULL""".stripMargin,
+    "q39_silver_people_day" ->
+      """WITH li AS (SELECT * FROM lineitem LIMIT 5000)
+        |SELECT 'gau' AS zone_level, strptime(strftime(l_shipdate, '%Y%m%d'), '%Y%m%d')::DATE AS date,
+        | l_suppkey::VARCHAR AS overnight_zone, '25-45' AS age,
+        | CASE WHEN l_linenumber % 2 = 0 THEN 'M' ELSE 'F' END AS sex,
+        | CASE WHEN l_quantity > 40 THEN '2+' ELSE l_linenumber::VARCHAR END AS n_trips,
+        | CAST(l_extendedprice::VARCHAR AS DOUBLE) AS people
+        |FROM li""".stripMargin,
+    "q40_silver_holidays" ->
+      """SELECT ('2024-01-' || lpad((n_nationkey % 28 + 1)::VARCHAR, 2, '0'))::DATE AS date,
+        | ('Fiesta ' || n_name) AS name
+        |FROM nation WHERE n_nationkey % 3 != 0""".stripMargin,
     "q36_silver_income" ->
       """WITH renta AS (SELECT 'R' || n_nationkey AS COD,
         |   n_name || CASE WHEN n_nationkey % 4 = 0 THEN ' distrito 01. Total. Renta neta media por persona.'
