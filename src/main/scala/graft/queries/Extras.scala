@@ -108,6 +108,26 @@ object Extras {
         .agg(round(sum(col("o_totalprice")), 2))
     }),
 
+    // Window-function breadth: rank/dense_rank with ties, lag/lead, ntile,
+    // running sum over an explicit frame.
+    "q41_window_family" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "customer")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+        .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("running_bal", round(sum(col("c_acctbal")).over(frame), 2))
+        .filter(col("rnk") <= 10)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          col("rnk"), col("drnk"), col("prev_bal"), col("next_bal"),
+          col("quartile"), col("running_bal"))
+    }),
+
     // J7: FULL OUTER equi-join with coalesced key.
     "q30_outer_join" -> ((s, d) => {
       val a = T(s, d, "nation").filter(col("n_nationkey") >= 5)
@@ -362,6 +382,19 @@ object Extras {
         | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
         | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
         |FROM orders GROUP BY 1""".stripMargin,
+    "q41_window_family" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        | rank() OVER w::BIGINT AS rnk,
+        | dense_rank() OVER w::BIGINT AS drnk,
+        | lag(c_acctbal, 1) OVER w AS prev_bal,
+        | lead(c_acctbal, 1) OVER w AS next_bal,
+        | ntile(4) OVER w::BIGINT AS quartile,
+        | round(sum(c_acctbal) OVER (PARTITION BY c_nationkey
+        |   ORDER BY c_acctbal DESC, c_custkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |QUALIFY rank() OVER w <= 10""".stripMargin,
     "q30_outer_join" ->
       """SELECT coalesce(a.id, b.c_nationkey) AS nation_id, a.n_name, b.n_cust
         |FROM (SELECT n_nationkey AS id, n_name FROM nation WHERE n_nationkey >= 5) a
