@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import graft.operators.Dedup
 
@@ -32,5 +34,36 @@ object ExprImpl {
       b += 1
     }
     out
+  }
+
+  /** Sign-random-projection LSH bucket of a float vector: one bit per
+    * hyperplane (dot ≥ 0), planes bits → long bucket id.
+    *
+    * Plane component (plane p, dim i) replicates the Column formulation
+    * `pmod(xxhash64(lit(p), i), 2000001)/1e6 - 1` bit-for-bit — Spark's
+    * XxHash64 expression chains `XXH64.hashInt(child, seed)` over children
+    * with seed 42, so the same statics give identical buckets (differential
+    * test in ExpressionsSpec). Single pass per plane with the per-plane seed
+    * hoisted; the equivalent expression tree evaluates planes×tables array
+    * `aggregate`s per row with a fresh two-arg hash per element.
+    */
+  def lshBucket(vec: ArrayData, planes: Int, family: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val planeSeed = XXH64.hashInt(family * 10007 + p, 42L)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(i, planeSeed)
+        val m = ((h % 2000001L) + 2000001L) % 2000001L
+        dot += vec.getFloat(i).toDouble * (m.toDouble / 1000000.0 - 1.0)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
   }
 }

@@ -32,6 +32,23 @@ object Expressions {
     override def prettyName: String = "graft_fnv1a64"
   }
 
+  /** lsh_bucket(array<float>, planes, family) → long, with full whole-stage
+    * codegen: the single-pass primitive-loop form of the sign-LSH bucket id
+    * (see ExprImpl.lshBucket). `planes`/`family` are plan-time parameters,
+    * not child expressions — they select the hyperplane set, never vary per
+    * row, and baking them into the generated call keeps the hot loop free
+    * of per-row argument evaluation.
+    */
+  case class LshBucket(child: Expression, planes: Int, family: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.lshBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, family)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.lshBucket($c, $planes, $family)")
+    override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+    override def prettyName: String = "graft_lsh_bucket"
+  }
+
   /** simhash64(string) → long, with full whole-stage codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -68,4 +85,6 @@ object Expressions {
   def fnv1a64(c: Column): Column = wrap(Fnv1a64(unwrap(c)))
   def simhash64(c: Column): Column = wrap(SimHash64(unwrap(c)))
   def wktCentroid(c: Column): Column = wrap(WktCentroid(unwrap(c)))
+  def lshBucket(c: Column, planes: Int, family: Int): Column =
+    wrap(LshBucket(unwrap(c), planes, family))
 }

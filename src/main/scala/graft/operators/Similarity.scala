@@ -28,14 +28,20 @@ object Similarity {
   }
 
   /** Exact brute-force top-k cosine neighbors for every vector of `queries`
-    * against `corpus`. Self-pairs excluded when ids collide. The corpus side
-    * should be the big one; Spark broadcasts `queries` when small.
+    * against `corpus`. Self-pairs excluded when ids collide.
+    *
+    * Contract: `queries` must be the SMALL side — the `=!=` theta join is a
+    * nested-loop product, and the explicit `broadcast` hint pins it to a
+    * BroadcastNestedLoopJoin that streams the corpus exactly once with no
+    * shuffle on it (plan-gated in PlanSpec). A large query side belongs in
+    * `lshTopK`/`ivfTopK`; this is the exact baseline those are measured
+    * against.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = q.join(c, col("query_id") =!= col("corpus_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
@@ -44,6 +50,21 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
   }
 
+  /** Sign-random-projection LSH bucket id: `planes` hyperplanes → one bit
+    * each (dot ≥ 0) → integer bucket. Vectors in the same bucket are
+    * cosine-similar with probability rising in their angle. `family` selects
+    * an independent hyperplane set (one per hash table).
+    *
+    * Production path is the native codegen'd expression — one pass per plane
+    * with the plane seed hoisted out of the dim loop. The Column formulation
+    * below (`lshBucketColumns`) evaluates planes×tables array `aggregate`s
+    * per row, each re-hashing (plane, dim) per element — measured 32% of
+    * total bench time at sf0.1; it stays as the bit-identical differential
+    * baseline (ExpressionsSpec).
+    */
+  def lshBucket(vec: Column, planes: Int, family: Int = 0): Column =
+    graft.functions.Expressions.lshBucket(vec, planes, family)
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed hash mapped to [-1, 1]. Reproducible across engines/runs
     * without a random number generator.
@@ -51,12 +72,10 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / 1000000.0) - 1.0
 
-  /** Sign-random-projection LSH bucket id: `planes` hyperplanes → one bit
-    * each (dot ≥ 0) → integer bucket. Vectors in the same bucket are
-    * cosine-similar with probability rising in their angle. `family` selects
-    * an independent hyperplane set (one per hash table).
+  /** Column-expression formulation of `lshBucket` — same bits, kept only as
+    * an independent implementation for differential testing.
     */
-  def lshBucket(vec: Column, planes: Int, family: Int = 0): Column = {
+  private[graft] def lshBucketColumns(vec: Column, planes: Int, family: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
         (v, i) => v.cast("double") * planeComponent(family * 10007 + p, i)),
@@ -81,57 +100,82 @@ object Similarity {
               nlist: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    // deterministic seeds: nlist vectors with smallest hash(id)
-    // Centroid tables are tiny (nlist × dim); pin each training round to the
-    // driver so the final plan doesn't embed the whole Lloyd lineage twice
-    // (once under the corpus assignment, once under the query probes) and
-    // re-train on every action.
-    def pinned(df: DataFrame): DataFrame = {
-      val spark = df.sparkSession
-      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-    }
-    var centroids = pinned(c.withColumn("__h", xxhash64(col("corpus_id")))
-      .orderBy(col("__h")).limit(nlist)
-      .select(monotonically_increasing_id().as("cell"), col("cv").as("centroid")))
-    var iter = 0
-    while (iter < lloydIters) {
-      val assigned = assignCells(c, centroids, 1)
-      centroids = pinned(assigned
-        .select(col("cell"), posexplode(col("cv")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid")))
-      iter += 1
-    }
-    val indexed = assignCells(c, centroids, 1) // corpus: home cell only
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = assignCells(q.withColumnRenamed("query_id", "corpus_id")
-        .withColumnRenamed("qv", "cv"), centroids, nProbe)
-      .select(col("corpus_id").as("query_id"), col("cv").as("qv"), col("cell"))
-    val scored = probes.join(indexed, Seq("cell"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv")).distinct()
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+    // Training re-scans the projection 1 + lloydIters times (seed pick +
+    // one mean pass per iteration) — cache it for the duration of training
+    // and release before returning. At 100 TB the training input would be a
+    // corpus sample; the cached two-column projection plays that role here.
+    val train = c.persist()
+    try {
+      // deterministic seeds: the nlist vectors with smallest hash(id); cell
+      // id = position in the centroid array
+      var centroids: Array[Array[Float]] =
+        train.withColumn("__h", xxhash64(col("corpus_id")))
+          .orderBy(col("__h")).limit(nlist)
+          .select(col("cv")).collect()
+          .map(_.getSeq[Float](0).toArray)
+      var iter = 0
+      while (iter < lloydIters) {
+        // assignment is a narrow per-row scalar (no crossJoin + window
+        // shuffle per pass); the only shuffle is the per-dim mean aggregate
+        val means = train
+          .withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
+          .select(col("cell"), posexplode(col("cv")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+          .collect()
+        val next = centroids.clone() // empty cells keep their old centroid
+        means.foreach(r => next(r.getInt(0)) = r.getSeq[Float](1).toArray)
+        centroids = next
+        iter += 1
+      }
+      // Index + probe: the (nlist × dim) centroid table rides inside the
+      // scalar's closure (tiny, task-broadcast); corpus rows get exactly one
+      // home cell and each query probes nProbe distinct cells, so a
+      // (query, corpus) candidate materializes at most once — no dedup pass.
+      val indexed = c.withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val probes = q.withColumn("cell", explode(nearestCells(centroids, nProbe)(col("qv"))))
+      val scored = probes.join(indexed, Seq("cell"))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("corpus_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+    } finally train.unpersist()
   }
 
-  /** Attach the `take` nearest cells (by cosine to centroid) to each vector
-    * row of (corpus_id, cv). Centroid table is tiny → broadcast join.
+  /** Cosine of a row vector against a driver-side centroid — primitive loop,
+    * same left-to-right accumulation order as the `cosine` Column form.
     */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame, take: Int): DataFrame = {
-    val joined = vecs.crossJoin(broadcast(centroids))
-      .withColumn("__d", cosine(col("cv"), col("centroid")))
-    val w = Window.partitionBy(col("corpus_id")).orderBy(col("__d").desc, col("cell").asc)
-    joined.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= take)
-      .select(vecs.columns.map(col) :+ col("cell"): _*)
+  private def cosineToCentroid(a: Seq[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Scalar returning the `take` nearest cell ids (cosine desc, cell asc
+    * tiebreak) for a vector against the captured centroid array. A scalar
+    * UDF on purpose: the per-row work is an nlist×dim primitive float loop,
+    * where a Column formulation would compile nlist array-`aggregate`
+    * expressions per row (the measured qt09/qt10 bench tail of round 1).
+    */
+  private def nearestCells(centroids: Array[Array[Float]], take: Int) =
+    udf { (v: Seq[Float]) =>
+      val sims = Array.tabulate(centroids.length)(i => cosineToCentroid(v, centroids(i)))
+      Array.tabulate(centroids.length)(identity)
+        .sortBy(i => (-sims(i), i))
+        .take(take)
+    }
 
   /** Approximate top-k: bucket corpus and queries with `planes`-bit LSH
     * (optionally multiple tables via `tables` different plane offsets),

@@ -49,6 +49,20 @@ class ExpressionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("native LshBucket is bit-identical to the Column formulation on fixture embeddings") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val both = e.select(
+      graft.operators.Similarity.lshBucket($"embedding", planes = 12, family = 3).as("native"),
+      graft.operators.Similarity.lshBucketColumns($"embedding", planes = 12, family = 3).as("viaCols"))
+    assert(both.filter($"native" =!= $"viaCols").count() === 0)
+    // and it compiles inside whole-stage codegen (no silent interpreter fallback)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(e.select(graft.operators.Similarity.lshBucket($"embedding", 6, 0)).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native wktCentroid equals the UDF path on polygons with holes") {
     val wkt = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (0 0, 2 0, 2 2, 0 2, 0 0))"
     val native = Seq(wkt).toDF("w").select(Expressions.wktCentroid($"w").as("c"))

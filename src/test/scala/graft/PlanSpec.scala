@@ -48,6 +48,20 @@ class PlanSpec extends SparkSpec {
       s"pair generation degenerated:\n$p")
   }
 
+  test("bruteForceTopK broadcasts the query side; corpus streams with no shuffle before the join") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 3)
+    // AQE's toString appends "== Initial Plan ==" after the final plan —
+    // only the final plan is under test
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    // the only Exchange allowed is the window's partitioning on query_id,
+    // downstream of the join — the corpus side must reach the join unshuffled
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the join:\n$p")
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.overwrite(Tables.table(spark, sf, "customer"), dir, partitionBy = Seq("c_mktsegment"))
