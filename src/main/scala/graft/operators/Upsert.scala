@@ -43,10 +43,19 @@ object Upsert {
     * SET *`), unmatched target rows survive, unmatched source rows insert.
     *   result = source ∪ (target ⟕anti source on keys)
     * One shuffle (or zero, if the source increment broadcasts).
-    * Idempotent: upsert(upsert(t, s), s) == upsert(t, s).
+    * Idempotent: upsert(upsert(t, s), s) == upsert(t, s) — including null
+    * keys: matching is null-safe (`<=>`) like `allColumnsUpsert`, because a
+    * plain equi-anti-join never matches a null key, so a null-keyed source
+    * row would re-insert on every re-run.
     */
-  def keyedUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
-    source.unionByName(target.join(source, keys, "left_anti"))
+  def keyedUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.alias("__t")
+    val s = source.alias("__s")
+    val cond = keys.map(k => col(s"__t.$k") <=> col(s"__s.$k")).reduce(_ && _)
+    val survivors = t.join(s, cond, "left_anti")
+      .select(target.columns.map(c => col(s"__t.$c")): _*)
+    source.unionByName(survivors)
+  }
 
   /** S12: consolidate N staging increments into a target (bronze/utils.py:718-793). */
   def mergeStaging(target: DataFrame, stagings: Seq[DataFrame], keys: Seq[String]): DataFrame =

@@ -97,13 +97,17 @@ object Streams {
   }
 
   /** Streaming exact dedup on a content key within the watermark horizon —
-    * the streaming twin of Dedup.exactByFingerprint. `dropDuplicates` keeps
-    * per-key state; the watermark bounds it.
+    * the streaming twin of Dedup.exactByFingerprint: any later row with the
+    * same key is dropped while the first occurrence is inside the watermark,
+    * regardless of its timestamp. `dropDuplicatesWithinWatermark` keys state
+    * on `keyCols` alone and evicts entries once they age past the watermark
+    * — bounded state without `ts` leaking into the dedup key (keying on
+    * (key, ts) would only drop identical-timestamp duplicates).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Micro-batch upsert sink: maintains a keyed parquet snapshot by applying
     * Upsert.keyedUpsert per micro-batch (foreachBatch) — the streaming
@@ -111,7 +115,13 @@ object Streams {
     */
   def upsertSink(batch: DataFrame, batchId: Long, targetPath: String, keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val target = scala.util.Try(spark.read.parquet(targetPath)).getOrElse(batch.limit(0))
+    // Absent target = first batch. Only genuine absence may start a fresh
+    // snapshot — a transient read failure (IO error, concurrent swap) must
+    // propagate, or the sink would silently rebuild state from this batch
+    // alone and lose everything merged before it.
+    val path = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = if (fs.exists(path)) spark.read.parquet(targetPath) else batch.limit(0)
     val merged = graft.operators.Upsert.keyedUpsert(target, batch, keys)
     // write to tmp then swap would be the production move; overwrite is fine
     // for the local harness (parquet committer handles atomicity per dir)

@@ -42,6 +42,19 @@ class UpsertPropertySpec extends SparkSpec {
     }
   }
 
+  test("keyedUpsert is idempotent and source-wins on null keys (null-safe matching)") {
+    val t = Seq((Some(1), "a", 1), (None, "b", 2), (Some(3), "c", 3))
+      .toDF("k", "s", "v")
+    val s = Seq((Some(1), "a2", 10), (None, "b2", 20)).toDF("k", "s", "v")
+    def rows(d: DataFrame) =
+      d.as[(Option[Int], String, Int)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val once = Upsert.keyedUpsert(t, s, Seq("k"))
+    // null key matches null key: target's null-key row is replaced, not kept
+    assert(rows(once) === Seq((None, "b2", 20), (Some(1), "a2", 10), (Some(3), "c", 3)))
+    val twice = Upsert.keyedUpsert(once, s, Seq("k"))
+    assert(rows(twice) === rows(once))
+  }
+
   test("keyedUpsert: source rows verbatim; target rows survive iff key unmatched") {
     cases(10).foreach { case (t, sRaw) =>
       val s = sRaw.distinctBy(_._1)
