@@ -8,12 +8,72 @@ import graft.operators.{Dedup, Similarity}
 
 /** Training-data-pipeline query catalog over `documents` / `embeddings`:
   * text statistics, language ID, quality scoring, fingerprinting, exact +
-  * near dedup, vector similarity. SQL-expressible ops carry a DuckDB oracle;
-  * hash-family ops (MinHash/SimHash/LSH use xxhash64, which DuckDB lacks)
-  * are declared without an oracle → driver's rows-only check, with ScalaTest
-  * cross-checks against the exact variants instead.
+  * near dedup, vector similarity. SQL-expressible ops carry a DuckDB oracle —
+  * including the fnv1a64/splitmix64 hash family (MinHash, SimHash), which
+  * `HashSql` re-derives in pure DuckDB SQL over UBIGINT. Only ops whose
+  * output depends on Spark-internal hashes with no SQL twin (sign-LSH /
+  * IVF ANN: approximate by design, recall recorded via qt09r/qt10r) or on
+  * estimator internals (HLL) stay rows-only, cross-checked in ScalaTest.
   */
 object TextOps {
+
+  /** DuckDB-SQL fragments reproducing graft's 64-bit hash family
+    * (Dedup.fnv1a64, the splitmix64 `mix64` finalizer) bit-exactly. All
+    * arithmetic runs in UBIGINT with 32-bit-split multiplication because
+    * DuckDB raises on 64-bit overflow instead of wrapping. Generated
+    * fragments reference their argument several times, so every `a` must be
+    * a cheap reference (column, lambda variable, literal) — larger
+    * intermediates are staged through lateral column aliases instead.
+    */
+  private object HashSql {
+    private val U = "::UBIGINT"
+    private val B32 = "4294967296"
+    private def hex(s: String) = BigInt(s, 16)
+
+    /** (a * const) mod 2^64: split both into 32-bit halves; the low product
+      * fits UBIGINT, the cross terms are reduced mod 2^32 before recombining.
+      */
+    private def mulConst(a: String, const: BigInt): String = {
+      val b0 = const % BigInt(B32); val b1 = const / BigInt(B32)
+      val a0 = s"(($a)%$B32$U)"; val a1 = s"(($a)//$B32$U)"
+      val m = s"(($a1*$b0$U%$B32$U + $a0*$b1$U%$B32$U)%$B32$U)"
+      val x = s"($a0*$b0$U)"
+      s"($x%$B32$U + ($x//$B32$U + $m)%$B32$U*$B32$U)"
+    }
+
+    /** (a + const) mod 2^64 without intermediate overflow: subtract the
+      * two's-complement threshold instead of adding past 2^64.
+      */
+    private def addConst(a: String, const: BigInt): String = {
+      val t = (BigInt(1) << 64) - const
+      s"(CASE WHEN ($a) >= $t$U THEN ($a) - $t$U ELSE ($a) + $const$U END)"
+    }
+
+    /** fnv1a64 over a string's UTF-16 code units (fixture text is BMP-only,
+      * where DuckDB's code points coincide), folded with list_reduce.
+      */
+    def fnv(tok: String): String =
+      s"list_reduce(list_prepend(14695981039346656037$U, " +
+        s"list_transform(regexp_split_to_array($tok, ''), c -> unicode(c)$U)), " +
+        s"(h, c) -> ${mulConst("xor(h, c)", hex("100000001b3"))})"
+
+    /** splitmix64 finalizer staged through lateral aliases z0..z2; emit
+      * these four columns in a SELECT, then read `m` downstream.
+      */
+    def mixCols(zIn: String): String =
+      s"${addConst(zIn, hex("9E3779B97F4A7C15"))} AS z0, " +
+        s"${mulConst("xor(z0, z0 >> 30)", hex("BF58476D1CE4E5B9"))} AS z1, " +
+        s"${mulConst("xor(z1, z1 >> 27)", hex("94D049BB133111EB"))} AS z2, " +
+        "xor(z2, z2 >> 31) AS m"
+
+    /** hash-family member seed: (i * 0xC2B2AE3D27D4EB4F) mod 2^64. */
+    def familySeed(i: String): String = mulConst(i, hex("C2B2AE3D27D4EB4F"))
+
+    /** UBIGINT → the BIGINT with the same 64 bits (Scala Long semantics). */
+    def toSigned(a: String): String =
+      s"(CASE WHEN $a >= 9223372036854775808$U " +
+        s"THEN (($a)::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT ELSE ($a)::BIGINT END)"
+  }
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
@@ -70,14 +130,18 @@ object TextOps {
       Dedup.ngramJaccardPairsIndexed(T(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.15, blockCols = Seq("lang"))),
 
-    // MinHash + LSH banding near-dup candidates (no oracle: xxhash64 family).
+    // MinHash + LSH banding near-dup candidates. Oracled: the banding
+    // bucket hash (xxhash64 of the signature slice) only GROUPS — the
+    // DuckDB twin groups on the slice values themselves, which is the same
+    // partition up to a 2^-64 hash collision; signatures come from HashSql.
     "qt06_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.15)),
 
-    // SimHash hamming-distance near-dups (no oracle: xxhash64 family).
+    // SimHash hamming-distance near-dups (oracled via HashSql).
     "qt07_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)),
+      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)
+        .withColumn("dist", col("dist").cast("long"))),
 
     // Brute-force cosine top-5 neighbors for the first 20 vectors.
     "qt08_cosine_topk" -> ((s, d) => {
@@ -102,6 +166,42 @@ object TextOps {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4,
         lloydIters = 1)
         .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // ANN recall vs the exact baseline, recorded by the driver each round
+    // (rows-only: the recall VALUE is in the dumped parquet). Two operating
+    // points each: the economical qt09/qt10 setting, and a generous budget
+    // showing the recall/cost curve — fixture embeddings are near-random
+    // (top-5 cosine ≈ 0.32), the adversarial case for any ANN index, so the
+    // economical recall here is a floor, not what clustered real-world
+    // embeddings would give.
+    "qt09r_lsh_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5).select("query_id", "corpus_id")
+      def recallAt(planes: Int, tables: Int): DataFrame = {
+        val approx = Similarity.lshTopK(e, q, k = 5, planes = planes, tables = tables)
+          .select(col("query_id"), col("corpus_id")).withColumn("__hit", lit(1))
+        exact.join(approx, Seq("query_id", "corpus_id"), "left")
+          .agg(round(avg(when(col("__hit").isNotNull, 1.0).otherwise(0.0)), 4).as("recall_vs_brute"))
+          .select(lit(planes).as("planes"), lit(tables).as("tables"), lit(5L).as("k"),
+            col("recall_vs_brute"))
+      }
+      recallAt(6, 4).unionByName(recallAt(3, 12))
+    }),
+    "qt10r_ivf_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5).select("query_id", "corpus_id")
+      def recallAt(nlist: Int, nProbe: Int): DataFrame = {
+        val approx = Similarity.ivfTopK(e, q, k = 5, nlist = nlist, nProbe = nProbe, lloydIters = 1)
+          .select(col("query_id"), col("corpus_id")).withColumn("__hit", lit(1))
+        exact.join(approx, Seq("query_id", "corpus_id"), "left")
+          .agg(round(avg(when(col("__hit").isNotNull, 1.0).otherwise(0.0)), 4).as("recall_vs_brute"))
+          .select(lit(nlist).as("nlist"), lit(nProbe).as("n_probe"), lit(5L).as("k"),
+            col("recall_vs_brute"))
+      }
+      recallAt(16, 4).unionByName(recallAt(16, 14))
     }),
 
     // Multimodal plumbing over deterministic synthetic assets (no fixture
@@ -170,7 +270,8 @@ object TextOps {
     "qt05_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
          | sh AS (SELECT doc_id, lang,
-         |   CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |   CASE WHEN len(ts) = 0 THEN []
+         |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
          |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
          |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
          |  FROM toks),
@@ -183,6 +284,53 @@ object TextOps {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
          |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.15""".stripMargin,
+    "qt07_simhash" -> {
+      val ltoks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+      s"""WITH posts AS (SELECT doc_id, unnest($ltoks) AS tok FROM documents),
+         | th AS (SELECT doc_id, ${HashSql.fnv("tok")} AS h FROM posts),
+         | bits AS (SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS vote
+         |   FROM th, (SELECT unnest(range(64)) AS b) t(b) GROUP BY doc_id, b),
+         | agg AS (SELECT doc_id,
+         |    sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)::UBIGINT AS hu
+         |   FROM bits GROUP BY doc_id),
+         | -- zero-token docs have no posts rows but simhash 0 (all votes 0)
+         | sh AS (SELECT d.doc_id, coalesce(a.hu, 0::UBIGINT) AS hu
+         |   FROM documents d LEFT JOIN agg a USING (doc_id)),
+         | chunks AS (SELECT doc_id, hu, c, (hu >> (c*16)::UBIGINT) & 65535::UBIGINT AS key
+         |   FROM sh, (SELECT unnest(range(4)) AS c) t(c)),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hu AS ha, b.hu AS hb
+         |   FROM chunks a JOIN chunks b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS dist
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+    },
+    "qt06_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         | shl AS (SELECT doc_id,
+         |   CASE WHEN len(ts) = 0 THEN []
+         |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+         |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
+         |  FROM toks),
+         | sized AS (SELECT doc_id, sh, len(sh) AS n FROM shl WHERE len(sh) > 0),
+         | posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sized),
+         | th AS (SELECT doc_id, ${HashSql.fnv("shingle")} AS h FROM posts),
+         | hi AS (SELECT doc_id, i0, xor(h, ${HashSql.familySeed("i0")}) AS s0
+         |   FROM th, (SELECT unnest(range(16))::UBIGINT AS i0) t(i0)),
+         | mx AS (SELECT doc_id, i0, ${HashSql.mixCols("s0")} FROM hi),
+         | ms AS (SELECT doc_id, i0, ${HashSql.toSigned("m")} AS msig FROM mx),
+         | sig AS (SELECT doc_id, i0, min(msig) AS v FROM ms GROUP BY 1, 2),
+         | -- bucket key: the signature slice itself (Spark hashes it; equal
+         | -- slices <=> equal buckets up to a 2^-64 collision)
+         | bands AS (SELECT doc_id, i0 // 2 AS band, string_agg(v, ',' ORDER BY i0) AS key
+         |   FROM sig GROUP BY 1, 2),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         | pair AS (SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter,
+         |     sa.n + sb.n AS ns
+         |   FROM cand JOIN sized sa ON sa.doc_id = id_a JOIN sized sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, round(inter / (ns - inter), 6) AS jaccard
+         |FROM pair WHERE round(inter / (ns - inter), 6) >= 0.15""".stripMargin,
     "qt08_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         | c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
