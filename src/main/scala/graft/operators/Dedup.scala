@@ -81,16 +81,52 @@ object Dedup {
     *   jaccard from carried set sizes.
     * The only shuffles are the shingle-key join and the (id_a, id_b)
     * aggregation; cost scales with Σ(docs-per-shingle)², not n².
+    *
+    * `maxShingleDf` / `maxShingleDfFrac` cap the shingle document frequency
+    * (absolute count / fraction of the block's documents; both given → the
+    * larger wins): shingles above the cap are dropped from the shingle SETS,
+    * and Jaccard is computed over the surviving shingle space — the standard
+    * production-dedup bound on posting-list length, since a shingle shared
+    * by x% of a 100 TB corpus contributes df² join rows while carrying no
+    * near-duplicate signal. Off by default (exact semantics).
     */
   def ngramJaccardPairsIndexed(df: DataFrame, idCol: String, textCol: String,
                                n: Int, threshold: Double,
-                               blockCols: Seq[String] = Nil): DataFrame = {
+                               blockCols: Seq[String] = Nil,
+                               maxShingleDf: Option[Long] = None,
+                               maxShingleDfFrac: Option[Double] = None): DataFrame = {
     val sized = df.select(Seq(col(idCol)) ++ blockCols.map(col) :+
         wordShingles(col(textCol), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
-    val posts = sized.select(Seq(col(idCol)) ++ blockCols.map(col) :+
+    val rawPosts = sized.select(Seq(col(idCol)) ++ blockCols.map(col) :+
       col("n_sh") :+ explode(col("sh")).as("shingle"): _*)
+    val posts =
+      if (maxShingleDf.isEmpty && maxShingleDfFrac.isEmpty) rawPosts
+      else {
+        // df per (block, shingle): one count per posting (shingle sets are
+        // distinct within a doc). The per-block doc total rides along via a
+        // broadcast join so the fraction cap needs no driver-side action.
+        val dfc = rawPosts.groupBy((blockCols :+ "shingle").map(col): _*)
+          .agg(count(lit(1)).as("__df"))
+        val totals = sized.groupBy(blockCols.map(col): _*)
+          .agg(count(lit(1)).as("__ndocs"))
+        val withTotals =
+          if (blockCols.isEmpty) dfc.crossJoin(broadcast(totals))
+          else dfc.join(broadcast(totals), blockCols)
+        val capExpr = (maxShingleDf.map(v => lit(v.toDouble)).toSeq ++
+          maxShingleDfFrac.map(f => lit(f) * col("__ndocs")).toSeq) match {
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+        val kept = withTotals.filter(col("__df") <= capExpr)
+          .select((blockCols :+ "shingle").map(col): _*)
+        val filtered = rawPosts.join(kept, Seq("shingle") ++ blockCols, "left_semi")
+        // set sizes must reflect the SURVIVING shingle space (docs whose
+        // shingles are all capped disappear — they can form no pair)
+        val w = Window.partitionBy((idCol +: blockCols).map(col): _*)
+        filtered.withColumn("n_sh", count(lit(1)).over(w))
+      }
     val a = posts.select(Seq(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle")) ++
       blockCols.map(col): _*)
     val b = posts.select(Seq(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle")) ++

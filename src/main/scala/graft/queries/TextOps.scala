@@ -130,6 +130,15 @@ object TextOps {
       Dedup.ngramJaccardPairsIndexed(T(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.15, blockCols = Seq("lang"))),
 
+    // The capped variant: shingles with document frequency above
+    // max(4, 5% of the lang block) are dropped from the shingle space —
+    // the production bound on posting-list density (worst-case join cost is
+    // Σdf², and ubiquitous shingles carry no near-dup signal).
+    "qt05c_ngram_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccardPairsIndexed(T(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.15, blockCols = Seq("lang"),
+        maxShingleDf = Some(4L), maxShingleDfFrac = Some(0.05))),
+
     // MinHash + LSH banding near-dup candidates. Oracled: the banding
     // bucket hash (xxhash64 of the signature slice) only GROUPS — the
     // DuckDB twin groups on the slice values themselves, which is the same
@@ -280,6 +289,31 @@ object TextOps {
          | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
          |   count(*) AS inter
          |  FROM posts a JOIN posts b
+         |   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
+         |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.15""".stripMargin,
+    "qt05c_ngram_jaccard_capped" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+         | shl AS (SELECT doc_id, lang,
+         |   CASE WHEN len(ts) = 0 THEN []
+         |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+         |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
+         |  FROM toks),
+         | sized AS (SELECT doc_id, lang, sh FROM shl WHERE len(sh) > 0),
+         | posts0 AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM sized),
+         | dfc AS (SELECT lang, shingle, count(*) AS df FROM posts0 GROUP BY 1, 2),
+         | tot AS (SELECT lang, count(*) AS ndocs FROM sized GROUP BY 1),
+         | keep AS (SELECT lang, shingle FROM dfc JOIN tot USING (lang)
+         |   WHERE df <= greatest(4, 0.05 * ndocs)),
+         | posts AS (SELECT p.doc_id, p.lang, p.shingle FROM posts0 p
+         |   JOIN keep k ON p.lang = k.lang AND p.shingle = k.shingle),
+         | sizedf AS (SELECT doc_id, lang, shingle,
+         |   count(*) OVER (PARTITION BY doc_id, lang) AS n FROM posts),
+         | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         |   count(*) AS inter
+         |  FROM sizedf a JOIN sizedf b
          |   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4)
          |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard

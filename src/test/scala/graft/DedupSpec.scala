@@ -52,6 +52,19 @@ class DedupSpec extends SparkSpec {
     assert(idx === quad)
   }
 
+  test("df cap: generous caps are a no-op; a tight cap drops ubiquitous-shingle pairs") {
+    val base = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    val generous = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text", n = 3, threshold = 0.1,
+      maxShingleDf = Some(Long.MaxValue), maxShingleDfFrac = Some(1.0))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(generous === base)
+    // cap = 1 removes every shared shingle from the index → no pairs at all
+    val tight = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text", n = 3, threshold = 0.1,
+      maxShingleDf = Some(1L))
+    assert(tight.count() === 0)
+  }
+
   test("minhashLshPairs recovers the high-jaccard pairs the exact method finds") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
