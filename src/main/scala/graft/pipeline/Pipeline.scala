@@ -77,17 +77,33 @@ object Pipeline {
       "silver_income" -> Silver.income(in.renta, in.municipios, in.relations))
   }
 
-  /** Materialize all silver tables: write parquet under `warehouseDir`
-    * (overwrite, ≙ CREATE OR REPLACE TABLE) and register temp views. The
-    * big fact table (silver_od) is partitioned by zone_level — the
-    * reference's query access pattern always pins a zone level.
+  /** Materialize all silver tables. The big fact table (silver_od) is
+    * partitioned by zone_level — the reference's query access pattern
+    * always pins a zone level.
+    *
+    * Two persistence modes, mirroring the reference's DuckLake catalog
+    * (bronze/utils.py:146-153 keeps silver tables in a Postgres-backed
+    * catalog, not loose files):
+    *   - `asTables = false`: parquet dirs under `warehouseDir` + temp views
+    *     (session-scoped, the test default);
+    *   - `asTables = true`: metastore-managed tables via `saveAsTable`
+    *     (overwrite ≙ CREATE OR REPLACE TABLE) — survives the session and
+    *     lets any catalog-aware client query the nine tables by name.
     */
-  def run(spark: SparkSession, in: Inputs, warehouseDir: String): Map[String, Long] =
+  def run(spark: SparkSession, in: Inputs, warehouseDir: String,
+          asTables: Boolean = false): Map[String, Long] =
     buildSilver(in).map { case (name, df) =>
       val parts = if (name == "silver_od") Seq("zone_level") else Nil
-      Tables.overwrite(df, s"$warehouseDir/$name", parts)
-      val back = spark.read.parquet(s"$warehouseDir/$name")
-      back.createOrReplaceTempView(name)
+      val back = if (asTables) {
+        val w = df.write.mode("overwrite").format("parquet")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(name)
+        spark.table(name)
+      } else {
+        Tables.overwrite(df, s"$warehouseDir/$name", parts)
+        val b = spark.read.parquet(s"$warehouseDir/$name")
+        b.createOrReplaceTempView(name)
+        b
+      }
       name -> back.count()
     }
 }

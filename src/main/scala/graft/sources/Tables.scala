@@ -44,6 +44,27 @@ object Tables {
       table(spark, sfDir, t).createOrReplaceTempView(t)
     }
 
+  /** Network→reader seam completing S1/S2: the reference streams HTTP
+    * CSV/JSON straight into the engine (bronze/utils.py:325-330 for CSVs,
+    * :398 for the INE JSON API); Spark readers take paths, so this fetches
+    * each URL to a local temp file and returns the paths to feed
+    * `pipeCsv`/`jsonArray`. The file name's extension is preserved —
+    * `.csv.gz` keeps transparent decompression. Driver-side by design: at
+    * cluster scale a fetch belongs in an ingestion step writing to shared
+    * storage, never on executors mid-query. Any URL scheme the JDK opens
+    * works (tested with file:// — the harness has no network egress).
+    */
+  def fetchToTemp(urls: Seq[String]): Seq[String] = urls.map { u =>
+    val name = u.substring(u.lastIndexOf('/') + 1)
+    val suffix = if (name.contains('.')) name.substring(name.indexOf('.')) else ".dat"
+    val tmp = java.nio.file.Files.createTempFile("graft_fetch_", suffix)
+    val in = new java.net.URI(u).toURL.openStream()
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toString
+  }
+
   /** S1: pipe-delimited (optionally gzipped) CSV, all columns as string,
     * with audit columns — matches
     * /root/reference/airflow/dags/bronze/utils.py:325-330 and the explicit

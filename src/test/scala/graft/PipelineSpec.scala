@@ -183,5 +183,22 @@ class PipelineSpec extends SparkSpec {
       "silver_business" -> 1L, "silver_population" -> 1L, "silver_income" -> 1L))
     // ad-hoc SQL surface over the registered views (SURVEY §3.3)
     assert(spark.sql("SELECT count(*) FROM silver_od WHERE is_weekend").as[Long].head() === 2L)
+
+    // metastore mode: the nine tables land in the catalog like the
+    // reference's DuckLake-backed silver schema
+    val counts2 = Pipeline.run(spark, Pipeline.Inputs(
+      odBranches = Map("distrito" -> odBronze),
+      overnightBranches = Map("distrito" -> overnight),
+      peopleDayBranches = Map("distrito" -> peopleDay),
+      zoneBranches = Map("distrito" -> zonesBronze),
+      holidaysRaw = holidaysRaw,
+      empresas = empresas, poblacion = poblacion, renta = renta,
+      municipios = municipios, relations = relations), dir, asTables = true)
+    assert(counts2 === counts)
+    val catalogNames = spark.catalog.listTables()
+      .collect().filter(_.tableType == "MANAGED").map(_.name).toSet
+    assert(counts.keySet.subsetOf(catalogNames), s"missing from catalog: ${counts.keySet -- catalogNames}")
+    // partitioned managed fact table still prunes on the partition key
+    assert(spark.table("silver_od").count() === 3L)
   }
 }

@@ -56,6 +56,19 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 4)
   }
 
+  test("fetchToTemp completes the URL→reader path (file:// URL, extension preserved)") {
+    val dir = Files.createTempDirectory("graft_fetch")
+    val f = dir.resolve("od_remote.csv.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(f))
+    out.write("fecha|origen\n20220305|A1\n".getBytes("UTF-8"))
+    out.close()
+    val fetched = Tables.fetchToTemp(Seq(f.toUri.toString))
+    // extension survives so Spark's codec detection still decompresses
+    assert(fetched.head.endsWith(".csv.gz"))
+    val df = Tables.pipeCsv(spark, fetched)
+    assert(df.select("origen").as[String].collect().toSeq === Seq("A1"))
+  }
+
   test("jsonArray reads a top-level JSON array with nested Data structs") {
     val dir = Files.createTempDirectory("graft_json")
     val f = dir.resolve("ine.json")
