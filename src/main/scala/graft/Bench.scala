@@ -25,14 +25,21 @@ object Bench {
         org.apache.spark.sql.expressions.Window.partitionBy("r_name")
           .orderBy("count")))
       .selectExpr("explode(split(r_name, ' ')) AS w").count()
-    // failed queries report -1 (and are excluded from the total) so a
-    // regression can't masquerade as a fast run
+    // min of 3 runs per query: single-run timings at this scale are
+    // dominated by ±0.3-1 s Spark job-scheduling noise, and the minimum is
+    // the standard estimator for the deterministic cost under noise.
+    // Failed queries report -1 (and poison the total) so a regression can't
+    // masquerade as a fast run.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

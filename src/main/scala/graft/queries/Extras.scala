@@ -244,7 +244,9 @@ object Extras {
     // Silver.overnights + Silver.peopleDay under the oracle: yyyyMMdd date
     // parse, double casts, union tagging, critical-field null drop.
     "q38_silver_overnights" -> ((s, d) => {
-      val li = T(s, d, "lineitem").limit(5000)
+      // deterministic subset (ADVICE r1): limit-without-order relied on
+      // engines sharing one parquet file's row order
+      val li = T(s, d, "lineitem").filter(col("l_orderkey") % 12 === 0)
       val branch = li.select(
         date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
         when(col("l_linenumber") === 7, lit(null).cast("string"))
@@ -254,7 +256,9 @@ object Extras {
       Silver.overnights(Map("distrito" -> branch, "municipio" -> branch))
     }),
     "q39_silver_people_day" -> ((s, d) => {
-      val li = T(s, d, "lineitem").limit(5000)
+      // deterministic subset (ADVICE r1): limit-without-order relied on
+      // engines sharing one parquet file's row order
+      val li = T(s, d, "lineitem").filter(col("l_orderkey") % 12 === 0)
       val branch = li.select(
         date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
         col("l_suppkey").cast("string").as("zona_pernoctacion"),
@@ -475,7 +479,7 @@ object Extras {
         |SELECT codigo_ine, fecha, nombre, tipo, valor, distrito_mitma, municipio_mitma, gau_mitma
         |FROM ranked WHERE rn = 1""".stripMargin,
     "q38_silver_overnights" ->
-      """WITH li AS (SELECT * FROM lineitem LIMIT 5000),
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 12 = 0),
         | branch AS (SELECT strftime(l_shipdate, '%Y%m%d') AS fecha,
         |   CASE WHEN l_linenumber = 7 THEN NULL ELSE l_suppkey::VARCHAR END AS zona_residencia,
         |   l_partkey::VARCHAR AS zona_pernoctacion,
@@ -492,7 +496,7 @@ object Extras {
         |WHERE date IS NOT NULL AND overnight_zone IS NOT NULL
         |  AND residence_zone IS NOT NULL AND people IS NOT NULL""".stripMargin,
     "q39_silver_people_day" ->
-      """WITH li AS (SELECT * FROM lineitem LIMIT 5000)
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 12 = 0)
         |SELECT 'gau' AS zone_level, strptime(strftime(l_shipdate, '%Y%m%d'), '%Y%m%d')::DATE AS date,
         | l_suppkey::VARCHAR AS overnight_zone, '25-45' AS age,
         | CASE WHEN l_linenumber % 2 = 0 THEN 'M' ELSE 'F' END AS sex,
