@@ -92,12 +92,28 @@ object Extras {
         .select(col("event_id"), col("user_id"), col("asof_o_orderkey"))
     }),
 
+    // Skew-salted join under the oracle: saltedJoin is row-identical to the
+    // plain inner join by construction, so the oracle is the UNSALTED SQL
+    // join — proving the salt changes shuffle layout, never results.
+    "q42_skew_join" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val o = T(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"), salt = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Approximate distinct (HLL) next to the exact count — no oracle
-    // (estimator-specific); relative error asserted in ScalaTest.
+    // (estimator-specific); the dumped rel_err column makes the estimator
+    // quality driver-visible each round, and ScalaTest asserts the bound.
     "q28_approx_distinct" -> ((s, d) => {
       T(s, d, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("rel_err", round(
+          abs(col("approx_users") - col("exact_users")) / col("exact_users"), 4))
     }),
 
     // Pivot: order status → columns, yearly totals.
@@ -380,6 +396,11 @@ object Extras {
         |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_o_orderkey
         |FROM e ASOF LEFT JOIN o
         | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts_us""".stripMargin,
+    "q42_skew_join" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q29_pivot" ->
       """SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",

@@ -214,12 +214,16 @@ object TextOps {
     }),
 
     // Multimodal plumbing over deterministic synthetic assets (no fixture
-    // table exists for binary payloads; rows-only check — semantics tested
-    // in MultimodalSpec). Fixed asset count: an eager count() here would
-    // fold an extra table scan into every bench timing.
+    // table exists for binary payloads). The generator's size/modality/
+    // duration contract is pure arithmetic, so BOTH queries carry a DuckDB
+    // oracle re-deriving it from range() — the audit aggregate and the
+    // frame generator are hash-checked; only the opaque payload bytes
+    // themselves stay ScalaTest-verified (MultimodalSpec).
     "qm01_payload_stats" -> ((s, _) =>
       graft.multimodal.Multimodal.payloadStats(
-        graft.multimodal.Multimodal.syntheticAssets(s, 600))),
+        graft.multimodal.Multimodal.syntheticAssets(s, 600))
+        .withColumn("min_bytes", col("min_bytes").cast("long"))
+        .withColumn("max_bytes", col("max_bytes").cast("long"))),
     "qm02_frame_sample" -> ((s, _) =>
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.syntheticAssets(s, 600), everyMs = 10000)))
@@ -293,6 +297,20 @@ object TextOps {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
          |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.15""".stripMargin,
+    // qm01/qm02: re-derive the synthetic-asset contract (asset_id i in
+    // range(600); modality = i%3 image/audio/video; payload fixed 256 bytes;
+    // video duration 60 s sampled every 10 s) — payload BYTES are opaque
+    // binary and stay out of the oracle on purpose.
+    "qm01_payload_stats" ->
+      """SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        | count(*) AS n_assets, (count(*) * 256)::BIGINT AS total_bytes,
+        | min(256)::BIGINT AS min_bytes, max(256)::BIGINT AS max_bytes
+        |FROM range(600) t(i) GROUP BY 1""".stripMargin,
+    "qm02_frame_sample" ->
+      """SELECT i::BIGINT AS asset_id, 60000::BIGINT AS duration_ms,
+        | ts::BIGINT AS frame_ts_ms, (ts // 10000)::BIGINT AS frame_index
+        |FROM range(600) t(i), range(0, 60000, 10000) r(ts)
+        |WHERE i % 3 = 2""".stripMargin,
     "qt05c_ngram_jaccard_capped" ->
       s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
          | shl AS (SELECT doc_id, lang,

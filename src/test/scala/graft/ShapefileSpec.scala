@@ -79,6 +79,26 @@ class ShapefileSpec extends SparkSpec {
       "MULTIPOLYGON (((0 0, 0 4, 4 4, 4 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)), ((10 0, 10 4, 14 4, 14 0, 10 0)))")
   }
 
+  test("shapefile → bronze zones → Silver.zones (full ingestion path)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val f = shpFile(Seq(
+      polygonContent(Seq(outer, hole)),
+      polygonContent(Seq(outer.map { case (x, y) => (x + 10, y) }))))
+    val bronze = Shapefile.toDF(spark, f.toString).select(
+      concat(lit("Z"), col("record")).as("ID"),
+      concat(lit("Zone "), col("record")).as("Nombre"),
+      lit("100").as("Poblacion"),
+      col("wkt").as("geometry"))
+    val silver = graft.pipeline.Silver.zones(Map("distrito" -> bronze))
+    val rows = silver.orderBy("id")
+      .select("id", "zone_level", "centroid_longitude", "centroid_latitude")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("Z1", "Z2"))
+    // square-with-hole centroid pulls away from the hole; plain square is exact
+    assert(math.abs(rows(0).getDouble(2) - (16 * 2.0 - 1.5) / 15) < 1e-9)
+    assert(rows(1).getDouble(2) === 12.0 && rows(1).getDouble(3) === 2.0)
+  }
+
   test("emitted WKT feeds the Spatial centroid (end-to-end S3 seam)") {
     val f = shpFile(Seq(polygonContent(Seq(outer, hole))))
     val df = Shapefile.toDF(spark, f.toString)
