@@ -28,5 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_wkt_centroid"),
       info("graft_wkt_centroid", "graft_wkt_centroid(wkt) - area-weighted centroid struct(x, y)."),
       (args: Seq[Expression]) => Expressions.WktCentroid(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(vec, planes, family) - sign-random-projection LSH bucket id; " +
+          "planes/family must be integer literals (they select the hyperplane set at plan time)."),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_bucket: $what must be an integer literal, got $other")
+        }
+        Expressions.LshBucket(args.head,
+          intLit(args(1), "planes"), intLit(args(2), "family"))
+      }))
   }
 }

@@ -32,6 +32,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_wkt_centroid('garbage') AS c").head().isNullAt(0))
   }
 
+  test("graft_lsh_bucket is SQL-callable with literal plane parameters") {
+    graft.sources.Tables.table(spark, sf, "embeddings").createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_lsh_bucket(embedding, 6, 1) AS b FROM emb_sql ORDER BY vec_id")
+      .as[(Long, Long)].collect().toSeq
+    val viaApi = graft.sources.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", graft.operators.Similarity.lshBucket($"embedding", 6, 1).as("b"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(viaSql === viaApi)
+    // non-literal plane count is a plan-time error, not silent misbehavior
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(embedding, vec_id::INT, 0) FROM emb_sql").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("integer literal"))
+  }
+
   test("simhash native expression stays inside whole-stage codegen") {
     // parquet-backed source: a local Seq would be constant-folded away
     val df = graft.sources.Tables.table(spark, sf, "documents")
