@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_lsh_bucket(vec, planes, family) - sign-random-projection LSH bucket id; " +
           "planes/family must be integer literals (they select the hyperplane set at plan time)."),
       (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_lsh_bucket takes 3 arguments (vec, planes, family), got ${args.length}")
         def intLit(e: Expression, what: String): Int = e match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

@@ -49,6 +49,13 @@ object ExprImpl {
     */
   def lshBucket(vec: ArrayData, planes: Int, family: Int): Long = {
     val n = vec.numElements()
+    // null element semantics match the Column formulation: any null poisons
+    // every plane's dot (null >= 0 is false) → bucket 0
+    var k = 0
+    while (k < n) {
+      if (vec.isNullAt(k)) return 0L
+      k += 1
+    }
     var bucket = 0L
     var p = 0
     while (p < planes) {

@@ -41,6 +41,16 @@ object Expressions {
     */
   case class LshBucket(child: Expression, planes: Int, family: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
+    // strict array<float> input: SQL exposure means a silent getFloat
+    // reinterpretation of wider element types must be an analysis error
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_lsh_bucket expects array<float> (an embedding column), got ${other.sql}")
+      }
     override def nullSafeEval(v: Any): Any =
       ExprImpl.lshBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, family)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -171,10 +171,15 @@ object Similarity {
     */
   private def nearestCells(centroids: Array[Array[Float]], take: Int) =
     udf { (v: Seq[Float]) =>
-      val sims = Array.tabulate(centroids.length)(i => cosineToCentroid(v, centroids(i)))
-      Array.tabulate(centroids.length)(identity)
-        .sortBy(i => (-sims(i), i))
-        .take(take)
+      // null embedding → null cells → the row drops out of index and probes
+      // (explode of null emits nothing; a null home cell joins nothing)
+      if (v == null) null
+      else {
+        val sims = Array.tabulate(centroids.length)(i => cosineToCentroid(v, centroids(i)))
+        Array.tabulate(centroids.length)(identity)
+          .sortBy(i => (-sims(i), i))
+          .take(take)
+      }
     }
 
   /** Approximate top-k: bucket corpus and queries with `planes`-bit LSH

@@ -97,6 +97,10 @@ object Pipeline {
       val back = if (asTables) {
         val w = df.write.mode("overwrite").format("parquet")
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(name)
+        // a same-named temp view (e.g. from an earlier dir-mode run) would
+        // shadow the managed table in spark.table — the catalog table must
+        // be the referent after this mode, like CREATE OR REPLACE TABLE
+        spark.catalog.dropTempView(name)
         spark.table(name)
       } else {
         Tables.overwrite(df, s"$warehouseDir/$name", parts)

@@ -78,6 +78,27 @@ object TextOps {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Recall of each approximate variant against ONE shared exact baseline:
+    * the exact subtree appears once in the plan (cross-joined with the tiny
+    * variant dimension, then left-joined against the tagged union of the
+    * approx results), so the brute-force pass executes once regardless of
+    * how many operating points are reported.
+    */
+  private def recallQuery(exact: DataFrame, variants: Seq[(Int, Int, DataFrame)],
+                          c1: String, c2: String): DataFrame = {
+    import exact.sparkSession.implicits._
+    val vdim = variants.map(v => (v._1, v._2)).toDF(c1, c2)
+    val tagged = variants.map { case (a, b, approx) =>
+      approx.select(col("query_id"), col("corpus_id"))
+        .withColumn(c1, lit(a)).withColumn(c2, lit(b)).withColumn("__hit", lit(1))
+    }.reduce(_ unionByName _)
+    exact.select("query_id", "corpus_id").crossJoin(vdim)
+      .join(tagged, Seq(c1, c2, "query_id", "corpus_id"), "left")
+      .groupBy(col(c1), col(c2))
+      .agg(round(avg(when(col("__hit").isNotNull, 1.0).otherwise(0.0)), 4).as("recall_vs_brute"))
+      .select(col(c1), col(c2), lit(5L).as("k"), col("recall_vs_brute"))
+  }
+
   /** Shared stopword list literal for the SQL oracles. */
   private val langProfilesSql: Map[String, String] =
     TextFns.LangId.profiles.toMap.map { case (k, ws) =>
@@ -187,30 +208,18 @@ object TextOps {
     "qt09r_lsh_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val exact = Similarity.bruteForceTopK(e, q, k = 5).select("query_id", "corpus_id")
-      def recallAt(planes: Int, tables: Int): DataFrame = {
-        val approx = Similarity.lshTopK(e, q, k = 5, planes = planes, tables = tables)
-          .select(col("query_id"), col("corpus_id")).withColumn("__hit", lit(1))
-        exact.join(approx, Seq("query_id", "corpus_id"), "left")
-          .agg(round(avg(when(col("__hit").isNotNull, 1.0).otherwise(0.0)), 4).as("recall_vs_brute"))
-          .select(lit(planes).as("planes"), lit(tables).as("tables"), lit(5L).as("k"),
-            col("recall_vs_brute"))
-      }
-      recallAt(6, 4).unionByName(recallAt(3, 12))
+      recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
+        Seq((6, 4, Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4)),
+          (3, 12, Similarity.lshTopK(e, q, k = 5, planes = 3, tables = 12))),
+        "planes", "tables")
     }),
     "qt10r_ivf_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val exact = Similarity.bruteForceTopK(e, q, k = 5).select("query_id", "corpus_id")
-      def recallAt(nlist: Int, nProbe: Int): DataFrame = {
-        val approx = Similarity.ivfTopK(e, q, k = 5, nlist = nlist, nProbe = nProbe, lloydIters = 1)
-          .select(col("query_id"), col("corpus_id")).withColumn("__hit", lit(1))
-        exact.join(approx, Seq("query_id", "corpus_id"), "left")
-          .agg(round(avg(when(col("__hit").isNotNull, 1.0).otherwise(0.0)), 4).as("recall_vs_brute"))
-          .select(lit(nlist).as("nlist"), lit(nProbe).as("n_probe"), lit(5L).as("k"),
-            col("recall_vs_brute"))
-      }
-      recallAt(16, 4).unionByName(recallAt(16, 14))
+      recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
+        Seq((16, 4, Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4, lloydIters = 1)),
+          (16, 14, Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 14, lloydIters = 1))),
+        "nlist", "n_probe")
     }),
 
     // Multimodal plumbing over deterministic synthetic assets (no fixture
@@ -346,9 +355,12 @@ object TextOps {
          | agg AS (SELECT doc_id,
          |    sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)::UBIGINT AS hu
          |   FROM bits GROUP BY doc_id),
-         | -- zero-token docs have no posts rows but simhash 0 (all votes 0)
+         | -- zero-token docs have no posts rows but simhash 0 (all votes 0);
+         | -- NULL-text docs are excluded: the engine's simhash64(NULL) is
+         | -- NULL and null chunk keys never join
          | sh AS (SELECT d.doc_id, coalesce(a.hu, 0::UBIGINT) AS hu
-         |   FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |   FROM documents d LEFT JOIN agg a USING (doc_id)
+         |   WHERE d.text IS NOT NULL),
          | chunks AS (SELECT doc_id, hu, c, (hu >> (c*16)::UBIGINT) & 65535::UBIGINT AS key
          |   FROM sh, (SELECT unnest(range(4)) AS c) t(c)),
          | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hu AS ha, b.hu AS hb

@@ -80,9 +80,18 @@ object Shapefile {
         (buf.getDouble(pointsAt + p * 16), buf.getDouble(pointsAt + p * 16 + 8))
       }
     }
-    // shoelace sum Σ(x2-x1)(y2+y1): positive = clockwise = outer ring
-    def clockwise(ring: Seq[(Double, Double)]): Boolean =
-      ring.sliding(2).map { case Seq((x1, y1), (x2, y2)) => (x2 - x1) * (y2 + y1) }.sum > 0
+    // shoelace sum Σ(x2-x1)(y2+y1): positive = clockwise = outer ring;
+    // index loop so degenerate (<2 point) rings sum to 0, not a crash
+    def clockwise(ring: Seq[(Double, Double)]): Boolean = {
+      var s = 0.0
+      var i = 0
+      while (i < ring.length - 1) {
+        val (x1, y1) = ring(i); val (x2, y2) = ring(i + 1)
+        s += (x2 - x1) * (y2 + y1)
+        i += 1
+      }
+      s > 0
+    }
     // group: each outer (clockwise) ring collects the holes that follow it;
     // a leading counter-clockwise ring (malformed writer) starts its own
     val polys = rings.foldLeft(Vector.empty[Vector[Seq[(Double, Double)]]]) {

@@ -55,7 +55,10 @@ object Tables {
     * works (tested with file:// — the harness has no network egress).
     */
   def fetchToTemp(urls: Seq[String]): Seq[String] = urls.map { u =>
-    val name = u.substring(u.lastIndexOf('/') + 1)
+    // extension from the URI PATH — query strings/fragments must not leak
+    // into the temp-file suffix or codec detection breaks (.csv.gz?token=x)
+    val path = Option(new java.net.URI(u).getPath).getOrElse("")
+    val name = path.substring(path.lastIndexOf('/') + 1)
     val suffix = if (name.contains('.')) name.substring(name.indexOf('.')) else ".dat"
     val tmp = java.nio.file.Files.createTempFile("graft_fetch_", suffix)
     val in = new java.net.URI(u).toURL.openStream()
