@@ -98,13 +98,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainFraction: Double = 1.0): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    // Training re-scans the projection 1 + lloydIters times (seed pick +
-    // one mean pass per iteration) — cache it for the duration of training
-    // and release before returning. At 100 TB the training input would be a
-    // corpus sample; the cached two-column projection plays that role here.
-    val train = c.persist()
+    // Training re-scans its input 1 + lloydIters times (seed pick + one
+    // mean pass per iteration) — cache it for the duration of training and
+    // release before returning. At 100 TB training runs on a SAMPLE:
+    // `trainFraction` takes a deterministic hash-slice of the corpus
+    // (k-means cells only need the density shape, not every vector;
+    // ScaleProbe shows the mean pass otherwise growing linearly with n).
+    val sampled =
+      if (trainFraction >= 1.0) c
+      else c.filter(pmod(xxhash64(col("corpus_id")), lit(1000000L)) <
+        lit((trainFraction * 1000000).toLong))
+    val train = sampled.persist()
     try {
       // deterministic seeds: the nlist vectors with smallest hash(id); cell
       // id = position in the centroid array
