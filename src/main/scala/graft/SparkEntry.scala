@@ -18,8 +18,10 @@ object SparkEntry {
     Relational.defs ++ TextOps.defs ++ Events.defs ++ Extras.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (xxhash64-based MinHash/SimHash/LSH) → driver rows-only check.
+    * the same parquet tables (the fnv1a64/splitmix64 hash family is
+    * re-derived in SQL — see TextOps.HashSql). Omitted only for
+    * approximate-by-design ops (sign-LSH/IVF ANN, HLL), whose quality is
+    * instead a recorded number: qt09r/qt10r recall, q28 rel_err.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Events.oracle ++ Extras.oracle

@@ -125,4 +125,73 @@ object Spatial {
     * (Expressions.WktCentroid; CodegenFallback — dimension-side data).
     */
   def wktCentroid(wkt: Column): Column = Expressions.wktCentroid(wkt)
+
+  // --- UTM ↔ WGS84 (G5's to_crs(4326), the reference's zone reprojection:
+  // Spanish zonification ships in ETRS89/UTM — bronze/utils.py:589-591) ----
+  // Transverse Mercator series per Snyder, "Map Projections — A Working
+  // Manual" (USGS PP 1395, public), WGS84/GRS80 ellipsoid, k0=0.9996.
+  // Sub-mm self-consistency (round-trip property-tested); geometry validity
+  // repair (make_valid) stays ingest-side and out of scope.
+
+  private val A = 6378137.0 // WGS84 semi-major
+  private val F = 1.0 / 298.257223563
+  private val E2 = F * (2 - F)
+  private val Ep2 = E2 / (1 - E2)
+  private val K0 = 0.9996
+
+  private def centralMeridian(zone: Int): Double = math.toRadians(zone * 6.0 - 183.0)
+
+  /** (lonDeg, latDeg) → (easting, northing) in the given UTM zone. */
+  def wgs84ToUtm(lonDeg: Double, latDeg: Double, zone: Int): (Double, Double) = {
+    val lat = math.toRadians(latDeg); val lon = math.toRadians(lonDeg)
+    val n = A / math.sqrt(1 - E2 * math.pow(math.sin(lat), 2))
+    val t = math.pow(math.tan(lat), 2)
+    val c = Ep2 * math.pow(math.cos(lat), 2)
+    val a = (lon - centralMeridian(zone)) * math.cos(lat)
+    val m = A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * math.pow(E2, 3) / 256) * lat
+      - (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * math.pow(E2, 3) / 1024) * math.sin(2 * lat)
+      + (15 * E2 * E2 / 256 + 45 * math.pow(E2, 3) / 1024) * math.sin(4 * lat)
+      - (35 * math.pow(E2, 3) / 3072) * math.sin(6 * lat))
+    val easting = K0 * n * (a + (1 - t + c) * math.pow(a, 3) / 6
+      + (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a, 5) / 120) + 500000.0
+    val northing = K0 * (m + n * math.tan(lat) * (a * a / 2
+      + (5 - t + 9 * c + 4 * c * c) * math.pow(a, 4) / 24
+      + (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * math.pow(a, 6) / 720))
+    (easting, if (latDeg >= 0) northing else northing + 10000000.0)
+  }
+
+  /** (easting, northing) in the given UTM zone → (lonDeg, latDeg). */
+  def utmToWgs84(easting: Double, northing: Double, zone: Int,
+                 northern: Boolean = true): (Double, Double) = {
+    val y = if (northern) northing else northing - 10000000.0
+    val m = y / K0
+    val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * math.pow(E2, 3) / 256))
+    val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val phi1 = mu +
+      (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    val c1 = Ep2 * math.pow(math.cos(phi1), 2)
+    val t1 = math.pow(math.tan(phi1), 2)
+    val n1 = A / math.sqrt(1 - E2 * math.pow(math.sin(phi1), 2))
+    val r1 = A * (1 - E2) / math.pow(1 - E2 * math.pow(math.sin(phi1), 2), 1.5)
+    val d = (easting - 500000.0) / (n1 * K0)
+    val lat = phi1 - (n1 * math.tan(phi1) / r1) * (d * d / 2
+      - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * math.pow(d, 4) / 24
+      + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
+    val lon = centralMeridian(zone) + (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6
+      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / math.cos(phi1)
+    (math.toDegrees(lon), math.toDegrees(lat))
+  }
+
+  private val utmToWgs84Udf = org.apache.spark.sql.functions.udf(
+    (e: Double, n: Double, zone: Int, northern: Boolean) => utmToWgs84(e, n, zone, northern))
+
+  /** Column form: struct<lon, lat> — dimension-side (zone tables), UDF ok. */
+  def utmToLonLat(easting: Column, northing: Column, zone: Column,
+                  northern: Column = lit(true)): Column = {
+    val p = utmToWgs84Udf(easting, northing, zone, northern)
+    struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))
+  }
 }

@@ -6,6 +6,33 @@ import graft.functions.Spatial
 class SpatialSpec extends SparkSpec {
   import spark.implicits._
 
+  test("UTM↔WGS84 round-trips to sub-mm over the Spanish UTM-30 extent") {
+    // grid over zone 30N (Spain's zonification CRS, EPSG:25830-like)
+    for (lon <- Seq(-5.9, -3.0, -0.1); lat <- Seq(36.0, 40.4, 43.7)) {
+      val (e, n) = Spatial.wgs84ToUtm(lon, lat, zone = 30)
+      val (lon2, lat2) = Spatial.utmToWgs84(e, n, zone = 30)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"round-trip drift at ($lon, $lat): ($lon2, $lat2)")
+    }
+    // southern hemisphere false-northing branch
+    val (e, n) = Spatial.wgs84ToUtm(-58.4, -34.6, zone = 21) // Buenos Aires
+    val (lon2, lat2) = Spatial.utmToWgs84(e, n, zone = 21, northern = false)
+    assert(math.abs(lon2 - -58.4) < 1e-8 && math.abs(lat2 - -34.6) < 1e-8)
+  }
+
+  test("UTM zone-30 sanity: Madrid's known coordinates land within meters") {
+    // Madrid ≈ (-3.7038, 40.4168) ↔ UTM 30N ≈ (440300 E, 4474300 N); the
+    // loose 1 km gate guards gross errors (sign/zone/series mistakes),
+    // the round-trip test above pins self-consistency
+    val (e, n) = Spatial.wgs84ToUtm(-3.7038, 40.4168, zone = 30)
+    assert(math.abs(e - 440300) < 1000 && math.abs(n - 4474300) < 1000, s"($e, $n)")
+    // Column form over a zone-dimension DataFrame
+    val got = Seq((e, n, 30, true)).toDF("e", "n", "z", "nh")
+      .select(Spatial.utmToLonLat($"e", $"n", $"z", $"nh").as("p"))
+      .selectExpr("p.lon", "p.lat").as[(Double, Double)].head()
+    assert(math.abs(got._1 - -3.7038) < 1e-6 && math.abs(got._2 - 40.4168) < 1e-6)
+  }
+
   test("haversine: Madrid→Barcelona ≈ 505 km (great-circle)") {
     val got = Seq((-3.7038, 40.4168, 2.1734, 41.3851)).toDF("lon1", "lat1", "lon2", "lat2")
       .select(Spatial.haversineMeters($"lon1", $"lat1", $"lon2", $"lat2").as("m"))
