@@ -109,6 +109,23 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming near-dup dedup at the token-multiset level: rows whose
+    * simhash64 collides within the watermark horizon are dropped — that is,
+    * documents with IDENTICAL token multisets (reordered sentences,
+    * re-whitespaced or shuffled text), the first rung of the near-dup
+    * ladder above byte-exact fingerprints. Full hamming-ball near-dedup
+    * (Dedup.simhashPairs, distance ≤ 3) needs cross-key candidate joins and
+    * stays batch: a streaming hamming ball would shard each doc into 4
+    * chunk-keyed state groups whose votes must be re-joined per row —
+    * a second stateful stage with no bounded-state formulation.
+    */
+  def simhashDedupStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
+                         watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__simhash", graft.functions.Expressions.simhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+
   /** Micro-batch upsert sink: maintains a keyed parquet snapshot by applying
     * Upsert.keyedUpsert per micro-batch (foreachBatch) — the streaming
     * continuation of the reference's idempotent MERGE loads.

@@ -48,6 +48,14 @@ class PlanSpec extends SparkSpec {
       s"pair generation degenerated:\n$p")
   }
 
+  test("near-dup and ANN candidate joins stay equi-keyed (no product anywhere in the family)") {
+    for (q <- Seq("qt06_minhash_lsh", "qt07_simhash", "qt09_lsh_topk", "qt10_ivf_topk")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate generation degenerated to a product:\n$p")
+    }
+  }
+
   test("bruteForceTopK broadcasts the query side; corpus streams with no shuffle before the join") {
     val e = Tables.table(spark, sf, "embeddings")
     val df = graft.operators.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 3)

@@ -100,6 +100,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhashDedupStream drops token-multiset duplicates, keeps distinct text") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(
+      (1L, ts(0), "the quick brown fox"),
+      (2L, ts(1), "fox   brown the\tquick"), // same multiset: dropped
+      (3L, ts(2), "a completely different document"))
+    val q = Streams.simhashDedupStream(input.toDF().toDF("doc_id", "ts", "text"), "text")
+      .writeStream.format("memory").queryName("shd").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("shd").select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(3L) && kept.size === 2)
+      assert(kept.intersect(Set(1L, 2L)).size === 1) // exactly one of the twins
+    } finally q.stop()
+  }
+
   test("dedupStream drops in-horizon duplicates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
