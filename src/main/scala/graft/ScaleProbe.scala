@@ -14,7 +14,30 @@ import graft.operators.Similarity
   * Usage: sbt "runMain graft.ScaleProbe [corpusSize] [dim]"
   */
 object ScaleProbe {
+
+  /** `runMain graft.ScaleProbe shingle <sfDir>`: component timings for the
+    * near-dup pipeline (where does qt05's time actually go: shingling UDF,
+    * posting explode, or the inverted-index join?).
+    */
+  private def shingleProbe(sfDir: String): Unit = {
+    val spark = GraftSession.get()
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    def time(name: String)(act: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = act
+      println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+    val sh = docs.select(col("doc_id"), col("lang"),
+      graft.operators.Dedup.wordShingles(col("text"), 3).as("sh"))
+    time("shingle_only")(sh.count())
+    time("shingle_explode")(sh.select(col("doc_id"), explode(col("sh"))).count())
+    time("full_qt05")(graft.operators.Dedup.ngramJaccardPairsIndexed(
+      docs, "doc_id", "text", n = 3, threshold = 0.15, blockCols = Seq("lang")).count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("shingle")) return shingleProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
     val spark = GraftSession.get()

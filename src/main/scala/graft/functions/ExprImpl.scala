@@ -36,6 +36,46 @@ object ExprImpl {
     out
   }
 
+  private val ShingleSep = UTF8String.fromString(" ")
+
+  /** Word n-gram shingle set over a UTF8String, allocation-lean: tokenize
+    * by byte-scanning for ASCII whitespace (Java's `\s` class is ASCII-only,
+    * and UTF-8 continuation bytes all have the high bit set, so the byte
+    * scan is exact for any input), slice token UTF8Strings off one shared
+    * byte copy, and join n-grams with `concatWs`. Semantics identical to
+    * `Dedup.shingleSet` (split-filter-sliding-distinct, first-occurrence
+    * order) — differential-tested in ExpressionsSpec.
+    */
+  def shingleSet(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    val tokens = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < bytes.length && !isWs(bytes(i))) i += 1
+      if (i > start) tokens.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    val m = tokens.size()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m > 0 && m < n) {
+      out.add(UTF8String.concatWs(ShingleSep, tokens.toArray(new Array[UTF8String](m)): _*))
+    } else if (m > 0) {
+      val window = new Array[UTF8String](n)
+      var j = 0
+      while (j <= m - n) {
+        var k = 0
+        while (k < n) { window(k) = tokens.get(j + k); k += 1 }
+        out.add(UTF8String.concatWs(ShingleSep, window: _*))
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
   /** Sign-random-projection LSH bucket of a float vector: one bit per
     * hyperplane (dot ≥ 0), planes bits → long bucket id.
     *

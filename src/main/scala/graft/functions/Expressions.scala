@@ -59,6 +59,29 @@ object Expressions {
     override def prettyName: String = "graft_lsh_bucket"
   }
 
+  /** shingle_set(string, n) → array<string>: the near-dup hot path's
+    * tokenize+n-gram+distinct in one codegen'd pass (see ExprImpl.shingleSet)
+    * — replaces a Scala UDF whose Seq[String] bridging dominated the
+    * shingling stage. `n` is a plan-time parameter like LshBucket's planes.
+    */
+  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_shingle_set expects string, got ${other.sql}")
+      }
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.shingleSet(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.shingleSet($c, $n)")
+    override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+    override def prettyName: String = "graft_shingle_set"
+  }
+
   /** simhash64(string) → long, with full whole-stage codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -97,4 +120,5 @@ object Expressions {
   def wktCentroid(c: Column): Column = wrap(WktCentroid(unwrap(c)))
   def lshBucket(c: Column, planes: Int, family: Int): Column =
     wrap(LshBucket(unwrap(c), planes, family))
+  def shingleSet(c: Column, n: Int): Column = wrap(ShingleSet(unwrap(c), n))
 }

@@ -44,10 +44,15 @@ object Dedup {
     else ts.sliding(n).map(_.mkString(" ")).toArray.distinct
   }
 
-  private val wordShinglesUdf =
+  private[graft] val wordShinglesUdf =
     udf((text: String, n: Int) => shingleSet(text, n))
 
-  def wordShingles(text: Column, n: Int): Column = wordShinglesUdf(text, lit(n))
+  /** Production path: the native codegen'd expression (no String/Seq
+    * bridging per row — measured ~2× on the shingling stage); the UDF above
+    * stays as the independent implementation for differential testing.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.Expressions.shingleSet(text, n)
 
   /** All-pairs n-gram Jaccard similarity ≥ threshold (exact, quadratic) —
     * the verification baseline. Blocked on `blockCols` (e.g. language) so

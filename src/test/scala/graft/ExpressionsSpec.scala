@@ -66,6 +66,23 @@ class ExpressionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("native ShingleSet matches the UDF implementation on fixture docs + edge cases") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val both = docs.select(
+      Expressions.shingleSet($"text", 3).as("native"),
+      Dedup.wordShinglesUdf($"text", lit(3)).as("viaUdf"))
+    assert(both.filter(not($"native" <=> $"viaUdf")).count() === 0)
+    val edge = Seq("", "   ", "one", "one two", "a  b\tc\nd")
+      .toDF("t").select(
+        Expressions.shingleSet($"t", 3).as("native"),
+        Dedup.wordShinglesUdf($"t", lit(3)).as("viaUdf"))
+    assert(edge.filter(not($"native" <=> $"viaUdf")).count() === 0)
+    // null text: native null-propagates (SQL convention; the UDF baseline
+    // returns [] — both drop the doc at every size(sh) > 0 / jaccard gate)
+    assert(Seq(null.asInstanceOf[String]).toDF("t")
+      .select(Expressions.shingleSet($"t", 3)).head().isNullAt(0))
+  }
+
   test("native LshBucket is bit-identical to the Column formulation on fixture embeddings") {
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
     val both = e.select(
