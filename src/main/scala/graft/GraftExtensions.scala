@@ -28,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_wkt_centroid"),
       info("graft_wkt_centroid", "graft_wkt_centroid(wkt) - area-weighted centroid struct(x, y)."),
       (args: Seq[Expression]) => Expressions.WktCentroid(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingle_set"),
+      info("graft_shingle_set",
+        "graft_shingle_set(text, n) - distinct word n-gram shingles; n must be an integer literal."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_shingle_set takes 2 arguments (text, n), got ${args.length}")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_set: n must be an integer literal, got $other")
+        }
+        Expressions.ShingleSet(args.head, n)
+      }))
     e.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       info("graft_lsh_bucket",
         "graft_lsh_bucket(vec, planes, family) - sign-random-projection LSH bucket id; " +

@@ -76,6 +76,27 @@ object ExprImpl {
       out.toArray(new Array[AnyRef](out.size())))
   }
 
+  /** MinHash signature over a shingle array: min (signed) of hash-family
+    * member i per shingle, i < numHashes — the native twin of
+    * Dedup.minhashSig, taking ArrayData directly (no Seq bridging).
+    */
+  def minhashSig(shingles: ArrayData, numHashes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var s = 0
+    while (s < n) {
+      val h = Dedup.fnv1a64(shingles.getUTF8String(s).toString)
+      var i = 0
+      while (i < numHashes) {
+        val m = Dedup.mix64(h ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
   /** Sign-random-projection LSH bucket of a float vector: one bit per
     * hyperplane (dot ≥ 0), planes bits → long bucket id.
     *

@@ -82,6 +82,28 @@ object Expressions {
     override def prettyName: String = "graft_shingle_set"
   }
 
+  /** minhash_sig(array<string>, numHashes) → array<long>, codegen'd (see
+    * ExprImpl.minhashSig; replaces the Seq-bridging UDF in qt06's hot path,
+    * which stays as the differential baseline).
+    */
+  case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_minhash_sig expects array<string>, got ${other.sql}")
+      }
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.minhashSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.minhashSig($c, $numHashes)")
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+    override def prettyName: String = "graft_minhash_sig"
+  }
+
   /** simhash64(string) → long, with full whole-stage codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -121,4 +143,5 @@ object Expressions {
   def lshBucket(c: Column, planes: Int, family: Int): Column =
     wrap(LshBucket(unwrap(c), planes, family))
   def shingleSet(c: Column, n: Int): Column = wrap(ShingleSet(unwrap(c), n))
+  def minhashSig(c: Column, numHashes: Int): Column = wrap(MinHashSig(unwrap(c), numHashes))
 }

@@ -148,7 +148,7 @@ object Dedup {
   /** splitmix64-style finalizer used to derive hash-family member i from a
     * base hash (one string hash per shingle, numHashes cheap mixes).
     */
-  private def mix64(h: Long): Long = {
+  private[graft] def mix64(h: Long): Long = {
     var z = h + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -173,11 +173,14 @@ object Dedup {
     sig
   }
 
-  private val minhashSigUdf =
+  private[graft] val minhashSigUdf =
     udf((sh: Seq[String], numHashes: Int) => minhashSig(sh, numHashes))
 
+  /** Production path: native codegen'd expression; the UDF above stays as
+    * the independent implementation for differential testing.
+    */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    minhashSigUdf(shingles, lit(numHashes))
+    graft.functions.Expressions.minhashSig(shingles, numHashes)
 
   /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
     * bands × rowsPerBand = numHashes. Pipeline:

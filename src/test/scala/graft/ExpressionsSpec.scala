@@ -83,6 +83,15 @@ class ExpressionsSpec extends SparkSpec {
       .select(Expressions.shingleSet($"t", 3)).head().isNullAt(0))
   }
 
+  test("native MinHashSig matches the UDF implementation on fixture shingles") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select(Expressions.shingleSet($"text", 3).as("sh")).filter(size($"sh") > 0)
+    val both = docs.select(
+      Expressions.minhashSig($"sh", 16).as("native"),
+      Dedup.minhashSigUdf($"sh", lit(16)).as("viaUdf"))
+    assert(both.filter(not($"native" <=> $"viaUdf")).count() === 0)
+  }
+
   test("native LshBucket is bit-identical to the Column formulation on fixture embeddings") {
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
     val both = e.select(
