@@ -56,5 +56,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Expressions.LshBucket(args.head,
           intLit(args(1), "planes"), intLit(args(2), "family"))
       }))
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(a, b) - dot product of two float vectors in double precision; " +
+          "null on ragged lengths or null elements."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
+        Expressions.DotF32(args.head, args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("graft_lsh_probes"),
+      info("graft_lsh_probes",
+        "graft_lsh_probes(vec, planes, family, probes) - multi-probe sign-LSH bucket array " +
+          "(base bucket first, then lowest-margin bit flips); ints must be literals."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_lsh_probes takes 4 arguments (vec, planes, family, probes), got ${args.length}")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_probes: $what must be an integer literal, got $other")
+        }
+        Expressions.LshProbes(args.head, intLit(args(1), "planes"),
+          intLit(args(2), "family"), intLit(args(3), "probes"))
+      }))
   }
 }

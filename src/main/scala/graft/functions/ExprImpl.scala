@@ -134,4 +134,76 @@ object ExprImpl {
     }
     bucket
   }
+
+  /** Dot product of two float vectors in double precision, left-to-right
+    * accumulation — bit-identical to the Column form
+    * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` (same fp order),
+    * but one primitive loop with ZERO per-pair allocations where the Column
+    * form materializes an intermediate array per evaluation — the measured
+    * difference between a 63 s and a ~3 s exact all-pairs pass at sf0.1.
+    * Null semantics mirror the Column form: ragged lengths or a null
+    * element → null (zip_with pads with null, null poisons the sum).
+    */
+  def dotF32(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Multi-probe sign-LSH (Lv et al., VLDB'07): the base bucket (identical
+    * to `lshBucket`, always element 0) plus up to `probes - 1` neighbor
+    * buckets, each flipping the single sign bit whose hyperplane the vector
+    * lies closest to (ascending |dot|, plane index as tiebreak) — the
+    * buckets a true near neighbor most plausibly fell into. Capped at
+    * planes + 1 buckets (base + one flip per plane). Same per-plane dot pass
+    * as `lshBucket`; the dots are simply kept for the margin ordering.
+    */
+  def lshProbes(vec: ArrayData, planes: Int, family: Int, probes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = vec.numElements()
+    var k = 0
+    while (k < n) {
+      // null-poisoned vectors collapse to base bucket 0 (as lshBucket) with
+      // no meaningful margins to probe
+      if (vec.isNullAt(k))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L))
+      k += 1
+    }
+    val dots = new Array[Double](planes)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val planeSeed = XXH64.hashInt(family * 10007 + p, 42L)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(i, planeSeed)
+        val m = ((h % 2000001L) + 2000001L) % 2000001L
+        dot += vec.getFloat(i).toDouble * (m.toDouble / 1000000.0 - 1.0)
+        i += 1
+      }
+      dots(p) = dot
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    val take = math.max(1, math.min(probes, planes + 1))
+    val out = new Array[Long](take)
+    out(0) = bucket
+    if (take > 1) {
+      val order = Array.tabulate(planes)(identity)
+        .sortBy(i => (math.abs(dots(i)), i))
+      var j = 1
+      while (j < take) {
+        out(j) = bucket ^ (1L << order(j - 1))
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

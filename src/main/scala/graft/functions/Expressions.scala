@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
@@ -59,6 +59,35 @@ object Expressions {
     override def prettyName: String = "graft_lsh_bucket"
   }
 
+  /** lsh_probes(array<float>, planes, family, probes) → array<long>: the
+    * base sign-LSH bucket plus up to `probes - 1` multi-probe neighbor
+    * buckets (Lv et al., VLDB'07 — flip the lowest-|margin| sign bits, one
+    * at a time). Query-side only: probing the neighbors most likely to hold
+    * a true near neighbor buys recall at `probes×` candidate cost WITHOUT
+    * re-bucketing (or growing) the corpus side, which stays one bucket per
+    * table. Element 0 is always the base bucket, so `lshProbes(v, p, f,
+    * 1)[0] == lshBucket(v, p, f)` (differential-tested in ExpressionsSpec).
+    */
+  case class LshProbes(child: Expression, planes: Int, family: Int, probes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_lsh_probes expects array<float> (an embedding column), got ${other.sql}")
+      }
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.lshProbes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        planes, family, probes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.lshProbes($c, $planes, $family, $probes)")
+    override protected def withNewChildInternal(c: Expression): LshProbes = copy(child = c)
+    override def prettyName: String = "graft_lsh_probes"
+  }
+
   /** shingle_set(string, n) → array<string>: the near-dup hot path's
     * tokenize+n-gram+distinct in one codegen'd pass (see ExprImpl.shingleSet)
     * — replaces a Scala UDF whose Seq[String] bridging dominated the
@@ -104,6 +133,37 @@ object Expressions {
     override def prettyName: String = "graft_minhash_sig"
   }
 
+  /** dot_f32(array<float>, array<float>) → double: primitive-loop dot
+    * product, the hot inner op of every exact/verify cosine stage (see
+    * ExprImpl.dotF32 for the allocation story and null semantics). Nullable
+    * even for non-null inputs: ragged lengths / null elements → null,
+    * mirroring the zip_with Column form it replaces (which stays as the
+    * differential baseline, `Similarity.dotProductColumns`).
+    */
+  case class DotF32(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_dot expects (array<float>, array<float>), got (${l.sql}, ${r.sql})")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprImpl.dotF32(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double ${ev.value}_r = graft.functions.ExprImpl.dotF32($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot"
+  }
+
   /** simhash64(string) → long, with full whole-stage codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -142,6 +202,9 @@ object Expressions {
   def wktCentroid(c: Column): Column = wrap(WktCentroid(unwrap(c)))
   def lshBucket(c: Column, planes: Int, family: Int): Column =
     wrap(LshBucket(unwrap(c), planes, family))
+  def lshProbes(c: Column, planes: Int, family: Int, probes: Int): Column =
+    wrap(LshProbes(unwrap(c), planes, family, probes))
+  def dotF32(a: Column, b: Column): Column = wrap(DotF32(unwrap(a), unwrap(b)))
   def shingleSet(c: Column, n: Int): Column = wrap(ShingleSet(unwrap(c), n))
   def minhashSig(c: Column, numHashes: Int): Column = wrap(MinHashSig(unwrap(c), numHashes))
 }

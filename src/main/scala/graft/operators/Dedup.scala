@@ -267,6 +267,61 @@ object Dedup {
     */
   def simhash64(text: Column): Column = graft.functions.Expressions.simhash64(text)
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b) pair
+    * with cosine ≥ threshold. Quadratic all-pairs — the verification
+    * baseline and the oracle target, same role `ngramJaccardPairs` plays for
+    * text. Use `embeddingNearDupPairsLsh` at scale.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    // norms once per row (n of them), dot once per pair (n²/2) — see
+    // Similarity.norm; the n² side evaluates one primitive-loop expression
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      Similarity.norm(col(vecCol)).as("n_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      Similarity.norm(col(vecCol)).as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Embedding-cosine near-dup at scale: sign-LSH bucketing generates the
+    * candidate pairs (same-bucket in any of `tables` hash tables, each
+    * vector probing its `probes` most-plausible buckets per table), exact
+    * cosine verifies them — the vector twin of `minhashLshPairs`' band →
+    * bucket → verify shape. All joins equi-key (table, bucket); the
+    * candidate-dedup shuffle carries only id pairs; the verify join fetches
+    * vectors for the deduped candidate set only. Recall < 1 by construction
+    * (two near vectors can disagree on some plane in every table) — the
+    * planes/tables/probes triple trades recall against candidate density,
+    * and the driver records the measured recall each round (qt12r).
+    */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, planes: Int = 8, tables: Int = 4,
+                               probes: Int = 1): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).as("__v"))
+    val bucketed = v
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          graft.functions.Expressions.lshProbes(col("__v"), planes, t, probes).as("bs"))): _*)))
+      .select(col(idCol), col("tb.t").as("table"), explode(col("tb.bs")).as("bucket"))
+    val cands = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
+      .join(bucketed.select(col("table"), col("bucket"), col(idCol).as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = v.withColumn("__n", Similarity.norm(col("__v")))
+    cands
+      .join(withNorm.select(col(idCol).as("id_a"), col("__v").as("v_a"), col("__n").as("n_a")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col("__v").as("v_b"), col("__n").as("n_b")), "id_b")
+      .withColumn("cos_sim",
+        round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-blocked
     * on 4 16-bit chunks (any pair within distance ≤3 shares ≥1 exact chunk —
     * pigeonhole), so the join is equi-key, not quadratic.

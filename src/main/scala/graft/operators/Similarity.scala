@@ -16,16 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two equal-length numeric arrays, computed in
+  /** Cosine similarity of two equal-length float arrays, computed in
     * double precision: dot / (||a||·||b||).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (norm(a) * norm(b))
+
+  /** Σ aᵢ·bᵢ in double precision (left-to-right accumulation) — the native
+    * codegen'd primitive loop (Expressions.DotF32); `dotProductColumns`
+    * below is the bit-identical Column formulation kept for differential
+    * testing.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    graft.functions.Expressions.dotF32(a, b)
+
+  private[graft] def dotProductColumns(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+
+  /** L2 norm in double precision (√(v·v), same left-to-right accumulation
+    * as the aggregate form it replaces). A norm depends only on its own
+    * vector, so every pairwise operator below computes it ONCE per row
+    * before the pair join instead of per pair — bit-identical results, but
+    * per-pair work drops from three array traversals to one dot product.
+    */
+  def norm(a: Column): Column = sqrt(graft.functions.Expressions.dotF32(a, a))
 
   /** Exact brute-force top-k cosine neighbors for every vector of `queries`
     * against `corpus`. Self-pairs excluded when ids collide.
@@ -39,10 +54,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -143,11 +160,13 @@ object Similarity {
       // home cell and each query probes nProbe distinct cells, so a
       // (query, corpus) candidate materializes at most once — no dedup pass.
       val indexed = c.withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
-      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("cn", norm(col("cv")))
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
       val probes = q.withColumn("cell", explode(nearestCells(centroids, nProbe)(col("qv"))))
       val scored = probes.join(indexed, Seq("cell"))
         .filter(col("query_id") =!= col("corpus_id"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("corpus_id").asc)
       scored.withColumn("rnk", row_number().over(w))
@@ -194,24 +213,37 @@ object Similarity {
     * join within buckets only, exact cosine re-rank inside the candidate
     * set. Recall < 1, cost ≪ brute force; candidates-per-query bounded by
     * bucket sizes, not corpus size.
+    *
+    * `probes` > 1 enables query-side multi-probe (Lv et al., VLDB'07): each
+    * query additionally probes the `probes - 1` neighbor buckets whose
+    * hyperplane margin is smallest — where a true near neighbor most
+    * plausibly landed. Recall rises toward multi-table levels at probes×
+    * candidate cost per query while the CORPUS side stays one bucket per
+    * table — at 100 TB the corpus index is the expensive side (bucketing
+    * shuffle + storage × tables), so probing is the cheaper recall knob:
+    * tables multiply the index, probes only multiply the per-query join
+    * fan-out.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 12, tables: Int = 2,
+              planes: Int = 12, tables: Int = 2, probes: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, prefix: String): DataFrame =
-      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"))
+    def bucketed(df: DataFrame, prefix: String, nProbes: Int): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
+          norm(col(vecCol)).as(s"${prefix}n"))
         .withColumn("tb", explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), lshBucket(col(s"${prefix}v"), planes, t).as("b"))): _*)))
-        .select(col(s"${prefix}_id"), col(s"${prefix}v"),
-          col("tb.t").as("table"), col("tb.b").as("bucket"))
-    val c = bucketed(corpus, "c")
-    val q = bucketed(queries, "q")
+          struct(lit(t).as("t"),
+            graft.functions.Expressions.lshProbes(col(s"${prefix}v"), planes, t, nProbes).as("bs"))): _*)))
+        .select(col(s"${prefix}_id"), col(s"${prefix}v"), col(s"${prefix}n"),
+          col("tb.t").as("table"), explode(col("tb.bs")).as("bucket"))
+    val c = bucketed(corpus, "c", 1)
+    val q = bucketed(queries, "q", probes)
     val cands = q.join(c, Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("corpus_id"),
-        col("qv"), col("cv"))
+        col("qv"), col("cv"), col("qn"), col("cn"))
       .distinct()
-    val scored = cands.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val scored = cands.withColumn("sim",
+      round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     scored.withColumn("rnk", row_number().over(w))

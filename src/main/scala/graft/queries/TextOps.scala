@@ -82,21 +82,27 @@ object TextOps {
     * the exact subtree appears once in the plan (cross-joined with the tiny
     * variant dimension, then left-joined against the tagged union of the
     * approx results), so the brute-force pass executes once regardless of
-    * how many operating points are reported.
+    * how many operating points are reported. `idCols` names the result-pair
+    * identity ((query_id, corpus_id) for top-k; (id_a, id_b) for near-dup
+    * pair sets); each variant is keyed by a 3-int operating point labeled
+    * `labels`.
     */
-  private def recallQuery(exact: DataFrame, variants: Seq[(Int, Int, DataFrame)],
-                          c1: String, c2: String): DataFrame = {
+  private def recallQuery(exact: DataFrame, idCols: Seq[String],
+                          labels: (String, String, String),
+                          variants: Seq[((Int, Int, Int), DataFrame)]): DataFrame = {
     import exact.sparkSession.implicits._
-    val vdim = variants.map(v => (v._1, v._2)).toDF(c1, c2)
-    val tagged = variants.map { case (a, b, approx) =>
-      approx.select(col("query_id"), col("corpus_id"))
-        .withColumn(c1, lit(a)).withColumn(c2, lit(b)).withColumn("__hit", lit(1))
+    val (c1, c2, c3) = labels
+    val vdim = variants.map(_._1).toDF(c1, c2, c3)
+    val tagged = variants.map { case ((a, b, p), approx) =>
+      approx.select(idCols.map(col): _*)
+        .withColumn(c1, lit(a)).withColumn(c2, lit(b)).withColumn(c3, lit(p))
+        .withColumn("__hit", lit(1))
     }.reduce(_ unionByName _)
-    exact.select("query_id", "corpus_id").crossJoin(vdim)
-      .join(tagged, Seq(c1, c2, "query_id", "corpus_id"), "left")
-      .groupBy(col(c1), col(c2))
+    exact.select(idCols.map(col): _*).crossJoin(vdim)
+      .join(tagged, Seq(c1, c2, c3) ++ idCols, "left")
+      .groupBy(col(c1), col(c2), col(c3))
       .agg(round(avg(when(col("__hit").isNotNull, 1.0).otherwise(0.0)), 4).as("recall_vs_brute"))
-      .select(col(c1), col(c2), lit(5L).as("k"), col("recall_vs_brute"))
+      .select(col(c1), col(c2), col(c3), col("recall_vs_brute"))
   }
 
   /** Shared stopword list literal for the SQL oracles. */
@@ -209,17 +215,41 @@ object TextOps {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
       recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
-        Seq((6, 4, Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4)),
-          (3, 12, Similarity.lshTopK(e, q, k = 5, planes = 3, tables = 12))),
-        "planes", "tables")
+        Seq("query_id", "corpus_id"), ("planes", "tables", "probes"),
+        Seq(((6, 4, 1), Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4)),
+          ((3, 12, 1), Similarity.lshTopK(e, q, k = 5, planes = 3, tables = 12)),
+          // multi-probe: same 4-table index as point 1, 4 probe buckets per
+          // query per table — recall bought at query time, not index time
+          ((6, 4, 4), Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4, probes = 4))))
     }),
     "qt10r_ivf_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
       recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
-        Seq((16, 4, Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4, lloydIters = 1)),
-          (16, 14, Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 14, lloydIters = 1))),
-        "nlist", "n_probe")
+        Seq("query_id", "corpus_id"), ("nlist", "n_probe", "lloyd_iters"),
+        Seq(((16, 4, 1), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4, lloydIters = 1)),
+          ((16, 14, 1), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 14, lloydIters = 1))))
+    }),
+
+    // Embedding-cosine near-dup, exact all-pairs (quadratic baseline —
+    // the oracle target; threshold 0.4 sits just under the fixture's max
+    // pairwise cosine so the pair set is non-trivial at both SFs).
+    "qt12_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)),
+    // The scale path: LSH-bucketed candidates + exact-cosine verify, recall
+    // vs the exact pair set recorded per operating point (single-probe,
+    // multi-probe on the same index, and a fewer-tables+probes tradeoff).
+    "qt12r_embed_neardup_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      recallQuery(exact, Seq("id_a", "id_b"), ("planes", "tables", "probes"),
+        Seq(((8, 4, 1), Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
+            planes = 8, tables = 4, probes = 1)),
+          ((8, 4, 4), Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
+            planes = 8, tables = 4, probes = 4)),
+          ((8, 2, 4), Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
+            planes = 8, tables = 2, probes = 4))))
     }),
 
     // Multimodal plumbing over deterministic synthetic assets (no fixture
@@ -395,6 +425,16 @@ object TextOps {
          |   FROM cand JOIN sized sa ON sa.doc_id = id_a JOIN sized sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, round(inter / (ns - inter), 6) AS jaccard
          |FROM pair WHERE round(inter / (ns - inter), 6) >= 0.15""".stripMargin,
+    "qt12_embed_neardup" ->
+      """WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+        | b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+        | p AS (SELECT id_a, id_b,
+        |   list_sum(list_transform(range(1, len(va) + 1), i -> va[i]::DOUBLE * vb[i]::DOUBLE)) AS dot,
+        |   sqrt(list_sum(list_transform(va, x -> x::DOUBLE * x::DOUBLE))) AS na,
+        |   sqrt(list_sum(list_transform(vb, x -> x::DOUBLE * x::DOUBLE))) AS nb
+        |  FROM a JOIN b ON id_a < id_b)
+        |SELECT id_a, id_b, round(dot/(na*nb), 6) AS cos_sim FROM p
+        |WHERE round(dot/(na*nb), 6) >= 0.4""".stripMargin,
     "qt08_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         | c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),

@@ -76,6 +76,36 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("embeddingNearDupPairs: exact pair set, threshold-monotone, ordered ids") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val loose = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val tight = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect()
+    assert(loose.nonEmpty, "fixture should contain cosine≥0.3 pairs")
+    assert(loose.forall { case (a, b, s) => a < b && s >= 0.3 })
+    // raising the threshold selects exactly the matching subset
+    assert(tight.toSet === loose.filter(_._3 >= 0.45).toSet)
+  }
+
+  test("embeddingNearDupPairsLsh: subset of exact with useful recall; multi-probe monotone") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def lshPairs(tables: Int, probes: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
+        planes = 8, tables = tables, probes = probes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = lshPairs(4, 1)
+    val probed = lshPairs(4, 4)
+    // exact-cosine verification → precision 1: every LSH pair is an exact pair
+    assert(single.subsetOf(exact) && probed.subsetOf(exact))
+    // more probes only add candidates → pair recall is monotone
+    assert(single.subsetOf(probed))
+    val recall = probed.size.toDouble / exact.size
+    assert(recall > 0.3, s"pair recall $recall (|exact|=${exact.size})")
+  }
+
   test("simhash: identical text → distance 0; near dup within 3 bits of original") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()

@@ -106,6 +106,69 @@ class ExpressionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("native DotF32: bit-equal to the Column form on fixture vectors; null semantics; codegen-safe") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    // bit-exact against the independent zip_with+aggregate formulation
+    // (same left-to-right fp accumulation) — including the self-dot used
+    // by Similarity.norm
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter($"a.vec_id" < 6 && $"b.vec_id" < 6)
+      .select(
+        Expressions.dotF32($"a.embedding", $"b.embedding").as("native"),
+        graft.operators.Similarity.dotProductColumns($"a.embedding", $"b.embedding").as("cols"))
+    assert(pairs.filter($"native" =!= $"cols").count() === 0)
+    assert(pairs.filter($"native".isNull).count() === 0)
+    // ragged lengths and null elements → null (mirrors zip_with padding)
+    val deg = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(Expressions.dotF32($"a", $"b").as("d")).as[Option[Double]].collect().toSeq
+    assert(deg === Seq(None, Some(5.0)))
+    // compiles inside whole-stage codegen (no silent interpreter fallback)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(e.select(Expressions.dotF32($"embedding", $"embedding")).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    // SQL-callable through GraftExtensions
+    e.createOrReplaceTempView("emb_dot_sql")
+    val viaSql = spark.sql(
+      "SELECT max(abs(graft_dot(embedding, embedding))) AS m FROM emb_dot_sql").as[Double].head()
+    assert(viaSql > 0)
+  }
+
+  test("native LshProbes: base bucket first, one-bit flips ordered by margin, codegen-safe") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val rows = e.orderBy("vec_id").select(
+      graft.operators.Similarity.lshBucket($"embedding", planes = 8, family = 2).as("base"),
+      Expressions.lshProbes($"embedding", planes = 8, family = 2, probes = 4).as("ps"))
+      .as[(Long, Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (base, ps) =>
+      assert(ps.length === 4)
+      assert(ps.head === base) // element 0 is always the base bucket
+      assert(ps.distinct.length === 4) // flipping distinct bits → distinct buckets
+      // every probe differs from base in exactly one of the 8 plane bits
+      ps.tail.foreach(p => assert(java.lang.Long.bitCount(p ^ base) === 1, s"$base vs $p"))
+    }
+    // probes capped at planes + 1 (base + one flip per plane)
+    val capped = e.limit(1).select(
+      Expressions.lshProbes($"embedding", 4, 0, 99).as("ps")).as[Seq[Long]].head()
+    assert(capped.length === 5)
+    // compiles inside whole-stage codegen (no silent interpreter fallback)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(e.select(Expressions.lshProbes($"embedding", 6, 0, 3)).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    // SQL-callable through GraftExtensions with literal int parameters
+    e.createOrReplaceTempView("emb_probe_sql")
+    val viaSql = spark.sql(
+      "SELECT graft_lsh_probes(embedding, 8, 2, 4)[0] AS b FROM emb_probe_sql ORDER BY vec_id")
+      .as[Long].collect().toSeq
+    assert(viaSql === rows.map(_._1).toSeq)
+  }
+
   test("native wktCentroid equals the UDF path on polygons with holes") {
     val wkt = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (0 0, 2 0, 2 2, 0 2, 0 0))"
     val native = Seq(wkt).toDF("w").select(Expressions.wktCentroid($"w").as("c"))

@@ -55,4 +55,23 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.35, s"recall@5 = $recall") // ≫ noise floor (5/500 = 1%)
   }
+
+  test("lshTopK multi-probe: candidate superset of single-probe → recall never drops") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallOf(probes: Int): Double = {
+      val approx = Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4, probes = probes)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r4 = recallOf(4)
+    // probing 3 extra lowest-margin buckets can only ADD candidates; the
+    // exact rerank keeps the best k, so recall is monotone in probes
+    assert(r4 >= r1, s"multi-probe recall $r4 < single-probe $r1")
+    // and on the near-random fixture the boost should be material, not noise
+    assert(r4 > r1 + 0.05, s"expected a material multi-probe boost: $r1 -> $r4")
+  }
 }
