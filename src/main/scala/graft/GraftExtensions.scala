@@ -79,5 +79,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Expressions.LshProbes(args.head, intLit(args(1), "planes"),
           intLit(args(2), "family"), intLit(args(3), "probes"))
       }))
+    e.injectFunction((FunctionIdentifier("graft_normalize"),
+      info("graft_normalize",
+        "graft_normalize(str, form) - Unicode normalization; form is a string literal " +
+          "NFC/NFD/NFKC/NFKD (default NFC with one argument)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_normalize takes 1-2 arguments (str[, form]), got ${args.length}")
+        val form = if (args.length == 1) "NFC" else args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize: form must be a string literal, got $other")
+        }
+        Expressions.NormalizeText(args.head, form)
+      }))
+    e.injectFunction((FunctionIdentifier("graft_strip_accents"),
+      info("graft_strip_accents",
+        "graft_strip_accents(str) - NFD decomposition + combining-mark removal."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_strip_accents takes 1 argument, got ${args.length}")
+        Expressions.StripAccents(args.head)
+      }))
   }
 }

@@ -157,6 +157,35 @@ object ExprImpl {
     java.lang.Double.valueOf(s)
   }
 
+  private val combiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  private val normForms = Array(java.text.Normalizer.Form.NFC,
+    java.text.Normalizer.Form.NFD, java.text.Normalizer.Form.NFKC,
+    java.text.Normalizer.Form.NFKD)
+
+  /** Unicode normalization (java.text.Normalizer). `form` indexes
+    * NFC/NFD/NFKC/NFKD (0-3) — an int, not the enum, because the generated
+    * whole-stage Java calls this as a plain static and Janino handles
+    * primitive literals more robustly than enum constant references. The
+    * index is baked in at plan time by the Expression, never varies per
+    * row. UTF8String round-trips through java.lang.String because the
+    * normalization tables live there.
+    */
+  def normalizeText(s: UTF8String, form: Int): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, normForms(form)))
+
+  /** Accent stripping: canonical decomposition (NFD) then removal of all
+    * combining marks — café → cafe, ế → e. Matches DuckDB/utf8proc
+    * `strip_accents` on Latin text (differentially tested in the qt13
+    * oracle). Not a transliterator: ø, ß, æ are single code points, not
+    * base+mark, and pass through unchanged (as they do in utf8proc).
+    */
+  def stripAccents(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      combiningMarks.matcher(
+        java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD))
+        .replaceAll(""))
+
   /** Multi-probe sign-LSH (Lv et al., VLDB'07): the base bucket (identical
     * to `lshBucket`, always element 0) plus up to `probes - 1` neighbor
     * buckets, each flipping the single sign bit whose hyperplane the vector

@@ -164,6 +164,38 @@ object Expressions {
     override def prettyName: String = "graft_dot"
   }
 
+  /** normalize_text(string, form) → string: Unicode normalization with the
+    * form (NFC/NFD/NFKC/NFKD) fixed at plan time. Spark itself ships no
+    * normalization function, yet corpus dedup NEEDS one — the same visible
+    * text arrives composed from one crawl and decomposed from another, and
+    * every hash-based operator (fingerprints, MinHash, exact dedup) treats
+    * them as distinct documents unless the pipeline canonicalizes first.
+    */
+  case class NormalizeText(child: Expression, form: String) extends UnaryExpression {
+    private val formIdx = Seq("NFC", "NFD", "NFKC", "NFKD").indexOf(form.toUpperCase)
+    require(formIdx >= 0, s"unknown normalization form '$form' (want NFC/NFD/NFKC/NFKD)")
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.normalizeText(v.asInstanceOf[UTF8String], formIdx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.normalizeText($c, $formIdx)")
+    override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+    override def prettyName: String = "graft_normalize"
+  }
+
+  /** strip_accents(string) → string: NFD + combining-mark removal (see
+    * ExprImpl.stripAccents for the exact contract vs utf8proc).
+    */
+  case class StripAccents(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.stripAccents(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.stripAccents($c)")
+    override protected def withNewChildInternal(c: Expression): StripAccents = copy(c)
+    override def prettyName: String = "graft_strip_accents"
+  }
+
   /** simhash64(string) → long, with full whole-stage codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -206,5 +238,8 @@ object Expressions {
     wrap(LshProbes(unwrap(c), planes, family, probes))
   def dotF32(a: Column, b: Column): Column = wrap(DotF32(unwrap(a), unwrap(b)))
   def shingleSet(c: Column, n: Int): Column = wrap(ShingleSet(unwrap(c), n))
+  def normalizeText(c: Column, form: String = "NFC"): Column =
+    wrap(NormalizeText(unwrap(c), form))
+  def stripAccents(c: Column): Column = wrap(StripAccents(unwrap(c)))
   def minhashSig(c: Column, numHashes: Int): Column = wrap(MinHashSig(unwrap(c), numHashes))
 }

@@ -145,6 +145,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark-contamination scan: for every (corpus doc, benchmark doc)
+    * pair sharing at least one word n-gram, the CONTAINMENT of the benchmark
+    * item in the corpus doc — |sh(doc) ∩ sh(bench)| / |sh(bench)| — i.e.
+    * "what fraction of this eval example's n-grams does this training
+    * document carry". Containment, not Jaccard: a 10-line benchmark answer
+    * pasted into a 10-page document has tiny Jaccard but containment ≈ 1,
+    * and it's the training doc that must be dropped (Brown et al. 2020 §C
+    * use the same n-gram-containment definition for GPT-3 decontamination).
+    *
+    * Same inverted-index plan as [ngramJaccardPairsIndexed]: explode both
+    * sides' shingle sets, equi-join on the shingle, count intersections —
+    * pairs sharing nothing never materialize, and the benchmark side is
+    * tiny (eval suites, not corpora), so at 100 TB the join is effectively
+    * a semi-broadcast probe of the corpus posting lists.
+    */
+  def ngramContainmentPairs(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int, threshold: Double): DataFrame = {
+    def posts(df: DataFrame, prefix: String) =
+      df.select(col(idCol).as(s"${prefix}_id"), wordShingles(col(textCol), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col(s"${prefix}_id"), size(col("sh")).as(s"n_$prefix"),
+          explode(col("sh")).as("shingle"))
+    posts(corpus, "doc")
+      .join(posts(benchmark, "bench"), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"), col("n_bench"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round(col("inter") / col("n_bench"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
+
   /** splitmix64-style finalizer used to derive hash-family member i from a
     * base hash (one string hash per shingle, numHashes cheap mixes).
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.AsOf
+import graft.operators.{AsOf, Split, TableDiff}
 import graft.pipeline.Silver
 
 /** Extended analytics operators beyond the reference's own surface (SURVEY
@@ -358,6 +358,31 @@ object Extras {
         lit(null).cast("string").as("municipio_mitma"),
         lit(null).cast("string").as("gau_mitma"))
       Silver.income(renta, municipios, relations)
+    }),
+
+    // Deterministic hash-keyed train/val/test assignment (8/1/1 by weight):
+    // the split column is a pure function of the key, so the same row lands
+    // in the same split on any cluster/partitioning — verified by having
+    // DuckDB re-derive the md5-fraction assignment independently and
+    // hash-comparing per-split aggregates.
+    "q43_split" -> ((s, d) =>
+      Split.assignSplit(T(s, d, "orders"), col("o_orderkey"),
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = "r2")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))),
+
+    // Snapshot diff (CDC): two deterministic snapshots of orders (deletes =
+    // keys divisible by 5, inserts = keys divisible by 7, updates = price
+    // uplift on keys divisible by 3) diffed into insert/delete/update rows.
+    "q44_table_diff" -> ((s, d) => {
+      val base = T(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      TableDiff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -619,5 +644,33 @@ object Extras {
         |   tipo ASC NULLS FIRST, valor ASC NULLS FIRST, distrito_mitma ASC NULLS FIRST,
         |   municipio_mitma ASC NULLS FIRST, gau_mitma ASC NULLS FIRST) AS rn FROM joined)
         |SELECT codigo_ine, fecha, nombre, tipo, valor, distrito_mitma, municipio_mitma, gau_mitma
-        |FROM ranked WHERE rn = 1""".stripMargin)
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    // 16^12 = 281474976710656; thresholds 8/10 and 9/10 are exact doubles,
+    // so the CASE literals match Spark's normalized cumulative weights bit
+    // for bit.
+    "q43_split" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice,
+        |   (('0x' || substr(md5(o_orderkey::VARCHAR || 'r2'), 1, 12))::BIGINT)::DOUBLE
+        |     / 281474976710656.0 AS u
+        |  FROM orders),
+        | s AS (SELECT *, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |                      ELSE 'test' END AS split FROM b)
+        |SELECT split, count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sum_price,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM s GROUP BY split""".stripMargin,
+    "q44_table_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        | os AS (SELECT * FROM base WHERE o_orderkey % 7 != 0),
+        | ns AS (SELECT o_orderkey, o_orderstatus,
+        |   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 != 0),
+        | j AS (SELECT coalesce(os.o_orderkey, ns.o_orderkey) AS o_orderkey,
+        |   CASE WHEN os.o_orderkey IS NULL THEN 'insert'
+        |        WHEN ns.o_orderkey IS NULL THEN 'delete'
+        |        WHEN (os.o_orderstatus IS DISTINCT FROM ns.o_orderstatus)
+        |          OR (os.o_totalprice IS DISTINCT FROM ns.o_totalprice) THEN 'update' END AS change_type,
+        |   os.o_orderstatus AS o_orderstatus_old, ns.o_orderstatus AS o_orderstatus_new,
+        |   os.o_totalprice AS o_totalprice_old, ns.o_totalprice AS o_totalprice_new
+        |  FROM os FULL OUTER JOIN ns ON os.o_orderkey = ns.o_orderkey)
+        |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin)
 }

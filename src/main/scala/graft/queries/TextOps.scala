@@ -252,6 +252,49 @@ object TextOps {
             planes = 8, tables = 2, probes = 4))))
     }),
 
+    // Unicode normalization differential: the fixture text is ASCII, so the
+    // query MANUFACTURES the two canonical-equivalence hazards from it —
+    // composed accents (translate a→á …) and decomposed ones (e + U+0301) —
+    // then hash-compares graft's java.text.Normalizer-backed expressions
+    // against DuckDB's utf8proc (nfc_normalize / strip_accents): two
+    // independent Unicode implementations agreeing on NFC and mark
+    // stripping, per document.
+    "qt13_normalize" -> ((s, d) => {
+      val E = graft.functions.Expressions
+      val accented = translate(col("text"), "aeiou", "áéíóú")
+      val decomposed = regexp_replace(col("text"), "e", "e\u0301") // e + combining acute
+      T(s, d, "documents").select(
+        col("doc_id"),
+        md5(E.normalizeText(decomposed, "NFC")).as("nfc_md5"),
+        length(E.normalizeText(decomposed, "NFC")).cast("long").as("nfc_len"),
+        length(decomposed).cast("long").as("raw_len"),
+        md5(E.stripAccents(accented)).as("strip_md5"),
+        (E.stripAccents(accented) === col("text")).as("strip_roundtrip"))
+    }),
+
+    // Gopher-style within-document repetition signals. The fixture has no
+    // line structure, so both engines first materialize 2-word lines
+    // (regexp: every non-overlapping "w1 w2 " → "w1 w2\n") — short lines
+    // from a ~31-word vocabulary so SOME docs genuinely repeat a line, while
+    // top_bigram_frac is dense everywhere.
+    "qt14_repetition" -> ((s, d) =>
+      graft.operators.Repetition.repetitionSignals(
+        T(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n")),
+        "doc_id", "text")),
+
+    // Benchmark decontamination: docs 17|doc_id play the eval suite, the
+    // rest the training corpus; report every corpus doc carrying ≥5% of a
+    // benchmark item's 3-gram shingles (the fixture's two planted
+    // contaminated docs surface at containment ≈ 1).
+    "qt15_contamination" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.ngramContainmentPairs(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 3, threshold = 0.05)
+    }),
+
     // Multimodal plumbing over deterministic synthetic assets (no fixture
     // table exists for binary payloads). The generator's size/modality/
     // duration contract is pure arithmetic, so BOTH queries carry a DuckDB
@@ -435,6 +478,62 @@ object TextOps {
         |  FROM a JOIN b ON id_a < id_b)
         |SELECT id_a, id_b, round(dot/(na*nb), 6) AS cos_sim FROM p
         |WHERE round(dot/(na*nb), 6) >= 0.4""".stripMargin,
+    // Two independent Unicode stacks (java.text.Normalizer vs utf8proc)
+    // must produce byte-identical NFC/strip-accents output on the
+    // manufactured composed/decomposed text.
+    "qt13_normalize" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   translate(text, 'aeiou', 'áéíóú') AS accented,
+        |   replace(text, 'e', 'e' || chr(769)) AS decomposed
+        |  FROM documents)
+        |SELECT doc_id,
+        | md5(nfc_normalize(decomposed)) AS nfc_md5,
+        | length(nfc_normalize(decomposed))::BIGINT AS nfc_len,
+        | length(decomposed)::BIGINT AS raw_len,
+        | md5(strip_accents(accented)) AS strip_md5,
+        | strip_accents(accented) = text AS strip_roundtrip
+        |FROM t""".stripMargin,
+    "qt14_repetition" -> {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+      s"""WITH lined AS (SELECT doc_id,
+         |   regexp_replace(text, '(\\S+ \\S+) ', '\\1' || chr(10), 'g') AS text
+         |  FROM documents),
+         | lraw AS (SELECT doc_id, trim(l) AS line
+         |  FROM lined, unnest(string_split(text, chr(10))) AS u(l) WHERE trim(l) != ''),
+         | lcnt AS (SELECT doc_id, line, count(*) AS cnt, max(length(line)) AS len
+         |  FROM lraw GROUP BY doc_id, line),
+         | lstat AS (SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+         |   sum(cnt - 1)::DOUBLE / sum(cnt) AS dup_line_frac,
+         |   sum((cnt - 1) * len)::DOUBLE / sum(cnt * len) AS dup_line_char_frac
+         |  FROM lcnt GROUP BY doc_id),
+         | toks AS (SELECT doc_id, $toks AS ts FROM lined),
+         | bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+         |  FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+         | bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g),
+         | bgstat AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top_bigram_frac
+         |  FROM bgc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+         | coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+         | coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         | coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+         |FROM documents d LEFT JOIN lstat USING (doc_id) LEFT JOIN bgstat USING (doc_id)""".stripMargin
+    },
+    "qt15_contamination" -> {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+      s"""WITH t AS (SELECT doc_id, $toks AS ts FROM documents),
+         | sh AS (SELECT doc_id, CASE WHEN len(ts) = 0 THEN []
+         |    WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+         |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) END AS sh FROM t),
+         | sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+         | pc AS (SELECT doc_id, s FROM (SELECT doc_id, sh FROM sized WHERE doc_id % 17 != 0), unnest(sh) AS u(s)),
+         | pb AS (SELECT bench_id, n_bench, s
+         |  FROM (SELECT doc_id AS bench_id, sh, n AS n_bench FROM sized WHERE doc_id % 17 = 0), unnest(sh) AS u(s)),
+         | pair AS (SELECT doc_id, bench_id, n_bench, count(*) AS inter
+         |  FROM pc JOIN pb USING (s) GROUP BY doc_id, bench_id, n_bench)
+         |SELECT doc_id, bench_id, round(inter / n_bench, 6) AS containment
+         |FROM pair WHERE round(inter / n_bench, 6) >= 0.05""".stripMargin
+    },
     "qt08_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         | c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),

@@ -106,6 +106,29 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.3, s"pair recall $recall (|exact|=${exact.size})")
   }
 
+  test("ngramContainmentPairs: planted contamination found; containment vs jaccard asymmetry") {
+    // bench doc 10 is fully contained in the much larger corpus doc 20 —
+    // high containment, low jaccard (the case Jaccard-based dedup misses)
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (21L, "totally unrelated words about storage engines and columnar files"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "gamma delta epsilon zeta"),
+      (11L, "phi chi psi omega")).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.5).as[(Long, Long, Double)].collect().toSeq
+    // bench 10's two 3-grams both appear in corpus 20 → containment 1.0;
+    // bench 11 shares nothing → absent
+    assert(got === Seq((20L, 10L, 1.0)))
+    // jaccard for the same pair is tiny: 2 shared / (18 + 2 - 2)
+    val j = Dedup.ngramJaccardPairs(
+      corpus.filter($"doc_id" === 20).unionByName(bench.filter($"doc_id" === 10)),
+      "doc_id", "text", n = 3, threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+    assert(j.length === 1 && j.head._3 < 0.15)
+  }
+
   test("simhash: identical text → distance 0; near dup within 3 bits of original") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
