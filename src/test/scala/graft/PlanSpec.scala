@@ -107,4 +107,34 @@ class PlanSpec extends SparkSpec {
       !p.contains("Exchange hashpartitioning(o_orderkey"),
       s"bucketed join still shuffles on the join key:\n$p")
   }
+
+  test("split assignment is a narrow map: no join, no pre-aggregate shuffle of the table") {
+    val df = graft.operators.Split.assignSplit(Tables.table(spark, sf, "orders"),
+      col("o_orderkey"), Seq("a" -> 1.0, "b" -> 1.0))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"split must not shuffle — it's a pure column map:\n$p")
+  }
+
+  test("snapshotDiff is one full-outer join, both sides hash-partitioned, no product") {
+    val base = Tables.table(spark, sf, "orders")
+    val df = graft.operators.TableDiff.snapshotDiff(
+      base.filter(col("o_orderkey") % 7 =!= 0), base.filter(col("o_orderkey") % 5 =!= 0),
+      Seq("o_orderkey"))
+    val p = plan(df)
+    assert(p.contains("FullOuter"), s"expected full outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly one join in the plan (not one per compared column)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).size === 1, s"expected a single join:\n$p")
+  }
+
+  test("contamination and repetition plans stay equi-keyed (no product)") {
+    for (q <- Seq("qt15_contamination", "qt14_repetition")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a product:\n$p")
+    }
+  }
 }
