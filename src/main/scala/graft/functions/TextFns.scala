@@ -78,6 +78,31 @@ object TextFns {
     }
   }
 
+  /** PII redaction patterns. Deliberately RE2-compatible (no lookarounds,
+    * no backreferences) so the exact same pattern strings run in Spark
+    * (java.util.regex) and the DuckDB oracle (RE2) with identical results —
+    * the qt17 differential holds both engines to the same redaction.
+    */
+  object Pii {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "[+(]?\\d[\\d .()-]{6,}\\d"
+  }
+
+  /** Redacts emails, IPv4 addresses, and phone-shaped digit runs with
+    * typed placeholder tokens — the minimum-viable scrub pass a training
+    * corpus needs before anything else touches it. Order matters: emails
+    * first (their local parts can contain digits), then IPs (dotted quads
+    * would otherwise be eaten as phone digits), then phones. Pure chained
+    * `regexp_replace` — codegen'd, streaming-safe, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, Pii.email, "<EMAIL>"),
+        Pii.ipv4, "<IP>"),
+      Pii.phone, "<PHONE>")
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * stable content hash for exact dedup across formatting noise.
     */

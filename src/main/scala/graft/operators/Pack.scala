@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: lay documents end-to-end and cut the
+  * token stream into fixed-budget training sequences (GPT-style
+  * concat-and-chunk — documents MAY split across sequence boundaries; the
+  * packing is exact, no padding waste). The inverse map — which piece of
+  * which document lands in which sequence at which offset — is what the
+  * data loader needs, and that's what this emits.
+  *
+  * Scale design: a single global token stream would serialize on one
+  * partition, so documents are first sharded by a deterministic key hash
+  * ([Split.hashFraction] — the same engine-independent md5 fraction the
+  * split operator uses); each shard packs independently (one window over
+  * the shard's doc order), and a sequence is identified by (shard, seq).
+  * With `shards` ≈ cluster parallelism the window state per task is one
+  * shard's documents — 100 TB packs as ~shards independent linear scans.
+  * Assignment is a pure function of (key order, token counts): stable
+  * across runs, partitioning, and cluster size, like everything else in
+  * the split family.
+  */
+object Pack {
+
+  /** Packs `df`'s documents into sequences of exactly `budget` tokens.
+    * Output, one row per (document piece): `idCol`, `shard`, `seq`
+    * (sequence index within the shard), `tok_start` (offset of the piece
+    * INSIDE the document), `tok_len` (piece length). A document shorter
+    * than the remaining room in the current sequence stays whole
+    * (tok_start 0, tok_len = its token count); a document straddling
+    * sequence boundaries appears once per sequence it touches. Documents
+    * with a non-positive token count are dropped.
+    *
+    * Ordering within a shard is ascending `idCol` — deterministic, not
+    * load-balanced; the hash sharding is what spreads load.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val id = col(idCol)
+    val sharded = df.filter(col(tokenCol) > 0)
+      .withColumn("shard", floor(Split.hashFraction(id) * shards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sharded
+      .withColumn("cum", sum(col(tokenCol)).over(w))
+      .withColumn("prev", col("cum") - col(tokenCol))
+    // the doc occupies stream positions [prev, cum); sequence b covers
+    // [b*budget, (b+1)*budget) — emit one piece per overlapped sequence
+    cum
+      .withColumn("seq", explode(sequence(
+        floor(col("prev") / budget).cast("long"),
+        floor((col("cum") - 1) / budget).cast("long"))))
+      .select(id, col("shard"), col("seq"),
+        (greatest(col("prev"), col("seq") * budget) - col("prev")).cast("long").as("tok_start"),
+        (least(col("cum"), (col("seq") + 1) * budget)
+          - greatest(col("prev"), col("seq") * budget)).cast("long").as("tok_len"))
+  }
+
+  /** Padding-free packing efficiency probe: per shard, the number of
+    * sequences and the fill of the LAST (only partially filled) one —
+    * everything before it is exactly `budget` tokens by construction.
+    */
+  def packingStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("shard"), col("seq"))
+      .agg(sum(col("tok_len")).as("fill"), count(lit(1)).as("n_pieces"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(col("fill") === budget, 1L).otherwise(0L)).as("full_seqs"),
+        min(col("fill")).as("min_fill"),
+        max(col("n_pieces")).as("max_pieces_per_seq"))
+}

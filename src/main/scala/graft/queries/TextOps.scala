@@ -295,6 +295,32 @@ object TextOps {
         "doc_id", "text", n = 3, threshold = 0.05)
     }),
 
+    // Sequence packing (concat-and-chunk): documents → fixed-128-token
+    // training sequences across 8 hash shards; the oracle re-derives the
+    // whole assignment (shard hash, running totals, boundary splits) in
+    // windowed SQL. Budget and shard count are powers of two so every
+    // division in the assignment is exact in both engines.
+    "qt16_pack" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Pack.packSequences(docs, "doc_id", "n_tokens",
+        budget = 128L, shards = 8)
+    }),
+
+    // PII scrub differential: the fixture has no PII, so both engines embed
+    // the same synthetic email/IP/phone into each document, then must agree
+    // byte-for-byte on the redacted text (same RE2-safe patterns, Java
+    // regex vs RE2).
+    "qt17_scrub" -> ((s, d) => {
+      val pii = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 192.168."), (col("doc_id") % 256).cast("string"),
+        lit(".42 or call +34 600 123 4"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      T(s, d, "documents").select(
+        col("doc_id"), TextFns.scrubPii(pii).as("scrubbed"))
+    }),
+
     // Multimodal plumbing over deterministic synthetic assets (no fixture
     // table exists for binary payloads). The generator's size/modality/
     // duration contract is pure arithmetic, so BOTH queries carry a DuckDB
@@ -533,6 +559,41 @@ object TextOps {
          |  FROM pc JOIN pb USING (s) GROUP BY doc_id, bench_id, n_bench)
          |SELECT doc_id, bench_id, round(inter / n_bench, 6) AS containment
          |FROM pair WHERE round(inter / n_bench, 6) >= 0.05""".stripMargin
+    },
+    "qt16_pack" -> {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+      s"""WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents),
+         | sharded AS (SELECT doc_id, n_tokens,
+         |   floor((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT)::DOUBLE
+         |     / 281474976710656.0 * 8)::INT AS shard
+         |  FROM d WHERE n_tokens > 0),
+         | cums AS (SELECT doc_id, shard, n_tokens,
+         |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sharded),
+         | spans AS (SELECT doc_id, shard, cum, cum - n_tokens AS prev FROM cums),
+         | pieces AS (SELECT doc_id, shard, prev, cum,
+         |   unnest(generate_series(floor(prev / 128)::BIGINT,
+         |     floor((cum - 1) / 128)::BIGINT)) AS seq
+         |  FROM spans)
+         |SELECT doc_id, shard, seq,
+         | (greatest(prev, seq * 128) - prev)::BIGINT AS tok_start,
+         | (least(cum, (seq + 1) * 128) - greatest(prev, seq * 128))::BIGINT AS tok_len
+         |FROM pieces""".stripMargin
+    },
+    "qt17_scrub" -> {
+      import graft.functions.TextFns.Pii
+      s"""WITH p AS (SELECT doc_id,
+         |   substr(text, 1, 40) || ' contact user' || doc_id::VARCHAR ||
+         |   '@mail.example.com from 192.168.' || (doc_id % 256)::VARCHAR ||
+         |   '.42 or call +34 600 123 4' || lpad((doc_id % 100)::VARCHAR, 2, '0') AS pii
+         |  FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(pii,
+         |   '${Pii.email}', '<EMAIL>', 'g'),
+         |   '${Pii.ipv4}', '<IP>', 'g'),
+         |   '${Pii.phone}', '<PHONE>', 'g') AS scrubbed
+         |FROM p""".stripMargin
     },
     "qt08_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

@@ -126,6 +126,37 @@ object Streams {
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
 
+  /** Stream-static enrichment: join each micro-batch against a slowly
+    * changing dimension (the streaming twin of the silver pipeline's
+    * zone/holiday lookups). The dimension is broadcast — per micro-batch,
+    * executors probe a replicated hash map; the stream side never
+    * shuffles, which is the only stream-static plan that holds up when the
+    * stream is the 100 TB/day side. Left join so unmatched events survive
+    * (dimension gaps must not drop facts).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
+  /** Watermarked stream-stream equi-join with a bounded time skew: rows of
+    * the two streams pair when their keys match AND the right timestamp is
+    * within [-withinBefore, +withinAfter] of the left one. The time bound +
+    * both-side watermarks are what make the state PRUNABLE (Spark evicts
+    * buffered rows once the watermark passes their join range); an
+    * unbounded stream-stream join would buffer both streams forever.
+    * Timestamp columns must be pre-renamed distinct (`lTs` / `rTs`).
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          lTs: String, rTs: String,
+                          withinBefore: String = "10 minutes",
+                          withinAfter: String = "10 minutes",
+                          watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(lTs, watermark)
+    val r = right.withWatermark(rTs, watermark)
+    l.join(r, keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rTs) >= l(lTs) - expr(s"interval $withinBefore") &&
+      r(rTs) <= l(lTs) + expr(s"interval $withinAfter"))
+  }
+
   /** Micro-batch upsert sink: maintains a keyed parquet snapshot by applying
     * Upsert.keyedUpsert per micro-batch (foreachBatch) — the streaming
     * continuation of the reference's idempotent MERGE loads.

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pack
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: hand-checked chunking within one shard") {
+    // one shard → deterministic linear layout; budget 10
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 7L), (4L, 10L), (5L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val got = Pack.packSequences(docs, "doc_id", "n_tokens", budget = 10, shards = 1)
+      .orderBy("doc_id", "seq")
+      .select("doc_id", "seq", "tok_start", "tok_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // stream: d1[0,4) d2[4,8) d3[8,15) d4[15,25) d5[25,26)
+    assert(got === Seq(
+      (1L, 0L, 0L, 4L),            // fits seq 0
+      (2L, 0L, 0L, 4L),            // fits seq 0
+      (3L, 0L, 0L, 2L), (3L, 1L, 2L, 5L),   // straddles 0/1
+      (4L, 1L, 0L, 5L), (4L, 2L, 5L, 5L),   // straddles 1/2
+      (5L, 2L, 0L, 1L)))
+  }
+
+  test("packSequences: invariants on the fixture — conservation, exact fills, stability") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = Pack.packSequences(docs, "doc_id", "n_tokens", budget = 128, shards = 8).cache()
+    // token conservation: every document's tokens all land somewhere
+    val inTokens = docs.filter($"n_tokens" > 0).agg(sum("n_tokens")).as[Long].head()
+    assert(packed.agg(sum("tok_len")).as[Long].head() === inTokens)
+    // piece offsets tile each document exactly: min start 0, contiguous
+    val perDoc = packed.groupBy("doc_id")
+      .agg(min("tok_start").as("mn"), max($"tok_start" + $"tok_len").as("mx"),
+        sum("tok_len").as("tot"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter($"mn" =!= 0 || $"mx" =!= $"n_tokens" || $"tot" =!= $"n_tokens")
+      .count() === 0)
+    // every sequence except a shard's last is filled to exactly the budget
+    val stats = Pack.packingStats(packed, 128)
+    assert(stats.filter($"n_seqs" - 1 =!= $"full_seqs" && $"n_seqs" =!= $"full_seqs")
+      .count() === 0)
+    // assignment independent of input partitioning
+    val repacked = Pack.packSequences(docs.repartition(17), "doc_id", "n_tokens",
+      budget = 128, shards = 8)
+    assert(packed.except(repacked).count() === 0 && repacked.except(packed).count() === 0)
+    packed.unpersist()
+  }
+
+  test("scrubPii: emails, IPs, phones redacted; clean text untouched") {
+    val df = Seq(
+      "write to jane.doe+x@corp.example.org today",
+      "server 10.0.255.7 rebooted",
+      "call +34 600 123 456 now",
+      "or (555) 123-4567 ext",
+      "just plain words 42 here").toDF("t")
+    val got = df.select(graft.functions.TextFns.scrubPii($"t")).as[String].collect().toSeq
+    assert(got === Seq(
+      "write to <EMAIL> today",
+      "server <IP> rebooted",
+      "call <PHONE> now",
+      "or <PHONE> ext",
+      "just plain words 42 here"))
+  }
+}

@@ -131,4 +131,44 @@ class StreamsSpec extends SparkSpec {
       assert(spark.table("dd").count() === 2)
     } finally q.stop()
   }
+
+  test("enrichStream joins a broadcast dimension; unmatched events survive") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "view", 2.0),
+      Event(3, ts(2), 99, "click", 3.0)) // user 99 not in the dimension
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "tier")
+    val q = Streams.enrichStream(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enr").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(got === Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreams pairs keys within the time bound only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts(0), 1, "click", 0),
+      Event(2, ts(0), 2, "click", 0))
+    buys.addData(
+      Event(10, ts(5), 1, "buy", 9.0),   // within 10 min of user 1's click
+      Event(11, ts(40), 2, "buy", 7.0))  // 40 min after user 2's click → out of bound
+    val l = clicks.toDF().select($"user_id", $"event_id".as("click_id"), $"ts".as("l_ts"))
+    val r = buys.toDF().select($"user_id", $"event_id".as("buy_id"), $"ts".as("r_ts"))
+    val q = Streams.intervalJoinStreams(l, r, Seq("user_id"), "l_ts", "r_ts")
+      .select("click_id", "buy_id")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ij").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 10L)))
+    } finally q.stop()
+  }
 }
