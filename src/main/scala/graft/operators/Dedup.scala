@@ -177,6 +177,60 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("containment"))
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS (any of the operators above) into dedup
+    * DECISIONS: docs joined by a chain of pairwise matches form one
+    * cluster, and the cluster keeps one canonical member. Min-label
+    * propagation: every node starts labeled with its own id; each round a
+    * node adopts the smallest label among itself and its neighbors;
+    * converges in O(cluster diameter) rounds. Near-dup graphs are piles of
+    * small dense clusters (diameter rarely exceeds a handful), so the
+    * round count is tiny and data-independent of corpus size; each round
+    * is one equi-join + min-aggregate over the PAIRED nodes only (not the
+    * corpus), with `localCheckpoint` truncating the iterative lineage.
+    * The O(log n)-round large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce", 2014) only pays off on
+    * long-chain graphs that near-dup sets don't produce.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          col("component").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select("id", "component")
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
+        "(a pair graph this deep is not a near-dup cluster shape)")
+    labels
+  }
+
+  /** Near-dup dedup decision: every document keeps its cluster's minimum
+    * id as `component`; unpaired documents are their own singleton
+    * cluster. `is_canonical` marks the one row per cluster to keep.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    df.select(col(idCol))
+      .join(comp, df(idCol) === comp("id"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("is_canonical", col(idCol) === col("component"))
+  }
+
   /** splitmix64-style finalizer used to derive hash-family member i from a
     * base hash (one string hash per shingle, numHashes cheap mixes).
     */

@@ -295,6 +295,18 @@ object TextOps {
         "doc_id", "text", n = 3, threshold = 0.05)
     }),
 
+    // Pairs → decisions: connected components over the qt05 near-dup pair
+    // graph, each doc labeled with its cluster's min id and whether it is
+    // the canonical keeper. The oracle walks the same graph with a
+    // recursive CTE — an independent transitive closure validating the
+    // iterative min-label propagation.
+    "qt18_dedup_clusters" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text",
+        n = 3, threshold = 0.15, blockCols = Seq("lang"))
+      Dedup.nearDupClusters(docs, "doc_id", pairs)
+    }),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -560,6 +572,31 @@ object TextOps {
          |SELECT doc_id, bench_id, round(inter / n_bench, 6) AS containment
          |FROM pair WHERE round(inter / n_bench, 6) >= 0.05""".stripMargin
     },
+    "qt18_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+         | sh AS (SELECT doc_id, lang,
+         |   CASE WHEN len(ts) = 0 THEN []
+         |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+         |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
+         |  FROM toks),
+         | sized AS (SELECT doc_id, lang, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+         | posts AS (SELECT doc_id, lang, n, unnest(sh) AS shingle FROM sized),
+         | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         |   count(*) AS inter
+         |  FROM posts a JOIN posts b
+         |   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         | pair AS (SELECT id_a, id_b FROM cand
+         |  WHERE round(inter/(na + nb - inter), 6) >= 0.15),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+         |  UNION SELECT id_b, id_a FROM pair),
+         | reach(id, l) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, r.l FROM edges e JOIN reach r ON r.id = e.dst),
+         | comp AS (SELECT id, min(l) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         | d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
     "qt16_pack" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents),

@@ -106,6 +106,28 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.3, s"pair recall $recall (|exact|=${exact.size})")
   }
 
+  test("connectedComponents: chains merge transitively, separate clusters stay apart") {
+    // 1-2-3 chained (1-3 NOT directly paired), 7-8 separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("nearDupClusters: one canonical per cluster, singletons canonical, via real pair ops") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.15)
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // docs 0/1/2 form one near-dup cluster (0-1 exact, 2 near) → component 0
+    assert(clusters.filter(_._2 === 0L).map(_._1) === Seq(0L, 1L, 2L))
+    // 3 and 4 are unpaired singletons, each its own canonical
+    assert(clusters.find(_._1 == 3L).get === ((3L, 3L, true)))
+    assert(clusters.find(_._1 == 4L).get === ((4L, 4L, true)))
+    // exactly one canonical per component
+    val canonPerComp = clusters.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(canonPerComp.values.forall(_ == 1))
+  }
+
   test("ngramContainmentPairs: planted contamination found; containment vs jaccard asymmetry") {
     // bench doc 10 is fully contained in the much larger corpus doc 20 —
     // high containment, low jaccard (the case Jaccard-based dedup misses)
