@@ -383,6 +383,19 @@ object Extras {
           when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
             .otherwise(col("o_totalprice")))
       TableDiff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    }),
+
+    // Bloom-pruned join: big fact (lineitem) × selective dim (one nation's
+    // suppliers). Blooms have no false negatives, so the pruned join must
+    // return EXACTLY the plain join's rows — the oracle IS the un-pruned
+    // SQL join.
+    "q45_bloom_join" -> ((s, d) => {
+      val small = T(s, d, "supplier").filter(col("s_nationkey") === 3)
+        .select("s_suppkey", "s_name")
+      graft.operators.BloomJoin.bloomPrunedJoin(
+        T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey").as("s_suppkey"),
+          col("l_quantity")),
+        small, Seq("s_suppkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -672,5 +685,9 @@ object Extras {
         |   os.o_orderstatus AS o_orderstatus_old, ns.o_orderstatus AS o_orderstatus_new,
         |   os.o_totalprice AS o_totalprice_old, ns.o_totalprice AS o_totalprice_new
         |  FROM os FULL OUTER JOIN ns ON os.o_orderkey = ns.o_orderkey)
-        |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin)
+        |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+    "q45_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_suppkey AS s_suppkey, l.l_quantity, s.s_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey = 3""".stripMargin)
 }

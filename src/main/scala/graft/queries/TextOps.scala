@@ -333,6 +333,18 @@ object TextOps {
         col("doc_id"), TextFns.scrubPii(pii).as("scrubbed"))
     }),
 
+    // Corpus mixture: 1.5 epochs of the en slice + 0.4 of es — one full en
+    // copy, a hash-sampled half second epoch, and a hash-sampled 40% of
+    // es; the oracle re-derives every epoch membership from the same md5
+    // fractions.
+    "qt19_mixture" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      graft.operators.Mixture.mixCorpora(Seq(
+        ("en", docs.filter(col("lang") === "en").select("doc_id"), 1.5),
+        ("es", docs.filter(col("lang") === "es").select("doc_id"), 0.4)),
+        key = col("doc_id"))
+    }),
+
     // Multimodal plumbing over deterministic synthetic assets (no fixture
     // table exists for binary payloads). The generator's size/modality/
     // duration contract is pure arithmetic, so BOTH queries carry a DuckDB
@@ -597,6 +609,18 @@ object TextOps {
          |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
          | d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+    "qt19_mixture" ->
+      """WITH en AS (SELECT doc_id,
+        |   (('0x' || substr(md5(doc_id::VARCHAR || 'en'), 1, 12))::BIGINT)::DOUBLE
+        |     / 281474976710656.0 AS u
+        |  FROM documents WHERE lang = 'en'),
+        | es AS (SELECT doc_id,
+        |   (('0x' || substr(md5(doc_id::VARCHAR || 'es'), 1, 12))::BIGINT)::DOUBLE
+        |     / 281474976710656.0 AS u
+        |  FROM documents WHERE lang = 'es')
+        |SELECT doc_id, 0::BIGINT AS mix_epoch, 'en' AS mix_source FROM en
+        |UNION ALL SELECT doc_id, 1::BIGINT, 'en' FROM en WHERE u < 0.5
+        |UNION ALL SELECT doc_id, 0::BIGINT, 'es' FROM es WHERE u < 0.4""".stripMargin,
     "qt16_pack" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents),
