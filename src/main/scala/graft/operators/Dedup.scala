@@ -177,6 +177,28 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("containment"))
   }
 
+  /** Incremental exact dedup: the rows of a new `delta` batch that are
+    * genuinely new against an already-deduped corpus — at 100 TB you never
+    * re-dedup the world, you dedup the day's arrivals against the
+    * corpus's FINGERPRINT INDEX (16-byte hashes, a ~0.01% shadow of the
+    * text) and append. Two steps, both equi-keyed on the fingerprint:
+    * collapse duplicates WITHIN the delta (keep min id, as [exact]), then
+    * anti-join the corpus index. The corpus side ships only fingerprints;
+    * when the daily delta is small its fingerprint set broadcasts and the
+    * whole operation is one scan of the delta.
+    */
+  def dedupDelta(delta: DataFrame, corpusFingerprints: DataFrame,
+                 textCol: String, idCol: String,
+                 fpCol: String = "fp"): DataFrame = {
+    val withFp = delta.withColumn("__fp", TextFns.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("__fp"))
+    withFp
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .join(corpusFingerprints.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp", "__keep")
+  }
+
   /** Connected components over an undirected pair graph — the step that
     * turns near-dup PAIRS (any of the operators above) into dedup
     * DECISIONS: docs joined by a chain of pairwise matches form one

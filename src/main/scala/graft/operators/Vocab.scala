@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-level n-gram vocabulary: the frequency table feeding tokenizer
+  * training, stopword induction, and the corpus-statistics reports every
+  * curation run publishes. Counts ALL n-gram occurrences (token
+  * positions, not the distinct-per-doc shingle sets the dedup family
+  * uses) and keeps the top k per block with a deterministic tiebreak.
+  *
+  * Plan shape: explode → count is one map-side-combinable aggregate keyed
+  * by (block, gram) — the heavy reduction happens in the combiners, so
+  * the shuffle carries one row per DISTINCT gram per block, not per
+  * occurrence; the top-k window then runs on the already-tiny count
+  * table. 100 TB of text reduces like a word count, because it is one.
+  */
+object Vocab {
+
+  /** Top `k` token `n`-grams per `blockCols` group (global when empty),
+    * ranked by occurrence count desc, gram asc (deterministic).
+    * Output: blockCols..., `gram`, `occurrences`, `rank`.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int,
+                blockCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(k >= 1, s"k must be >= 1: $k")
+    val ts = TextFns.tokens(col(textCol))
+    val grams = df.select(blockCols.map(col) :+
+        when(size(ts) >= n,
+          transform(sequence(lit(0), size(ts) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>")).as("gs"): _*)
+      .select(blockCols.map(col) :+ explode(col("gs")).as("gram"): _*)
+    val counts = grams.groupBy((blockCols :+ "gram").map(col): _*)
+      .agg(count(lit(1)).as("occurrences"))
+    val order = Seq(col("occurrences").desc, col("gram").asc)
+    if (blockCols.isEmpty) {
+      // global top-k: orderBy+limit compiles to TakeOrderedAndProject
+      // (per-partition heaps, then a k-row merge) — a partitionless window
+      // would drag every distinct gram through one task instead
+      counts.orderBy(order: _*).limit(k)
+        .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+    } else {
+      val w = Window.partitionBy(blockCols.map(col): _*).orderBy(order: _*)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+}

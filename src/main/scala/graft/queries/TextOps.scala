@@ -345,6 +345,27 @@ object TextOps {
         key = col("doc_id"))
     }),
 
+    // Corpus vocabulary: top-10 token bigrams per language block — the
+    // word-count-shaped reduction behind tokenizer training and corpus
+    // reports; deterministic (count desc, gram asc) tiebreak.
+    "qt20_vocab" -> ((s, d) =>
+      graft.operators.Vocab.topNgrams(T(s, d, "documents"), "text",
+        n = 2, k = 10, blockCols = Seq("lang"))),
+
+    // Incremental dedup: docs < 250 play the already-ingested corpus
+    // (fingerprint index only); the delta is the remaining docs plus 100
+    // re-submitted copies of corpus docs under new ids. The re-submissions
+    // and any within-delta duplicates must vanish.
+    "qt21_dedup_delta" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpusFps = docs.filter(col("doc_id") < 250)
+        .select(TextFns.fingerprint(col("text")).as("fp")).distinct()
+      val delta = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.dedupDelta(delta, corpusFps, "text", "doc_id").select("doc_id", "lang")
+    }),
+
     // Multimodal plumbing over deterministic synthetic assets (no fixture
     // table exists for binary payloads). The generator's size/modality/
     // duration contract is pure arithmetic, so BOTH queries carry a DuckDB
@@ -609,6 +630,29 @@ object TextOps {
          |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
          | d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+    "qt20_vocab" -> {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+      s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),
+         | bg AS (SELECT lang, ts[i] || ' ' || ts[i + 1] AS gram
+         |  FROM t, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+         | c AS (SELECT lang, gram, count(*) AS occurrences FROM bg GROUP BY lang, gram),
+         | ranked AS (SELECT lang, gram, occurrences,
+         |   row_number() OVER (PARTITION BY lang ORDER BY occurrences DESC, gram ASC) AS rank
+         |  FROM c)
+         |SELECT lang, gram, occurrences::BIGINT AS occurrences, rank::INT AS rank
+         |FROM ranked WHERE rank <= 10""".stripMargin
+    },
+    "qt21_dedup_delta" ->
+      """WITH corpus AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        | delta AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 100),
+        | fps AS (SELECT doc_id, lang,
+        |   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM delta),
+        | kept AS (SELECT doc_id, lang, fp FROM
+        |   (SELECT doc_id, lang, fp, min(doc_id) OVER (PARTITION BY fp) AS k FROM fps)
+        |  WHERE doc_id = k)
+        |SELECT doc_id, lang FROM kept WHERE fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
     "qt19_mixture" ->
       """WITH en AS (SELECT doc_id,
         |   (('0x' || substr(md5(doc_id::VARCHAR || 'en'), 1, 12))::BIGINT)::DOUBLE
