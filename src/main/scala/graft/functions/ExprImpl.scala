@@ -159,6 +159,35 @@ object ExprImpl {
 
   private val combiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
 
+  /** ALL word n-gram occurrences in order (non-distinct — the frequency
+    * counters' input, where `shingleSet` is the dedup family's distinct
+    * variant): tokens split on whitespace, each window of n joined by one
+    * space; fewer than n tokens → empty. One primitive pass; the Column
+    * formulation (transform + element_at over a filter(split(..)) array)
+    * re-evaluates the split per element access after CollapseProject
+    * inlines the alias — measured 7.4 s vs 0.4 s for the sf0.1 bigram
+    * count on this exact shape.
+    */
+  def ngrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ts = s.toString.split("\\s+").filter(_.nonEmpty)
+    if (ts.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](ts.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ts(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val normForms = Array(java.text.Normalizer.Form.NFC,
     java.text.Normalizer.Form.NFD, java.text.Normalizer.Form.NFKC,
     java.text.Normalizer.Form.NFKD)

@@ -164,6 +164,21 @@ object Expressions {
     override def prettyName: String = "graft_dot"
   }
 
+  /** ngrams(string, n) → array<string>: ALL word n-gram occurrences in
+    * order (the frequency-count twin of `shingle_set`; see ExprImpl.ngrams
+    * for the CollapseProject hazard that makes the Column form quadratic).
+    */
+  case class Ngrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"n must be >= 1: $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.ngrams(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.ngrams($c, $n)")
+    override protected def withNewChildInternal(c: Expression): Ngrams = copy(child = c)
+    override def prettyName: String = "graft_ngrams"
+  }
+
   /** normalize_text(string, form) → string: Unicode normalization with the
     * form (NFC/NFD/NFKC/NFKD) fixed at plan time. Spark itself ships no
     * normalization function, yet corpus dedup NEEDS one — the same visible
@@ -238,6 +253,7 @@ object Expressions {
     wrap(LshProbes(unwrap(c), planes, family, probes))
   def dotF32(a: Column, b: Column): Column = wrap(DotF32(unwrap(a), unwrap(b)))
   def shingleSet(c: Column, n: Int): Column = wrap(ShingleSet(unwrap(c), n))
+  def ngrams(c: Column, n: Int): Column = wrap(Ngrams(unwrap(c), n))
   def normalizeText(c: Column, form: String = "NFC"): Column =
     wrap(NormalizeText(unwrap(c), form))
   def stripAccents(c: Column): Column = wrap(StripAccents(unwrap(c)))

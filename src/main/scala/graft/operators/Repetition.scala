@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
 
 /** Within-document repetition signals for corpus quality filtering — the
   * Gopher-style repetition family (Rae et al. 2021, "Scaling Language
@@ -46,14 +45,11 @@ object Repetition {
       (sum((col("cnt") - 1) * col("len")).cast("double") /
         sum(col("cnt") * col("len"))).as("dup_line_char_frac"))
 
-    // token-bigram stats: ALL occurrences (not the distinct shingle set)
-    val ts = TextFns.tokens(col(textCol))
-    val bigrams = df.select(id,
-        when(size(ts) >= 2,
-          transform(sequence(lit(0), size(ts) - 2),
-            i => concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2))))
-          .otherwise(array().cast("array<string>")).as("bgs"))
-      .select(id, explode(col("bgs")).as("bg"))
+    // token-bigram stats: ALL occurrences (not the distinct shingle set),
+    // via the native single-pass n-gram expression (the Column form is
+    // quadratic per doc — see Vocab.topNgrams)
+    val bigrams = df
+      .select(id, explode(graft.functions.Expressions.ngrams(col(textCol), 2)).as("bg"))
       .groupBy(id, col("bg")).agg(count(lit(1)).as("cnt"))
     val bigramStats = bigrams.groupBy(id).agg(
       (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_bigram_frac"))

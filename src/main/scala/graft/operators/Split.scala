@@ -25,7 +25,10 @@ object Split {
     * `md5(key || seed)` read as an integer, divided by 16^12. Keys are cast
     * to string first, so any key type works; composite keys should be
     * `concat_ws`-ed by the caller with a separator that cannot alias
-    * (e.g. `concat_ws("|", k1, k2)`).
+    * (e.g. `concat_ws("|", k1, k2)`). A NULL key yields a NULL fraction:
+    * [assignSplit] routes all null-key rows to the LAST split and
+    * [sampleByHash] drops them — coalesce the key upstream if null keys
+    * should participate.
     */
   def hashFraction(key: Column, seed: String = ""): Column =
     conv(substring(md5(concat(key.cast("string"), lit(seed))), 1, 12), 16, 10)

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
 
 /** Corpus-level n-gram vocabulary: the frequency table feeding tokenizer
   * training, stopword induction, and the corpus-statistics reports every
@@ -27,13 +26,12 @@ object Vocab {
                 blockCols: Seq[String] = Nil): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     require(k >= 1, s"k must be >= 1: $k")
-    val ts = TextFns.tokens(col(textCol))
+    // native single-pass n-gram expression: the Column form (transform +
+    // element_at over filter(split(..))) re-runs the split per element
+    // after CollapseProject inlines the array alias — quadratic per doc,
+    // measured 12 s vs <1 s at sf0.1 for this exact query
     val grams = df.select(blockCols.map(col) :+
-        when(size(ts) >= n,
-          transform(sequence(lit(0), size(ts) - n),
-            i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
-          .otherwise(array().cast("array<string>")).as("gs"): _*)
-      .select(blockCols.map(col) :+ explode(col("gs")).as("gram"): _*)
+      explode(graft.functions.Expressions.ngrams(col(textCol), n)).as("gram"): _*)
     val counts = grams.groupBy((blockCols :+ "gram").map(col): _*)
       .agg(count(lit(1)).as("occurrences"))
     val order = Seq(col("occurrences").desc, col("gram").asc)

@@ -25,6 +25,28 @@ class VocabSpec extends SparkSpec {
     assert(uni === Seq(("q", 3L)))
   }
 
+  test("native ngrams: equals the independent Column formulation; empty/short/null edges") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val ts = graft.functions.TextFns.tokens($"text")
+    // independent (slow) Column form as the differential baseline
+    val columnForm = when(size(ts) >= 3,
+      transform(sequence(lit(0), size(ts) - 3),
+        i => concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2), element_at(ts, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val diff = docs.select(
+      graft.functions.Expressions.ngrams($"text", 3).as("native"),
+      columnForm.as("cols"))
+    assert(diff.filter($"native" =!= $"cols").count() === 0)
+    val edges = Seq(Some("one two"), Some("  "), Some(""), None).toDF("text")
+      .select(graft.functions.Expressions.ngrams($"text", 3).as("g"))
+      .as[Option[Seq[String]]].collect().toSeq
+    assert(edges === Seq(Some(Seq()), Some(Seq()), Some(Seq()), None))
+    // non-distinct: repeated bigrams keep every occurrence
+    val rep = Seq("x y x y").toDF("text")
+      .select(graft.functions.Expressions.ngrams($"text", 2)).as[Seq[String]].head()
+    assert(rep === Seq("x y", "y x", "x y"))
+  }
+
   test("topNgrams global path avoids the partitionless window (TakeOrdered plan)") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
     val q = Vocab.topNgrams(docs, "text", n = 2, k = 5)
