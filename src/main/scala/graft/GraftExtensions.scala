@@ -79,6 +79,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Expressions.LshProbes(args.head, intLit(args(1), "planes"),
           intLit(args(2), "family"), intLit(args(3), "probes"))
       }))
+    e.injectFunction((FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams",
+        "graft_ngrams(text, n) - ALL word n-gram occurrences in order (non-distinct); " +
+          "n must be an integer literal."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_ngrams takes 2 arguments (text, n), got ${args.length}")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams: n must be an integer literal, got $other")
+        }
+        Expressions.Ngrams(args.head, n)
+      }))
     e.injectFunction((FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
         "graft_normalize(str, form) - Unicode normalization; form is a string literal " +

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Expressions, TextFns}
+import graft.operators.{Dedup, Pack, Split}
+
+/** The operators composed into the pipeline they exist for: raw crawl →
+  * training sequences. Each stage is one of the library's scale-shaped
+  * primitives; the composition adds NO new shuffles beyond what the
+  * stages themselves declare, and every stage's semantics is already
+  * oracle-verified on its own catalog query — this file is the
+  * integration, tested end-to-end on planted fixtures (CurationSpec).
+  *
+  * Stage order matters and is the standard one:
+  * canonicalize first (hashes must see one byte representation),
+  * cheap row-local gates before pairwise ops (shrink the pair space),
+  * exact dedup before near-dup (exact copies would bloat every posting
+  * list), decontamination last among filters (a contaminated doc must
+  * not survive via a near-dup twin: the filter runs on the deduped
+  * survivor set that ships), then split/pack on what remains.
+  *
+  * At 100 TB each arrow between stages is where a production run would
+  * persist (checkpoint tables, as the reference's medallion layers do);
+  * the composition itself stays lazy so small runs execute as one job.
+  */
+object Curation {
+
+  case class Config(
+      minTokens: Int = 10,
+      minQuality: Double = 0.5,
+      maxDupLineFrac: Double = 0.5,
+      maxTopBigramFrac: Double = 0.5,
+      ngramN: Int = 3,
+      nearDupJaccard: Double = 0.85,
+      contaminationMax: Double = 0.8,
+      splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+      seqBudget: Long = 2048,
+      packShards: Int = 64)
+
+  /** Curated output: `documents` — the surviving rows (id, canonical
+    * text, split); `sequences` — the train split packed into
+    * `cfg.seqBudget`-token sequences.
+    */
+  case class Curated(documents: DataFrame, sequences: DataFrame)
+
+  def curate(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): Curated = {
+    val id = col(idCol)
+
+    // 1. canonicalize: one byte representation (NFC) with PII gone, BEFORE
+    // any hash sees the text
+    val canon = docs.select(id,
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+
+    // 2. row-local quality gates (narrow, no shuffle), then the doc-keyed
+    // repetition signals — cheap filters shrink every pairwise stage after
+    val gated = canon
+      .filter(TextFns.tokenCount(col(textCol)) >= cfg.minTokens &&
+        TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
+    val rep = graft.operators.Repetition.repetitionSignals(gated, idCol, textCol)
+      .filter(col("dup_line_frac") <= cfg.maxDupLineFrac &&
+        col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+      .select(id)
+    val quality = gated.join(rep, Seq(idCol), "left_semi")
+
+    // 3. exact dedup (fingerprint aggregate), keep the min-id copy
+    val exactKeep = Dedup.exactByFingerprint(quality, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val exact = quality.join(exactKeep, Seq(idCol), "left_semi")
+
+    // 4. near-dup clusters over the survivors, keep canonical members
+    val pairs = Dedup.ngramJaccardPairsIndexed(exact, idCol, textCol,
+      n = cfg.ngramN, threshold = cfg.nearDupJaccard)
+    val canonical = Dedup.nearDupClusters(exact, idCol, pairs)
+      .filter(col("is_canonical")).select(id)
+    val deduped = exact.join(canonical, Seq(idCol), "left_semi")
+
+    // 5. decontaminate against the benchmark (containment, not Jaccard)
+    val contaminated = Dedup.ngramContainmentPairs(deduped, benchmark, idCol, textCol,
+      n = cfg.ngramN, threshold = cfg.contaminationMax)
+      .select(col("doc_id").as(idCol)).distinct()
+    val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
+
+    // 6. deterministic split, 7. pack the train split
+    val split = Split.assignSplit(clean, id, cfg.splits)
+    val trainTokens = split.filter(col("split") === lit(cfg.splits.head._1))
+      .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val packed = Pack.packSequences(trainTokens, idCol, "n_tokens",
+      cfg.seqBudget, cfg.packShards)
+    Curated(split, packed)
+  }
+}
