@@ -137,4 +137,32 @@ class PlanSpec extends SparkSpec {
         s"$q degenerated to a product:\n$p")
     }
   }
+
+  test("mixture is a map: no join, no shuffle anywhere in the plan") {
+    val docs = Tables.table(spark, sf, "documents").select("doc_id")
+    val df = graft.operators.Mixture.mixCorpora(
+      Seq(("a", docs, 1.5), ("b", docs, 0.4)), key = col("doc_id"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"mixing must not shuffle:\n$p")
+  }
+
+  test("bloom-pruned join: probe filter sits below the join on the fact side") {
+    val p = plan(SparkEntry.queries("q45_bloom_join")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    // the bloom probe (a UDF filter) must appear BELOW the join node —
+    // plans print top-down, so its index is after the join's
+    val joinIdx = p.indexOf("Join")
+    val filterIdx = p.indexOf("UDF")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom probe not below the join:\n$p")
+  }
+
+  test("delta dedup: fingerprint anti-join, no product") {
+    val p = plan(SparkEntry.queries("qt21_dedup_delta")(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected fingerprint anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
