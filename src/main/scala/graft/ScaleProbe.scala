@@ -36,8 +36,54 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe curation [nDocs]`: headroom timings for the
+    * curation-family operators on a deterministic synthetic corpus far
+    * beyond fixture scale — the word-count-shaped reductions (vocab),
+    * map-only stages (split, pack window), the fingerprint anti-join
+    * (delta dedup), and label-propagation rounds on a chain-structured
+    * pair graph (the worst diameter near-dup clusters realistically show).
+    */
+  private def curationProbe(nDocs: Int): Unit = {
+    val spark = GraftSession.get()
+    import org.apache.spark.sql.DataFrame
+    // ~50-token docs over a 10k-word vocabulary, hash-derived (no RNG)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(10000L))))).as("text"))
+      .persist()
+    docs.count()
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      println(f"""{"probe":"$name","n":$nDocs,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+    val withTokens = docs.select(col("doc_id"), lit(50L).as("n_tokens"))
+    time("split")(graft.operators.Split.assignSplit(docs, col("doc_id"),
+      Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0)))
+    time("pack")(graft.operators.Pack.packSequences(withTokens, "doc_id", "n_tokens",
+      budget = 2048, shards = 64))
+    time("vocab_global_top10")(graft.operators.Vocab.topNgrams(docs, "text", n = 2, k = 10))
+    // aggregate over the result length so column pruning cannot skip the
+    // scrub expression (count() alone would)
+    time("scrub_normalize")(docs.select(length(graft.functions.TextFns.scrubPii(
+      graft.functions.Expressions.normalizeText(col("text"), "NFC"))).as("l"))
+      .agg(sum(col("l"))))
+    time("dedup_delta")(graft.operators.Dedup.dedupDelta(
+      docs, docs.select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+        .filter(col("fp").isNotNull).limit(nDocs / 2), "text", "doc_id"))
+    // chain-of-6 pair graph: nDocs/10 nodes, diameter 5 — more rounds than
+    // any realistic near-dup cluster needs
+    val chain = spark.range(nDocs / 10)
+      .filter(col("id") % 6 =!= 5)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    time("components_chain6")(graft.operators.Dedup.connectedComponents(chain))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("shingle")) return shingleProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+    if (args.headOption.contains("curation"))
+      return curationProbe(args.lift(1).map(_.toInt).getOrElse(1000000))
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
     val spark = GraftSession.get()
