@@ -18,6 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** Plan-time integer parameter: the native expressions bake these into
+    * generated code, so they must be literals, never per-row expressions.
+    */
+  private def intLit(fn: String, what: String)(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_fnv1a64"),
       info("graft_fnv1a64", "graft_fnv1a64(str) - FNV-1a 64-bit hash."),
@@ -34,12 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           s"graft_shingle_set takes 2 arguments (text, n), got ${args.length}")
-        val n = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingle_set: n must be an integer literal, got $other")
-        }
-        Expressions.ShingleSet(args.head, n)
+        Expressions.ShingleSet(args.head, intLit("graft_shingle_set", "n")(args(1)))
       }))
     e.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       info("graft_lsh_bucket",
@@ -48,13 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3,
           s"graft_lsh_bucket takes 3 arguments (vec, planes, family), got ${args.length}")
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_lsh_bucket: $what must be an integer literal, got $other")
-        }
         Expressions.LshBucket(args.head,
-          intLit(args(1), "planes"), intLit(args(2), "family"))
+          intLit("graft_lsh_bucket", "planes")(args(1)),
+          intLit("graft_lsh_bucket", "family")(args(2)))
       }))
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot",
@@ -71,13 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 4,
           s"graft_lsh_probes takes 4 arguments (vec, planes, family, probes), got ${args.length}")
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_lsh_probes: $what must be an integer literal, got $other")
-        }
-        Expressions.LshProbes(args.head, intLit(args(1), "planes"),
-          intLit(args(2), "family"), intLit(args(3), "probes"))
+        Expressions.LshProbes(args.head,
+          intLit("graft_lsh_probes", "planes")(args(1)),
+          intLit("graft_lsh_probes", "family")(args(2)),
+          intLit("graft_lsh_probes", "probes")(args(3)))
       }))
     e.injectFunction((FunctionIdentifier("graft_ngrams"),
       info("graft_ngrams",
@@ -86,12 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           s"graft_ngrams takes 2 arguments (text, n), got ${args.length}")
-        val n = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_ngrams: n must be an integer literal, got $other")
-        }
-        Expressions.Ngrams(args.head, n)
+        Expressions.Ngrams(args.head, intLit("graft_ngrams", "n")(args(1)))
       }))
     e.injectFunction((FunctionIdentifier("graft_normalize"),
       info("graft_normalize",

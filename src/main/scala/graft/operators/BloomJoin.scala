@@ -33,8 +33,11 @@ object BloomJoin {
                       expectedKeys: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
     val spark = big.sparkSession
-    // composite keys probe as their concat-ws string form (cannot alias:
-    // the unit separator never appears in numeric/identifier keys)
+    // composite keys probe as their unit-separated (0x1F) concat-ws form;
+    // the separator never appears in numeric/identifier keys. concat_ws
+    // SKIPS null components, so ("a", null) and ("a") probe alike — a
+    // false-POSITIVE source only (the join re-checks keys exactly), never
+    // a correctness issue
     def keyExpr(df: DataFrame): Column =
       if (keys.length == 1) col(keys.head).cast("string")
       else concat_ws("", keys.map(k => col(k).cast("string")): _*)

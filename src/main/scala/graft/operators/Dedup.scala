@@ -163,13 +163,29 @@ object Dedup {
   def ngramContainmentPairs(corpus: DataFrame, benchmark: DataFrame,
                             idCol: String, textCol: String,
                             n: Int, threshold: Double): DataFrame = {
-    def posts(df: DataFrame, prefix: String) =
-      df.select(col(idCol).as(s"${prefix}_id"), wordShingles(col(textCol), n).as("sh"))
+    val bench = benchmark
+      .select(col(idCol).as("bench_id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("bench_id"), size(col("sh")).as("n_bench"),
+        explode(col("sh")).as("shingle"))
+    // a benchmark item with fewer than n tokens collapses to ONE
+    // whole-text shingle (k tokens, k < n); the corpus side must then also
+    // emit k-grams at those exact lengths, or a verbatim-contained short
+    // eval answer could never equi-join a long document's n-grams. The
+    // distinct length set is driver-collected — benchmarks are eval
+    // suites (thousands of rows), not corpora, and the set is < n values.
+    val shortLens = benchmark
+      .select(size(graft.functions.TextFns.tokens(col(textCol))).as("k"))
+      .filter(col("k") > 0 && col("k") < n).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpusPosts = (n +: shortLens).distinct.map { k =>
+      corpus.select(col(idCol).as("doc_id"), wordShingles(col(textCol), k).as("sh"))
         .filter(size(col("sh")) > 0)
-        .select(col(s"${prefix}_id"), size(col("sh")).as(s"n_$prefix"),
-          explode(col("sh")).as("shingle"))
-    posts(corpus, "doc")
-      .join(posts(benchmark, "bench"), "shingle")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    }.reduce(_ unionByName _)
+      .distinct() // a short doc's whole-text fallback can coincide with its own k-gram
+    corpusPosts
+      .join(bench, "shingle")
       .groupBy(col("doc_id"), col("bench_id"), col("n_bench"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("containment", round(col("inter") / col("n_bench"), 6))
@@ -230,14 +246,16 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           col("component").as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: `next` no longer depends on `labels`
       changed = next.filter(col("component") =!= col("prev")).count()
+      labels.unpersist() // free the superseded round's checkpoint blocks
       labels = next.select("id", "component")
       iter += 1
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
         "(a pair graph this deep is not a near-dup cluster shape)")
+    edges.unpersist()
     labels
   }
 
@@ -246,10 +264,13 @@ object Dedup {
     * cluster. `is_canonical` marks the one row per cluster to keep.
     */
   def nearDupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    // internal names so the caller's id column may itself be named "id"
+    // or "component" without an ambiguous-reference failure
     val comp = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.select(col(idCol))
-      .join(comp, df(idCol) === comp("id"), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .join(comp, df(idCol) === comp("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("__cc_comp"), col(idCol)).as("component"))
       .withColumn("is_canonical", col(idCol) === col("component"))
   }
 

@@ -34,14 +34,16 @@ object Pack {
     * with a non-positive token count are dropped.
     *
     * Ordering within a shard is ascending `idCol` — deterministic, not
-    * load-balanced; the hash sharding is what spreads load.
+    * load-balanced; the hash sharding is what spreads load. Rows with a
+    * NULL id are dropped (a null id has no hash shard and no position in
+    * the shard order — packing them would be nondeterministic).
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, shards: Int = 64): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
     require(shards > 0, s"shards must be positive: $shards")
     val id = col(idCol)
-    val sharded = df.filter(col(tokenCol) > 0)
+    val sharded = df.filter(col(tokenCol) > 0 && id.isNotNull)
       .withColumn("shard", floor(Split.hashFraction(id) * shards).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

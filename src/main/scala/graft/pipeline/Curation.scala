@@ -35,8 +35,12 @@ object Curation {
       nearDupJaccard: Double = 0.85,
       contaminationMax: Double = 0.8,
       splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+      trainSplit: String = "train",
       seqBudget: Long = 2048,
-      packShards: Int = 64)
+      packShards: Int = 64) {
+    require(splits.exists(_._1 == trainSplit),
+      s"trainSplit '$trainSplit' must be one of the configured splits: ${splits.map(_._1)}")
+  }
 
   /** Curated output: `documents` — the surviving rows (id, canonical
     * text, split); `sequences` — the train split packed into
@@ -76,15 +80,22 @@ object Curation {
       .filter(col("is_canonical")).select(id)
     val deduped = exact.join(canonical, Seq(idCol), "left_semi")
 
-    // 5. decontaminate against the benchmark (containment, not Jaccard)
-    val contaminated = Dedup.ngramContainmentPairs(deduped, benchmark, idCol, textCol,
+    // 5. decontaminate against the benchmark (containment, not Jaccard).
+    // The benchmark goes through the SAME canonicalization as stage 1 —
+    // shingles must compare canonical bytes to canonical bytes, or a
+    // decomposed-Unicode benchmark item (or one containing PII the corpus
+    // copy had rewritten to <EMAIL>/<IP>/<PHONE>) could never match its
+    // contaminated twin and would silently ship in the training set
+    val benchCanon = benchmark.select(col(idCol),
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+    val contaminated = Dedup.ngramContainmentPairs(deduped, benchCanon, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.contaminationMax)
       .select(col("doc_id").as(idCol)).distinct()
     val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
 
-    // 6. deterministic split, 7. pack the train split
+    // 6. deterministic split, 7. pack the configured train split
     val split = Split.assignSplit(clean, id, cfg.splits)
-    val trainTokens = split.filter(col("split") === lit(cfg.splits.head._1))
+    val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val packed = Pack.packSequences(trainTokens, idCol, "n_tokens",
       cfg.seqBudget, cfg.packShards)

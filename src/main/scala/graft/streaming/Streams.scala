@@ -152,9 +152,12 @@ object Streams {
                           watermark: String = "30 minutes"): DataFrame = {
     val l = left.withWatermark(lTs, watermark)
     val r = right.withWatermark(rTs, watermark)
-    l.join(r, keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+    val joined = l.join(r, keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rTs) >= l(lTs) - expr(s"interval $withinBefore") &&
       r(rTs) <= l(lTs) + expr(s"interval $withinAfter"))
+    // expression joins keep BOTH sides' key columns; drop the right copies
+    // (inner join → they're equal) so downstream key references resolve
+    keys.foldLeft(joined)((d, k) => d.drop(r(k)))
   }
 
   /** Micro-batch upsert sink: maintains a keyed parquet snapshot by applying

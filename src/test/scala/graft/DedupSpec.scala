@@ -151,6 +151,24 @@ class DedupSpec extends SparkSpec {
     assert(j.length === 1 && j.head._3 < 0.15)
   }
 
+  test("ngramContainmentPairs: benchmark items SHORTER than n are still caught verbatim") {
+    val corpus = Seq(
+      (30L, "a long training document that quotes alpha beta somewhere in its middle section"),
+      (31L, "nothing relevant in this one at all whatsoever")).toDF("doc_id", "text")
+    val bench = Seq((40L, "alpha beta")).toDF("doc_id", "text") // 2 tokens < n=3
+    val got = Dedup.ngramContainmentPairs(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.5).as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((30L, 40L, 1.0)))
+  }
+
+  test("nearDupClusters works when the id column is literally named 'id'") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(d, "id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+  }
+
   test("simhash: identical text → distance 0; near dup within 3 bits of original") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()

@@ -162,8 +162,10 @@ class StreamsSpec extends SparkSpec {
       Event(11, ts(40), 2, "buy", 7.0))  // 40 min after user 2's click → out of bound
     val l = clicks.toDF().select($"user_id", $"event_id".as("click_id"), $"ts".as("l_ts"))
     val r = buys.toDF().select($"user_id", $"event_id".as("buy_id"), $"ts".as("r_ts"))
+    // selecting the join KEY must resolve (the right side's copy is
+    // dropped) — the regression this test pins
     val q = Streams.intervalJoinStreams(l, r, Seq("user_id"), "l_ts", "r_ts")
-      .select("click_id", "buy_id")
+      .select("user_id", "click_id", "buy_id").drop("user_id")
       .writeStream.format("memory").queryName("ij").outputMode("append").start()
     try {
       q.processAllAvailable()
