@@ -32,14 +32,21 @@ object Bench {
     // masquerade as a fast run.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // stop at the first failure: one -1 already poisons the query's
+      // result, so re-running a known-failed (possibly slow-to-fail) query
+      // runs-1 more times buys nothing
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < runs && !failed) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
         }
+        i += 1
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (failed) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -108,16 +108,20 @@ object ExprImpl {
     * hoisted; the equivalent expression tree evaluates planes×tables array
     * `aggregate`s per row with a fresh two-arg hash per element.
     */
-  def lshBucket(vec: ArrayData, planes: Int, family: Int): Long = {
+  /** The per-plane hyperplane dots shared by lshBucket and lshProbes —
+    * ONE maintained copy of the seed chain / modulus / scaling, so the
+    * `lshProbes(v, p, f, 1)(0) == lshBucket(v, p, f)` invariant the
+    * bucketing joins rely on cannot drift. Returns null when any element
+    * is null (the Column formulation's poison semantics).
+    */
+  private def planeDots(vec: ArrayData, planes: Int, family: Int): Array[Double] = {
     val n = vec.numElements()
-    // null element semantics match the Column formulation: any null poisons
-    // every plane's dot (null >= 0 is false) → bucket 0
     var k = 0
     while (k < n) {
-      if (vec.isNullAt(k)) return 0L
+      if (vec.isNullAt(k)) return null
       k += 1
     }
-    var bucket = 0L
+    val dots = new Array[Double](planes)
     var p = 0
     while (p < planes) {
       val planeSeed = XXH64.hashInt(family * 10007 + p, 42L)
@@ -129,10 +133,27 @@ object ExprImpl {
         dot += vec.getFloat(i).toDouble * (m.toDouble / 1000000.0 - 1.0)
         i += 1
       }
-      if (dot >= 0) bucket |= (1L << p)
+      dots(p) = dot
+      p += 1
+    }
+    dots
+  }
+
+  private def signBucket(dots: Array[Double]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < dots.length) {
+      if (dots(p) >= 0) bucket |= (1L << p)
       p += 1
     }
     bucket
+  }
+
+  def lshBucket(vec: ArrayData, planes: Int, family: Int): Long = {
+    // null element semantics match the Column formulation: any null poisons
+    // every plane's dot (null >= 0 is false) → bucket 0
+    val dots = planeDots(vec, planes, family)
+    if (dots == null) 0L else signBucket(dots)
   }
 
   /** Dot product of two float vectors in double precision, left-to-right
@@ -224,32 +245,12 @@ object ExprImpl {
     * as `lshBucket`; the dots are simply kept for the margin ordering.
     */
   def lshProbes(vec: ArrayData, planes: Int, family: Int, probes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val n = vec.numElements()
-    var k = 0
-    while (k < n) {
-      // null-poisoned vectors collapse to base bucket 0 (as lshBucket) with
-      // no meaningful margins to probe
-      if (vec.isNullAt(k))
-        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L))
-      k += 1
-    }
-    val dots = new Array[Double](planes)
-    var bucket = 0L
-    var p = 0
-    while (p < planes) {
-      val planeSeed = XXH64.hashInt(family * 10007 + p, 42L)
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
-        val h = XXH64.hashInt(i, planeSeed)
-        val m = ((h % 2000001L) + 2000001L) % 2000001L
-        dot += vec.getFloat(i).toDouble * (m.toDouble / 1000000.0 - 1.0)
-        i += 1
-      }
-      dots(p) = dot
-      if (dot >= 0) bucket |= (1L << p)
-      p += 1
-    }
+    // null-poisoned vectors collapse to base bucket 0 (as lshBucket) with
+    // no meaningful margins to probe
+    val dots = planeDots(vec, planes, family)
+    if (dots == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L))
+    val bucket = signBucket(dots)
     val take = math.max(1, math.min(probes, planes + 1))
     val out = new Array[Long](take)
     out(0) = bucket

@@ -40,6 +40,10 @@ object Expressions {
     * of per-row argument evaluation.
     */
   case class LshBucket(child: Expression, planes: Int, family: Int) extends UnaryExpression {
+    // 1L << p aliases mod 64: plane 64 would silently overwrite plane 0's
+    // bit — fail at plan time, not with wrong buckets
+    require(planes >= 1 && planes <= 63,
+      s"planes must be in [1, 63] (bucket bits live in one long): $planes")
     override def dataType: DataType = LongType
     // strict array<float> input: SQL exposure means a silent getFloat
     // reinterpretation of wider element types must be an analysis error
@@ -70,6 +74,9 @@ object Expressions {
     */
   case class LshProbes(child: Expression, planes: Int, family: Int, probes: Int)
       extends UnaryExpression {
+    require(planes >= 1 && planes <= 63,
+      s"planes must be in [1, 63] (bucket bits live in one long): $planes")
+    require(probes >= 1, s"probes must be >= 1: $probes")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -94,6 +101,9 @@ object Expressions {
     * shingling stage. `n` is a plan-time parameter like LshBucket's planes.
     */
   case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+    // the UDF baseline rejected n < 1 via sliding(); keep the native path
+    // equally strict — n = 0 would give every doc the shingle set [""]
+    require(n >= 1, s"n must be >= 1: $n")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {

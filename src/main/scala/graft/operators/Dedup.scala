@@ -114,8 +114,11 @@ object Dedup {
         // broadcast join so the fraction cap needs no driver-side action.
         val dfc = rawPosts.groupBy((blockCols :+ "shingle").map(col): _*)
           .agg(count(lit(1)).as("__df"))
-        val totals = sized.groupBy(blockCols.map(col): _*)
-          .agg(count(lit(1)).as("__ndocs"))
+        // per-block doc totals from the SAME posting subtree (every sized
+        // doc has ≥1 posting), not a second shingling pass over `sized` —
+        // the shingling stage is the measured hot path
+        val totals = rawPosts.groupBy(blockCols.map(col): _*)
+          .agg(countDistinct(col(idCol)).as("__ndocs"))
         val withTotals =
           if (blockCols.isEmpty) dfc.crossJoin(broadcast(totals))
           else dfc.join(broadcast(totals), blockCols)

@@ -137,6 +137,12 @@ object Similarity {
           .orderBy(col("__h")).limit(nlist)
           .select(col("cv")).collect()
           .map(_.getSeq[Float](0).toArray)
+      // an empty sample (tiny trainFraction × small corpus) would build an
+      // empty index and return ZERO neighbors for every query — a caller
+      // would read that as "no matches", so fail fast instead
+      require(centroids.nonEmpty,
+        s"IVF training sample is empty (trainFraction=$trainFraction over this " +
+          "corpus) — raise trainFraction or use a larger corpus")
       var iter = 0
       while (iter < lloydIters) {
         // assignment is a narrow per-row scalar (no crossJoin + window

@@ -120,11 +120,18 @@ object Streams {
     * a second stateful stage with no bounded-state formulation.
     */
   def simhashDedupStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
-                         watermark: String = "1 hour"): DataFrame =
-    docs.withColumn("__simhash", graft.functions.Expressions.simhash64(col(textCol)))
+                         watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("__simhash",
+      graft.functions.Expressions.simhash64(col(textCol)))
+    // null-text rows have no content to collide on — they bypass the dedup
+    // state entirely (dropDuplicates* treats null keys as EQUAL, so routing
+    // them through would silently discard every null-text doc after the
+    // first within the horizon)
+    val deduped = hashed.filter(col("__simhash").isNotNull)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__simhash")
-      .drop("__simhash")
+    deduped.unionByName(hashed.filter(col("__simhash").isNull)).drop("__simhash")
+  }
 
   /** Stream-static enrichment: join each micro-batch against a slowly
     * changing dimension (the streaming twin of the silver pipeline's
