@@ -39,7 +39,12 @@ object AsOf {
         lit(0).as("__side"),
         rightOrder.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__ord"),
         rv.as("__rv"))
-      .filter(col("__time").isNotNull)
+      // null KEYS dropped too: Window.partitionBy groups nulls into ONE
+      // partition, so a null-key right row would as-of-match every null-key
+      // left row — but no equality-semantics ASOF JOIN matches null = null.
+      // Null-key left rows stay (their partition then has no right rows →
+      // __asof = null, exactly the unmatched result).
+      .filter(col("__time").isNotNull && col("__key").isNotNull)
     val rvType = taggedRight.schema("__rv").dataType
     val taggedLeft = left.select(
       Seq(col(leftKey).as("__key"), col(leftTime).cast("timestamp").as("__time"),

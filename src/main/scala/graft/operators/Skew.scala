@@ -22,7 +22,22 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salt: Int,
                  discriminator: Option[String] = None): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    val hashCols = discriminator.map(c => Seq(col(c))).getOrElse(left.columns.toSeq.map(col))
+    // hash/xxhash64 rejects MapType (SPARK-27619) — exclude map-bearing
+    // columns from the default salt input so the documented "drop-in for
+    // left.join(right, keys)" claim holds for frames with map columns;
+    // the remaining columns still spread same-key rows (and the
+    // discriminator stays the full-duplicate escape hatch)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = discriminator.map(c => Seq(col(c))).getOrElse {
+      val cols = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+      require(cols.nonEmpty, "no hashable columns for the salt — pass a discriminator")
+      cols
+    }
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(hashCols: _*), lit(salt)).cast("int"))
     val saltedRight = right.withColumn("__salt",

@@ -23,9 +23,13 @@ object Upsert {
   def allColumnsUpsert(target: DataFrame, source: DataFrame,
                        auditCols: Seq[String] = Seq("loaded_at", "source_file", "source_url")): DataFrame = {
     val keys = target.columns.filterNot(auditCols.contains).toSeq
-    // Matched keys keep the TARGET row deterministically (MERGE's "UPDATE
-    // SET *" writes identical data values; keeping target preserves its
-    // audit columns). Matching is NULL-SAFE (<=>): all-string bronze rows
+    // Matched keys keep the TARGET row. Data columns are identical either
+    // way (they ARE the match key); audit columns are a DOCUMENTED
+    // DEVIATION: the reference's UPDATE SET * refreshes loaded_at/
+    // source_file from the re-shipped load (bronze/utils.py:348-366),
+    // while this kernel keeps the FIRST load's audit values — "when did
+    // this row first arrive", which is the more useful lineage fact and
+    // keeps re-runs byte-identical. Matching is NULL-SAFE (<=>): all-string bronze rows
     // carry real nulls for empty CSV fields, and a plain equi-anti-join
     // would re-insert such rows on every idempotent re-run. (Literal SQL
     // MERGE shares that null blindness; the reference's intent — idempotent

@@ -95,7 +95,13 @@ object Silver {
       .withColumn("centroid_longitude", col("__centroid.x"))
       .withColumn("centroid_latitude", col("__centroid.y"))
       .drop("__centroid")
-      .filter(col("id").isNotNull && col("name").isNotNull && col("geometry").isNotNull)
+      // centroid non-null too: a NON-null but unparseable WKT (e.g. the
+      // reference's astype(str) turning None into the literal 'None')
+      // yields a null centroid, and the reference's ST_GeomFromText path
+      // could never emit such a zone — letting it through would surface as
+      // null distance_km rows downstream
+      .filter(col("id").isNotNull && col("name").isNotNull && col("geometry").isNotNull &&
+        col("centroid_longitude").isNotNull && col("centroid_latitude").isNotNull)
   }
 
   /** silver_distances (silver/distances.py:28-39): all zone pairs within a

@@ -60,7 +60,7 @@ object Shapefile {
       case 0 => None
       case 1 =>
         Some(s"POINT (${fmt(buf.getDouble(at + 4))} ${fmt(buf.getDouble(at + 12))})")
-      case 5 => Some(polygonWkt(buf, at))
+      case 5 => polygonWkt(buf, at)
       case t => throw new IllegalArgumentException(
         s"unsupported shape type $t (supported: 0 Null, 1 Point, 5 Polygon)")
     }
@@ -69,7 +69,7 @@ object Shapefile {
     * xy points. Rings are split at part offsets, then grouped into polygons
     * by winding order.
     */
-  private def polygonWkt(buf: ByteBuffer, at: Int): String = {
+  private def polygonWkt(buf: ByteBuffer, at: Int): Option[String] = {
     val numParts = buf.getInt(at + 36)
     val numPoints = buf.getInt(at + 40)
     val partsAt = at + 44
@@ -101,8 +101,11 @@ object Shapefile {
     def ringStr(r: Seq[(Double, Double)]): String =
       r.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString("(", ", ", ")")
     def polyStr(p: Seq[Seq[(Double, Double)]]): String = p.map(ringStr).mkString("(", ", ", ")")
-    if (polys.sizeIs == 1) s"POLYGON ${polyStr(polys.head)}"
-    else s"MULTIPOLYGON ${polys.map(polyStr).mkString("(", ", ", ")")}"
+    // numParts = 0 (some writers' empty geometry) must map to None like the
+    // Null shape — 'MULTIPOLYGON ()' is not valid WKT
+    if (polys.isEmpty) None
+    else if (polys.sizeIs == 1) Some(s"POLYGON ${polyStr(polys.head)}")
+    else Some(s"MULTIPOLYGON ${polys.map(polyStr).mkString("(", ", ", ")")}")
   }
 
   private def fmt(d: Double): String =

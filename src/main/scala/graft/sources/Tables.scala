@@ -61,12 +61,20 @@ object Tables {
     val name = path.substring(path.lastIndexOf('/') + 1)
     val suffix = if (name.contains('.')) name.substring(name.indexOf('.')) else ".dat"
     val tmp = java.nio.file.Files.createTempFile("graft_fetch_", suffix)
+    tmp.toFile.deleteOnExit() // a long-lived driver must not leak a file per fetch
     val in = new java.net.URI(u).toURL.openStream()
     try java.nio.file.Files.copy(in, tmp,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
     tmp.toString
   }
+
+  /** [fetchToTemp] keeping the URL→file association, for readers whose
+    * audit column must record the SOURCE URL (the reference writes the
+    * literal API URL, bronze/utils.py:436), not the transient local path.
+    */
+  def fetchToTempWithUrls(urls: Seq[String]): Seq[(String, String)] =
+    urls.zip(fetchToTemp(urls))
 
   /** S1: pipe-delimited (optionally gzipped) CSV, all columns as string,
     * with audit columns — matches
@@ -87,10 +95,29 @@ object Tables {
 
   /** S2: JSON array-of-objects (INE API shape, bronze/utils.py:392-400).
     * Spark needs multiLine for a top-level JSON array in one file.
+    * `sourceUrls` (path-as-fetched → original URL, i.e.
+    * [fetchToTempWithUrls] inverted) makes the `source_url` audit column
+    * record the URL the reference stores ('{url}' AS source_url,
+    * bronze/utils.py:436) instead of a transient temp path; files with no
+    * mapping fall back to their file name.
     */
-  def jsonArray(spark: SparkSession, paths: Seq[String]): DataFrame =
-    withAudit(spark.read.option("multiLine", "true").json(paths: _*)
-      .withColumn("source_url", input_file_name()))
+  def jsonArray(spark: SparkSession, paths: Seq[String],
+                sourceUrls: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.option("multiLine", "true").json(paths: _*)
+    val url =
+      if (sourceUrls.isEmpty) input_file_name()
+      else {
+        // key by basename: input_file_name() returns a file: URI whose
+        // prefix form varies, the temp names are unique by construction
+        val byName = sourceUrls.map { case (p, u) =>
+          p.substring(p.lastIndexOf('/') + 1) -> u
+        }
+        coalesce(
+          element_at(typedLit(byName), regexp_extract(input_file_name(), "[^/]+$", 0)),
+          input_file_name())
+      }
+    withAudit(base.withColumn("source_url", url))
+  }
 
   /** Audit column convention (bronze/utils.py:322-324). */
   def withAudit(df: DataFrame): DataFrame =
@@ -114,14 +141,12 @@ object Tables {
     */
   def overwritePartitions(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITER option, not the session conf: mutating the global
+    // partitionOverwriteMode races any concurrent write in the session
+    // (a full rebuild mid-flight would silently run dynamic, or this
+    // write static — deleting every partition not in the increment)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path)
   }
 }

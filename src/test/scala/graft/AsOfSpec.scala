@@ -52,4 +52,23 @@ class AsOfSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     assert(salted.count() === plain.count())
   }
+
+  test("asofJoin: null keys never match each other (left gets null asof, null-key right ignored)") {
+    val right = Seq((Option.empty[Long], ts(1), 666.0), (Some(1L), ts(1), 100.0))
+      .toDF("k", "rt", "v")
+    val left = Seq((Option.empty[Long], ts(2), "nullkey"), (Some(1L), ts(2), "keyed"))
+      .toDF("k", "lt", "id")
+    val got = AsOf.asofJoin(left, right, "k", "k", "lt", "rt", Seq("v"))
+      .select("id", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got === Map("nullkey" -> None, "keyed" -> Some(100.0)))
+  }
+
+  test("saltedJoin stays a drop-in when the left frame carries a map column") {
+    val left = Seq.tabulate(20)(i => (i % 3, s"l$i", Map("a" -> i)))
+      .toDF("k", "lv", "attrs")
+    val right = Seq((0, "r0"), (1, "r1")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).drop("attrs")
+    val salted = Skew.saltedJoin(left, right, Seq("k"), salt = 4).drop("attrs")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }

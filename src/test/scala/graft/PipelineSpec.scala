@@ -99,6 +99,14 @@ class PipelineSpec extends SparkSpec {
     assert(z1.getAs[Double]("centroid_latitude") === 1.0)
   }
 
+  test("silver_zones: non-null but unparseable WKT is dropped (no null-centroid zones)") {
+    val withGarbage = zonesBronze.unionByName(
+      Seq(("Z9", "Garbage", "7", "None")).toDF("ID", "Nombre", "Poblacion", "geometry"))
+    val got = Silver.zones(Map("distrito" -> withGarbage))
+    assert(got.filter($"id" === "Z9").count() === 0)
+    assert(got.filter($"centroid_longitude".isNull || $"centroid_latitude".isNull).count() === 0)
+  }
+
   test("silver_distances: symmetric pairs within zone_level, plausible km") {
     val zones = Silver.zones(Map("distrito" -> zonesBronze))
     val got = Silver.distances(zones)

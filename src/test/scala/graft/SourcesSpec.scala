@@ -83,4 +83,16 @@ class SourcesSpec extends SparkSpec {
     assert(v === 1.5)
     assert(df.head().getAs[String]("source_url").nonEmpty)
   }
+
+  test("jsonArray records the SOURCE URL (not the temp path) through the fetch seam") {
+    val dir = Files.createTempDirectory("graft_json_url")
+    val f = dir.resolve("api_response.json")
+    Files.writeString(f, """[{"COD": "X1"}]""")
+    val url = f.toUri.toString // stands in for the HTTP API URL
+    val fetched = Tables.fetchToTempWithUrls(Seq(url))
+    val df = Tables.jsonArray(spark, fetched.map(_._2),
+      sourceUrls = fetched.map(_.swap).toMap)
+    val recorded = df.select("source_url").as[String].head()
+    assert(recorded === url, s"audit column must carry the reference's URL, got $recorded")
+  }
 }
