@@ -10,19 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Whitespace tokenizer, empty tokens dropped. */
+  /** Whitespace tokenizer, empty tokens dropped. Null text → null. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Token count (whitespace tokenization). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count (whitespace tokenization). Null text → null: the session
+    * runs ANSI-off, where legacy `size(null)` is -1, and a bare size()
+    * would silently poison every ratio built on it (-1/-1 = 1.0) — every
+    * counting function here guards explicitly so null in = null out, the
+    * same contract the DuckDB oracles' len()/list functions have.
+    */
+  def tokenCount(text: Column): Column =
+    when(text.isNotNull, size(tokens(text)))
 
   /** BPE-ish sub-word count: splits on word/number/punct boundaries like a
     * byte-pair pre-tokenizer would (letters runs, digit runs, single punct).
+    * Null text → null.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => t.rlike("\\S"))) // drop empty + all-whitespace fragments (tabs, newlines)
+    when(text.isNotNull,
+      size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+        t => t.rlike("\\S")))) // drop empty + all-whitespace fragments (tabs, newlines)
 
   /** Punctuation character ratio ∈ [0,1]. */
   def punctRatio(text: Column): Column = {
@@ -31,11 +39,15 @@ object TextFns {
       .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / len)
   }
 
-  /** Ratio of tokens found in a stopword list (signal of natural language). */
+  /** Ratio of tokens found in a stopword list (signal of natural language).
+    * Null text → null (see [tokenCount] for the legacy size(null) hazard).
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val ts = tokens(lower(text))
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
+    when(text.isNull, lit(null).cast("double"))
+      .when(size(ts) === 0, lit(0.0))
+      .otherwise(
+        size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
   }
 
   /** Composite document quality score ∈ [0,1]: mean-word-length sanity,
@@ -49,8 +61,11 @@ object TextFns {
     val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
     val stopOk = least(stopwordRatio(text, stopwords.distinct) * 5, lit(1.0))
     // no round(): element-wise doubles are bit-identical across engines,
-    // rounding is what diverges (see verify skill notes)
-    lenOk * 0.25 + wordLenOk * 0.25 + punctOk * 0.25 + stopOk * 0.25
+    // rounding is what diverges (see verify skill notes). Null text → null
+    // score (without the guard the otherwise() branches would mix 0.3
+    // defaults with null-skipping least() into a meaningless number).
+    when(text.isNotNull,
+      lenOk * 0.25 + wordLenOk * 0.25 + punctOk * 0.25 + stopOk * 0.25)
   }
 
   /** Deterministic language-ID heuristic: count stopword hits per language
@@ -68,12 +83,16 @@ object TextFns {
     def score(text: Column, words: Seq[String]): Column =
       size(filter(tokens(lower(text)), t => t.isin(words.map(lit): _*)))
 
-    /** Best-scoring language, or "und" when nothing matches. */
+    /** Best-scoring language, or "und" when nothing matches; null text →
+      * null (legacy size(null) = -1 would otherwise score every profile -1
+      * and the first profile would win the argmax).
+      */
     def langId(text: Column): Column = {
       val scores = profiles.map { case (lang, ws) => (lang, score(text, ws)) }
       val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-      scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, s)) =>
-        acc.when(s === best, lit(lang))
+      scores.foldLeft(
+        when(text.isNull, lit(null).cast("string")).when(best === 0, lit("und"))) {
+        case (acc, (lang, s)) => acc.when(s === best, lit(lang))
       }.otherwise(lit("und"))
     }
   }

@@ -45,6 +45,9 @@ object Multimodal {
       * resample; output length scales with the target area.
       */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // empty payload (corrupt/truncated blob) → empty result, like
+      // features(); payload(i % 0) would throw ArithmeticException
+      if (payload.isEmpty) return Array.emptyByteArray
       val out = new Array[Byte]((w.toLong * h % 4096).toInt max 16)
       var i = 0
       while (i < out.length) {

@@ -34,8 +34,11 @@ object UrlDiscovery {
       .map(m => (m.group(1), m.group(2)))
       .toSeq.distinct
       .flatMap { case (url, d) =>
-        val fileDate = LocalDate.parse(d, day)
-        if (!fileDate.isBefore(startDate) && !fileDate.isAfter(endDate)) Some((url, d)) else None
+        // a malformed 8-digit run (e.g. '20231399' from a typo'd feed
+        // entry) skips THAT url; it must not abort discovery for the feed
+        scala.util.Try(LocalDate.parse(d, day)).toOption
+          .filter(fd => !fd.isBefore(startDate) && !fd.isAfter(endDate))
+          .map(_ => (url, d))
       }
       .sortBy(_._2)
       .map(_._1)

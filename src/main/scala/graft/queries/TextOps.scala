@@ -394,10 +394,11 @@ object TextOps {
       val toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
       def score(lang: String) =
         s"len(list_filter($toks, t -> t IN ${langProfilesSql(lang)}))"
-      s"""WITH sc AS (SELECT doc_id, ${score("en")} AS s_en, ${score("es")} AS s_es,
+      s"""WITH sc AS (SELECT doc_id, text, ${score("en")} AS s_en, ${score("es")} AS s_es,
          |  ${score("fr")} AS s_fr, ${score("de")} AS s_de FROM documents)
          |SELECT doc_id,
-         | CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+         | CASE WHEN text IS NULL THEN NULL
+         |      WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
          |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
          |      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
          |      WHEN s_fr >= s_de THEN 'fr'
@@ -420,10 +421,11 @@ object TextOps {
          |              w -> w IN $stopList))::DOUBLE / n_tok END AS stop_ratio
          | FROM t)
          |SELECT doc_id,
-         | (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
-         | + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.25
-         | + (1.0 - least(punct_ratio * 4, 1.0)) * 0.25
-         | + least(stop_ratio * 5, 1.0) * 0.25 AS quality
+         | CASE WHEN n_tok IS NULL THEN NULL ELSE
+         |  (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
+         |  + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.25
+         |  + (1.0 - least(punct_ratio * 4, 1.0)) * 0.25
+         |  + least(stop_ratio * 5, 1.0) * 0.25 END AS quality
          |FROM s""".stripMargin
     },
     "qt03_fingerprint" ->

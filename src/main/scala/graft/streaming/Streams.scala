@@ -67,8 +67,18 @@ object Streams {
           out :+= SessionOut(userId, new java.sql.Timestamp(s.start),
             new java.sql.Timestamp(s.last), s.n, s.total)
           cur = Some(SessionState(t, t, 1, e.value))
+        case Some(s) if s.start - t > gapMs =>
+          // cross-batch DEEP-late event, a full gap earlier than the open
+          // session: it can never merge with anything still to come (the
+          // open session already sits ≥ gap after it) — emit it as its own
+          // closed singleton, matching what the batch sort would produce
+          out :+= SessionOut(userId, new java.sql.Timestamp(t),
+            new java.sql.Timestamp(t), 1, e.value)
         case Some(s) =>
-          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
+          // within-gap late events extend the session BACKWARD too —
+          // session_start must match the batch twin's min event time
+          cur = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
         case None =>
           cur = Some(SessionState(t, t, 1, e.value))
       }
@@ -173,17 +183,29 @@ object Streams {
     */
   def upsertSink(batch: DataFrame, batchId: Long, targetPath: String, keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    // Absent target = first batch. Only genuine absence may start a fresh
-    // snapshot — a transient read failure (IO error, concurrent swap) must
-    // propagate, or the sink would silently rebuild state from this batch
-    // alone and lose everything merged before it.
     val path = new org.apache.hadoop.fs.Path(targetPath)
+    val next = new org.apache.hadoop.fs.Path(targetPath + "_next")
+    val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a missing target with a committed _next means a
+    // previous batch died mid-swap after the old snapshot was retired —
+    // finish its rename before reading
+    if (!fs.exists(path) && fs.exists(next)) fs.rename(next, path)
+    // Absent target = first batch. Only genuine absence may start a fresh
+    // snapshot — a transient read failure (IO error) must propagate, or the
+    // sink would silently rebuild state from this batch alone and lose
+    // everything merged before it.
     val target = if (fs.exists(path)) spark.read.parquet(targetPath) else batch.limit(0)
     val merged = graft.operators.Upsert.keyedUpsert(target, batch, keys)
-    // write to tmp then swap would be the production move; overwrite is fine
-    // for the local harness (parquet committer handles atomicity per dir)
-    merged.write.mode("overwrite").parquet(targetPath + "_next")
-    spark.read.parquet(targetPath + "_next").write.mode("overwrite").parquet(targetPath)
+    // write-once then RENAME-swap: the previous read-back + overwrite both
+    // doubled the snapshot write AND deleted the only readable copy before
+    // the rewrite committed (a crash there wedged the stream). Renames are
+    // atomic on HDFS/posix; the crash windows leave either the old target
+    // or a committed _next, both of which the recovery above handles.
+    merged.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(path)) fs.rename(path, old)
+    fs.rename(next, path)
+    fs.delete(old, true)
   }
 }

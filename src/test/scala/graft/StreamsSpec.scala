@@ -46,6 +46,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionFn late events: within-gap extends start backward; deep-late emits its own session") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    def openState(startMin: Int, lastMin: Int) = TestGroupState.create[Streams.SessionState](
+      optionalState = Optional.of(Streams.SessionState(ts(startMin).getTime, ts(lastMin).getTime, 2L, 3.0)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = ts(60).getTime,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    // within-gap late event (5 min before start, gap 30 min): merges AND
+    // moves session_start back — matching the batch sort's min event time
+    val s1 = openState(10, 20)
+    val out1 = Streams.sessionFn(1800 * 1000, useTimeout = false)(
+      1L, Iterator(Event(9, ts(5), 1, "a", 1.0)), s1).toSeq
+    assert(out1.isEmpty && s1.get.start === ts(5).getTime && s1.get.n === 3)
+    // deep-late event (a full gap earlier): its own closed singleton, the
+    // open session untouched
+    val s2 = openState(50, 55)
+    val out2 = Streams.sessionFn(1800 * 1000, useTimeout = false)(
+      1L, Iterator(Event(9, ts(2), 1, "a", 7.0)), s2).toSeq
+    assert(out2 === Seq(SessionOut(1L, ts(2), ts(2), 1L, 7.0)))
+    assert(s2.get.start === ts(50).getTime && s2.get.n === 2)
+  }
+
   test("sessionFn timeout branch closes and clears the open session") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional

@@ -56,4 +56,22 @@ class TextFnsSpec extends SparkSpec {
       .select(TextFns.fingerprint64($"t").as("f")).as[Long].collect().toSeq
     assert(fps(0) === fps(1)); assert(fps(0) != fps(2))
   }
+
+  test("null text: null out everywhere, never -1 counts, 'en' labels, or phantom quality") {
+    // the ANSI-off session's legacy size(null) = -1 must not leak through
+    // any counting function (a -1 token count scored null docs as 100%
+    // stopwords and labeled them 'en')
+    val df = Seq(Option.empty[String], Some("the quick brown fox and the dog today ok fine")).toDF("t")
+    val got = df.select(
+      TextFns.tokenCount($"t").as("n"),
+      TextFns.subwordCount($"t").as("sw"),
+      TextFns.stopwordRatio($"t", Seq("the")).as("sr"),
+      TextFns.LangId.langId($"t").as("lang"),
+      TextFns.qualityScore($"t").as("q"))
+      .as[(Option[Int], Option[Int], Option[Double], Option[String], Option[Double])]
+      .collect()
+    assert(got(0) === ((None, None, None, None, None)))
+    val (n, _, sr, lang, q) = got(1)
+    assert(n === Some(10) && sr.get > 0 && lang === Some("en") && q.get > 0.5)
+  }
 }
