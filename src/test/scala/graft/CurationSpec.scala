@@ -18,7 +18,8 @@ class CurationSpec extends SparkSpec {
     (7L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"),
     (8L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen sixteen"), // near dup of 7
     (9L, "this training document quotes alpha beta gamma delta epsilon verbatim plus lots of its own words"), // contaminated
-    (10L, "write to jane.doe@corp.example.org with the usual questions about the data release schedule")
+    (10L, "write to jane.doe@corp.example.org with the usual questions about the data release schedule"),
+    (11L, null) // null text → length gate (null tokenCount fails >= minTokens)
   ).toDF("doc_id", "text")
 
   private val benchmark = Seq((100L, "alpha beta gamma delta epsilon"))

@@ -98,7 +98,25 @@ class StreamsSpec extends SparkSpec {
       val state = spark.read.parquet(path)
         .select("user_id", "event_id").as[(Long, Long)].collect().toMap
       assert(state === Map(1L -> 3L, 2L -> 2L))
+      // no stale swap artifacts after a clean batch
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_next")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_old")))
     } finally q.stop()
+  }
+
+  test("upsertSink recovers a mid-swap crash: committed _next, missing target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink_rec").toString
+    val path = dir + "/state"
+    // simulate the crash window: previous batch wrote + committed _next,
+    // retired the old target, died before the final rename
+    Seq((1L, "stale")).toDF("user_id", "v").write.parquet(path + "_next")
+    val batch = Seq((2L, "fresh")).toDF("user_id", "v")
+    Streams.upsertSink(batch, 0L, path, Seq("user_id"))
+    val state = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    // the recovered _next snapshot was the base; the new batch merged in
+    assert(state === Map(1L -> "stale", 2L -> "fresh"))
   }
 
   test("file-source stream over parquet matches the batch aggregation") {
