@@ -31,7 +31,12 @@ object Bench {
     // Failed queries report -1 (and poison the total) so a regression can't
     // masquerade as a fast run.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (mirrors Verify); unset for the driver's run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // stop at the first failure: one -1 already poisons the query's
       // result, so re-running a known-failed (possibly slow-to-fail) query
       // runs-1 more times buys nothing
@@ -48,13 +53,23 @@ object Bench {
       }
       name -> (if (failed) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the last ~2000 bytes of stdout; a queries map
+    // keyed by full names with nanosecond-precision doubles overflows that
+    // window and the line never parses (round 2 shipped parsed:null). Key by
+    // the short id prefix (q01/qt05c/qm02 — unique by catalog construction,
+    // asserted below) and round to milliseconds: ~1 KB line, room to grow.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(results.keySet.map(shortId).size == results.size,
+      "short query ids collide; bench line would drop a query")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // any failure invalidates the run: report total=-1 (a smaller-but-
     // incomplete sum would read as a FASTER run to a total-only gate)
     val failures = results.count(_._2 < 0)
     val total = if (failures > 0) -1.0 else results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

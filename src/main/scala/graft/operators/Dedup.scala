@@ -106,46 +106,67 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
     val rawPosts = sized.select(Seq(col(idCol)) ++ blockCols.map(col) :+
       col("n_sh") :+ explode(col("sh")).as("shingle"): _*)
-    val posts =
-      if (maxShingleDf.isEmpty && maxShingleDfFrac.isEmpty) rawPosts
-      else {
-        // df per (block, shingle): one count per posting (shingle sets are
-        // distinct within a doc). The per-block doc total rides along via a
-        // broadcast join so the fraction cap needs no driver-side action.
-        val dfc = rawPosts.groupBy((blockCols :+ "shingle").map(col): _*)
-          .agg(count(lit(1)).as("__df"))
-        // per-block doc totals from the SAME posting subtree (every sized
-        // doc has ≥1 posting), not a second shingling pass over `sized` —
-        // the shingling stage is the measured hot path
-        val totals = rawPosts.groupBy(blockCols.map(col): _*)
-          .agg(countDistinct(col(idCol)).as("__ndocs"))
-        val withTotals =
-          if (blockCols.isEmpty) dfc.crossJoin(broadcast(totals))
-          else dfc.join(broadcast(totals), blockCols)
-        val capExpr = (maxShingleDf.map(v => lit(v.toDouble)).toSeq ++
-          maxShingleDfFrac.map(f => lit(f) * col("__ndocs")).toSeq) match {
-          case Seq(one) => one
-          case many => greatest(many: _*)
-        }
-        val kept = withTotals.filter(col("__df") <= capExpr)
-          .select((blockCols :+ "shingle").map(col): _*)
-        val filtered = rawPosts.join(kept, Seq("shingle") ++ blockCols, "left_semi")
-        // set sizes must reflect the SURVIVING shingle space (docs whose
-        // shingles are all capped disappear — they can form no pair)
-        val w = Window.partitionBy((idCol +: blockCols).map(col): _*)
-        filtered.withColumn("n_sh", count(lit(1)).over(w))
+    if (maxShingleDf.isEmpty && maxShingleDfFrac.isEmpty) {
+      val a = rawPosts.select(Seq(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle")) ++
+        blockCols.map(col): _*)
+      val b = rawPosts.select(Seq(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle")) ++
+        blockCols.map(col): _*)
+      a.join(b, Seq("shingle") ++ blockCols)
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      // Capped path. The df cap bounds every surviving posting list, so
+      // pairs are generated IN-ARRAY from one grouped posting table instead
+      // of a posting-level self-join: the round-2 self-join formulation
+      // re-evaluated the shingling subtree ~6× (df pass + totals pass + the
+      // a/b sides each recomputing the semi-join tree) plus a per-doc window
+      // shuffle, and benched 7× slower than the uncapped variant it exists
+      // to beat. One groupBy((block, shingle)) carries ids and df together.
+      val grouped = rawPosts
+        .groupBy((blockCols :+ "shingle").map(col): _*)
+        .agg(collect_list(col(idCol)).as("__ids"), count(lit(1)).as("__df"))
+      // Per-block doc totals for the fraction cap, from token counts alone:
+      // a doc has ≥1 shingle iff it has ≥1 token (shingleSet collapses short
+      // docs to the whole text), so this pass never touches the shingling
+      // expression — the measured hot path.
+      val totals = df.filter(size(TextFns.tokens(col(textCol))) > 0)
+        .groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("__ndocs"))
+      val withTotals =
+        if (blockCols.isEmpty) grouped.crossJoin(broadcast(totals))
+        else grouped.join(broadcast(totals), blockCols)
+      val capExpr = (maxShingleDf.map(v => lit(v.toDouble)).toSeq ++
+        maxShingleDfFrac.map(f => lit(f) * col("__ndocs")).toSeq) match {
+        case Seq(one) => one
+        case many => greatest(many: _*)
       }
-    val a = posts.select(Seq(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle")) ++
-      blockCols.map(col): _*)
-    val b = posts.select(Seq(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle")) ++
-      blockCols.map(col): _*)
-    a.join(b, Seq("shingle") ++ blockCols)
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      val kept = withTotals.filter(col("__df") <= capExpr)
+        .select(col("__ids"))
+      // Surviving set sizes: docs whose shingles are all capped disappear —
+      // they can form no pair, and their n_sh must not count capped shingles.
+      // One row per doc, joined back to the (small, post-cap) pair set.
+      val nsh = kept.select(explode(col("__ids")).as("__id"))
+        .groupBy(col("__id")).agg(count(lit(1)).as("n_sh"))
+      // All i<j pairs within each ≤cap-sized posting list: O(cap²) rows per
+      // shingle — exactly the bound the cap exists to provide.
+      val ids = array_sort(col("__ids"))
+      val pairCol = flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+          b => struct(a.as("id_a"), b.as("id_b")))))
+      kept.select(explode(pairCol).as("__p"))
+        .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(nsh.select(col("__id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+        .join(nsh.select(col("__id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+        .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** Benchmark-contamination scan: for every (corpus doc, benchmark doc)
