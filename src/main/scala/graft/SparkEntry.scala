@@ -18,10 +18,11 @@ object SparkEntry {
     Relational.defs ++ TextOps.defs ++ Events.defs ++ Extras.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (the fnv1a64/splitmix64 hash family is
-    * re-derived in SQL — see TextOps.HashSql). Omitted only for
-    * approximate-by-design ops (sign-LSH/IVF ANN, HLL), whose quality is
-    * instead a recorded number: qt09r/qt10r recall, q28 rel_err.
+    * the same parquet tables (the fnv1a64/splitmix64 hash family — and the
+    * sign-LSH hyperplanes derived from it — is re-derived in SQL, see
+    * TextOps.HashSql). Omitted only where output depends on iterative
+    * float training (IVF k-means) whose quality is instead a recorded
+    * number: qt10r recall.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Events.oracle ++ Extras.oracle

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import graft.operators.Dedup
@@ -100,13 +99,15 @@ object ExprImpl {
   /** Sign-random-projection LSH bucket of a float vector: one bit per
     * hyperplane (dot ≥ 0), planes bits → long bucket id.
     *
-    * Plane component (plane p, dim i) replicates the Column formulation
-    * `pmod(xxhash64(lit(p), i), 2000001)/1e6 - 1` bit-for-bit — Spark's
-    * XxHash64 expression chains `XXH64.hashInt(child, seed)` over children
-    * with seed 42, so the same statics give identical buckets (differential
-    * test in ExpressionsSpec). Single pass per plane with the per-plane seed
-    * hoisted; the equivalent expression tree evaluates planes×tables array
-    * `aggregate`s per row with a fresh two-arg hash per element.
+    * Plane component (plane p, dim i) is drawn from the same fnv/splitmix64
+    * hash family as MinHash (`Dedup.mix64`, member-seed constant
+    * 0xC2B2AE3D27D4EB4F): `remainderUnsigned(mix64(mix64(pG) ^ i·C), 2000001)
+    * / 1e6 - 1` with pG = family·10007 + p. Chosen over Spark's XxHash64
+    * because the mix64 family is re-derived bit-exactly in DuckDB SQL
+    * (TextOps.HashSql), which lets the driver oracle the LSH path end to
+    * end; `Similarity.lshBucketColumns` is the bit-identical Column
+    * formulation kept for differential testing (ExpressionsSpec). Single
+    * pass per plane with the per-plane seed hoisted.
     */
   /** The per-plane hyperplane dots shared by lshBucket and lshProbes —
     * ONE maintained copy of the seed chain / modulus / scaling, so the
@@ -124,12 +125,12 @@ object ExprImpl {
     val dots = new Array[Double](planes)
     var p = 0
     while (p < planes) {
-      val planeSeed = XXH64.hashInt(family * 10007 + p, 42L)
+      val planeSeed = Dedup.mix64((family * 10007 + p).toLong)
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val h = XXH64.hashInt(i, planeSeed)
-        val m = ((h % 2000001L) + 2000001L) % 2000001L
+        val h = Dedup.mix64(planeSeed ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+        val m = java.lang.Long.remainderUnsigned(h, 2000001L)
         dot += vec.getFloat(i).toDouble * (m.toDouble / 1000000.0 - 1.0)
         i += 1
       }

@@ -82,12 +82,36 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, family: Int = 0): Column =
     graft.functions.Expressions.lshBucket(vec, planes, family)
 
+  /** splitmix64 finalizer as Column arithmetic: Spark longs wrap with Java
+    * semantics under the ANSI-off session, so the three multiply/xor/shift
+    * stages translate literally. Bit-identical to `Dedup.mix64`.
+    */
+  private def mix64Col(h: Column): Column = {
+    val z0 = h + lit(0x9E3779B97F4A7C15L)
+    val z1 = (z0.bitwiseXOR(shiftrightunsigned(z0, 30))) * lit(0xBF58476D1CE4E5B9L)
+    val z2 = (z1.bitwiseXOR(shiftrightunsigned(z1, 27))) * lit(0x94D049BB133111EBL)
+    z2.bitwiseXOR(shiftrightunsigned(z2, 31))
+  }
+
+  /** `Long.remainderUnsigned(h, m)` as Column arithmetic: math-mod of the
+    * signed value, plus 2^64 mod m when the sign bit was set.
+    */
+  private def remainderUnsignedCol(h: Column, m: Long): Column =
+    pmod(pmod(h, lit(m)) + when(h < 0, lit(BigInt(2).pow(64).mod(BigInt(m)).toLong))
+      .otherwise(lit(0L)), lit(m))
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed hash mapped to [-1, 1]. Reproducible across engines/runs
-    * without a random number generator.
+    * without a random number generator — drawn from the mix64 family that
+    * TextOps.HashSql re-derives in DuckDB SQL, so the oracle can rebuild
+    * the identical hyperplanes (see ExprImpl.planeDots, the production
+    * primitive-loop twin).
     */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+    (remainderUnsignedCol(
+      mix64Col(mix64Col(lit(plane.toLong)).bitwiseXOR(
+        dim.cast("long") * lit(0xC2B2AE3D27D4EB4FL))),
+      2000001L).cast("double") / 1000000.0) - 1.0
 
   /** Column-expression formulation of `lshBucket` — same bits, kept only as
     * an independent implementation for differential testing.
@@ -126,15 +150,18 @@ object Similarity {
     // ScaleProbe shows the mean pass otherwise growing linearly with n).
     val sampled =
       if (trainFraction >= 1.0) c
-      else c.filter(pmod(xxhash64(col("corpus_id")), lit(1000000L)) <
+      else c.filter(remainderUnsignedCol(mix64Col(col("corpus_id").cast("long")), 1000000L) <
         lit((trainFraction * 1000000).toLong))
     val train = sampled.persist()
     try {
-      // deterministic seeds: the nlist vectors with smallest hash(id); cell
-      // id = position in the centroid array
+      // deterministic seeds: the nlist vectors with smallest mix64(id) (id
+      // tiebreak — hash collisions must not make seed choice load-order-
+      // dependent); cell id = position in the centroid array. mix64 rather
+      // than xxhash64 so a DuckDB oracle can re-derive the seed set
+      // (TextOps.HashSql) for the lloydIters=0 operating point.
       var centroids: Array[Array[Float]] =
-        train.withColumn("__h", xxhash64(col("corpus_id")))
-          .orderBy(col("__h")).limit(nlist)
+        train.withColumn("__h", mix64Col(col("corpus_id").cast("long")))
+          .orderBy(col("__h"), col("corpus_id")).limit(nlist)
           .select(col("cv")).collect()
           .map(_.getSeq[Float](0).toArray)
       // an empty sample (tiny trainFraction × small corpus) would build an

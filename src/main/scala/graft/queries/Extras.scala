@@ -105,15 +105,20 @@ object Extras {
           count(lit(1)).as("n_rows"))
     }),
 
-    // Approximate distinct (HLL) next to the exact count — no oracle
-    // (estimator-specific); the dumped rel_err column makes the estimator
-    // quality driver-visible each round, and ScalaTest asserts the bound.
+    // Approximate distinct (HLL++) next to the exact count. The estimate
+    // itself is estimator-specific (Spark HLL++ vs DuckDB HLL disagree by
+    // design), so the cross-engine contract is the TOLERANCE: each engine
+    // asserts ITS estimator lands within 5% of the exact count (HLL++
+    // default rsd is 0.05), and the boolean + exact count hash-match. The
+    // raw estimate and rel_err stay driver-visible via ScalaTest and the
+    // dumped parquet of earlier rounds' rows-only form.
     "q28_approx_distinct" -> ((s, d) => {
       T(s, d, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
-        .withColumn("rel_err", round(
-          abs(col("approx_users") - col("exact_users")) / col("exact_users"), 4))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("within_rsd"))
     }),
 
     // Pivot: order status → columns, yearly totals.
@@ -439,6 +444,14 @@ object Extras {
         | count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // Each engine checks its OWN estimator against the exact count (Spark
+    // HLL++, DuckDB HLL): the exact counts and the within-5% verdicts must
+    // agree even though the raw estimates differ.
+    "q28_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |   <= 0.05 * count(DISTINCT user_id) AS within_rsd
+        |FROM events GROUP BY 1""".stripMargin,
     "q29_pivot" ->
       """SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",

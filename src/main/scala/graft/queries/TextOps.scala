@@ -10,10 +10,11 @@ import graft.operators.{Dedup, Similarity}
   * text statistics, language ID, quality scoring, fingerprinting, exact +
   * near dedup, vector similarity. SQL-expressible ops carry a DuckDB oracle —
   * including the fnv1a64/splitmix64 hash family (MinHash, SimHash), which
-  * `HashSql` re-derives in pure DuckDB SQL over UBIGINT. Only ops whose
-  * output depends on Spark-internal hashes with no SQL twin (sign-LSH /
-  * IVF ANN: approximate by design, recall recorded via qt09r/qt10r) or on
-  * estimator internals (HLL) stay rows-only, cross-checked in ScalaTest.
+  * `HashSql` re-derives in pure DuckDB SQL over UBIGINT — including the
+  * sign-LSH hyperplanes, so the LSH ANN path (qt09/qt09r) is oracled end
+  * to end. Only ops whose output depends on iterative float training
+  * (IVF k-means: summation-order-sensitive means) or on estimator
+  * internals (HLL) keep weaker checks, cross-checked in ScalaTest.
   */
 object TextOps {
 
@@ -58,13 +59,15 @@ object TextOps {
         s"(h, c) -> ${mulConst("xor(h, c)", hex("100000001b3"))})"
 
     /** splitmix64 finalizer staged through lateral aliases z0..z2; emit
-      * these four columns in a SELECT, then read `m` downstream.
+      * these four columns in a SELECT, then read `m` downstream. `suf`
+      * distinguishes the aliases when two applications are chained across
+      * CTEs (the LSH plane hash applies mix64 twice).
       */
-    def mixCols(zIn: String): String =
-      s"${addConst(zIn, hex("9E3779B97F4A7C15"))} AS z0, " +
-        s"${mulConst("xor(z0, z0 >> 30)", hex("BF58476D1CE4E5B9"))} AS z1, " +
-        s"${mulConst("xor(z1, z1 >> 27)", hex("94D049BB133111EB"))} AS z2, " +
-        "xor(z2, z2 >> 31) AS m"
+    def mixCols(zIn: String, suf: String = ""): String =
+      s"${addConst(zIn, hex("9E3779B97F4A7C15"))} AS z0$suf, " +
+        s"${mulConst(s"xor(z0$suf, z0$suf >> 30)", hex("BF58476D1CE4E5B9"))} AS z1$suf, " +
+        s"${mulConst(s"xor(z1$suf, z1$suf >> 27)", hex("94D049BB133111EB"))} AS z2$suf, " +
+        s"xor(z2$suf, z2$suf >> 31) AS m$suf"
 
     /** hash-family member seed: (i * 0xC2B2AE3D27D4EB4F) mod 2^64. */
     def familySeed(i: String): String = mulConst(i, hex("C2B2AE3D27D4EB4F"))
@@ -73,6 +76,80 @@ object TextOps {
     def toSigned(a: String): String =
       s"(CASE WHEN $a >= 9223372036854775808$U " +
         s"THEN (($a)::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT ELSE ($a)::BIGINT END)"
+  }
+
+  /** DuckDB CTEs re-deriving the sign-LSH hyperplane dots of
+    * `ExprImpl.planeDots` bit-for-bit: component (pg = t·10007+p, dim i) =
+    * remainderUnsigned(mix64(mix64(pg) xor i·0xC2B2AE3D27D4EB4F), 2000001)
+    * / 1e6 − 1 — over UBIGINT, where plain `%` IS remainderUnsigned — and
+    * dot = the same left-to-right list fold as the qt08 oracle (doubles
+    * from identical expressions are bit-equal across the engines, so the
+    * `dot >= 0` sign bits agree exactly). Emits `dots(vec_id, t, p, dot)`
+    * covering t < maxTables, p < maxPlanes — one grid sliced by every
+    * operating point, since plane identity t·10007+p is independent of the
+    * variant's plane count.
+    */
+  private def lshDotsCtes(maxTables: Int, maxPlanes: Int): String =
+    s"""dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+       | pgrid AS (SELECT t, p, i, (t*10007 + p)::UBIGINT AS pg
+       |   FROM (SELECT unnest(range(0, $maxTables)) AS t),
+       |        (SELECT unnest(range(0, $maxPlanes)) AS p),
+       |        (SELECT unnest(range(0, (SELECT d FROM dims))) AS i)),
+       | s1 AS (SELECT t, p, i, ${HashSql.mixCols("pg", "a")} FROM pgrid),
+       | s2 AS (SELECT t, p, i,
+       |   ${HashSql.mixCols(s"xor(ma, ${HashSql.familySeed("i::UBIGINT")})", "b")} FROM s1),
+       | comps AS (SELECT t, p, i,
+       |   (mb % 2000001::UBIGINT)::DOUBLE / 1000000.0 - 1.0 AS comp FROM s2),
+       | cl AS (SELECT t, p, list(comp ORDER BY i) AS cs FROM comps GROUP BY t, p),
+       | dots AS (SELECT e.vec_id, c.t, c.p,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> e.embedding[i]::DOUBLE * c.cs[i])) AS dot
+       |   FROM embeddings e CROSS JOIN cl c WHERE e.embedding IS NOT NULL)""".stripMargin
+
+  /** Bucket + exact-rerank CTEs for one LSH operating point, namespaced by
+    * `tag`: base buckets are the plane-sign bits (sum of disjoint powers of
+    * two == the OR ExprImpl folds), query probes add the `probes-1`
+    * smallest-|margin| one-bit flips (ExprImpl.lshProbes order: |dot| asc,
+    * plane asc), candidates join per (table, bucket), rerank is the qt08
+    * oracle's cosine. Emits `topk$tag(query_id, corpus_id, sim, rnk)`.
+    */
+  private def lshTopkCtes(tag: String, planes: Int, tables: Int,
+                          probes: Int, k: Int): String = {
+    val base =
+      s"""b$tag AS (SELECT vec_id, t,
+         |    sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+         |   FROM dots WHERE t < $tables AND p < $planes GROUP BY vec_id, t)""".stripMargin
+    val probeCtes =
+      if (probes == 1)
+        s""",
+           | qp$tag AS (SELECT vec_id, t, bucket FROM b$tag WHERE vec_id < 20)""".stripMargin
+      else
+        s""",
+           | mr$tag AS (SELECT vec_id, t, p,
+           |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot) ASC, p ASC) AS mrnk
+           |   FROM dots WHERE vec_id < 20 AND t < $tables AND p < $planes),
+           | qp$tag AS (
+           |   SELECT vec_id, t, bucket FROM b$tag WHERE vec_id < 20
+           |   UNION ALL
+           |   SELECT m.vec_id, m.t, xor(b.bucket::UBIGINT, (1 << m.p)::UBIGINT)::BIGINT AS bucket
+           |   FROM mr$tag m JOIN b$tag b ON b.vec_id = m.vec_id AND b.t = m.t
+           |   WHERE m.mrnk <= ${probes - 1})""".stripMargin
+    base + probeCtes +
+      s""",
+         | cand$tag AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+         |   FROM qp$tag qb JOIN b$tag cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |     AND qb.vec_id != cb.vec_id),
+         | sc$tag AS (SELECT query_id, corpus_id,
+         |     round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |       i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |     (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |      sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+         |   FROM cand$tag JOIN embeddings q ON q.vec_id = query_id
+         |     JOIN embeddings c ON c.vec_id = corpus_id),
+         | topk$tag AS (SELECT query_id, corpus_id, sim, rnk FROM (
+         |     SELECT query_id, corpus_id, sim,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
+         |     FROM sc$tag) WHERE rnk <= $k)""".stripMargin
   }
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
@@ -186,9 +263,10 @@ object TextOps {
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
-    // LSH-bucketed approximate top-5 (no oracle: xxhash64-derived planes;
-    // recall vs brute force is asserted in ScalaTest). 6 planes × 4 tables
-    // ≈ 6% of the corpus scanned per query.
+    // LSH-bucketed approximate top-5, oracled end to end: the hyperplanes
+    // come from the mix64 family HashSql re-derives in SQL, so DuckDB
+    // rebuilds the identical buckets, candidates, and rerank. 6 planes ×
+    // 4 tables ≈ 6% of the corpus scanned per query.
     "qt09_lsh_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5, planes = 6, tables = 4)
@@ -205,8 +283,9 @@ object TextOps {
     }),
 
     // ANN recall vs the exact baseline, recorded by the driver each round
-    // (rows-only: the recall VALUE is in the dumped parquet). Two operating
-    // points each: the economical qt09/qt10 setting, and a generous budget
+    // (qt09r: hash-verified — the oracle recomputes both sides in SQL;
+    // qt10r: rows-only, the recall VALUE is in the dumped parquet). Operating
+    // points: the economical qt09/qt10 setting, and a generous budget
     // showing the recall/cost curve — fixture embeddings are near-random
     // (top-5 cosine ≈ 0.32), the adversarial case for any ANN index, so the
     // economical recall here is a floor, not what clustered real-world
@@ -713,5 +792,45 @@ object TextOps {
         | s AS (SELECT query_id, corpus_id, round(dot/(nq*nc), 6) AS sim FROM p),
         | r AS (SELECT query_id, corpus_id, sim,
         |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk FROM s)
-        |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin)
+        |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Sign-LSH top-k, END TO END in SQL: hyperplanes re-derived from the
+    // mix64 chain (HashSql), buckets from the dot signs, same bucket join +
+    // exact rerank as the Spark plan. Exercises the full approximate path,
+    // not just its recall summary.
+    "qt09_lsh_topk" ->
+      s"""WITH ${lshDotsCtes(maxTables = 4, maxPlanes = 6)},
+         |${lshTopkCtes("v0", planes = 6, tables = 4, probes = 1, k = 5)}
+         |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM topkv0""".stripMargin,
+
+    // Recall of three LSH operating points vs the brute-force baseline —
+    // both sides computed in SQL, so the driver verifies the recall VALUES,
+    // not just that rows came back. One dot grid (12 tables × 6 planes)
+    // serves every variant.
+    "qt09r_lsh_recall" -> {
+      def recallCte(tag: String): String =
+        s"""r$tag AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exact e LEFT JOIN topk$tag t
+           |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)""".stripMargin
+      s"""WITH ${lshDotsCtes(maxTables = 12, maxPlanes = 6)},
+         | exact AS (SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |       round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |         i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |       (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |        sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+         |       c.vec_id ASC) AS rnk
+         |   FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         |${lshTopkCtes("v1", planes = 6, tables = 4, probes = 1, k = 5)},
+         |${lshTopkCtes("v2", planes = 3, tables = 12, probes = 1, k = 5)},
+         |${lshTopkCtes("v3", planes = 6, tables = 4, probes = 4, k = 5)},
+         |${recallCte("v1")},
+         |${recallCte("v2")},
+         |${recallCte("v3")}
+         |SELECT 6 AS planes, 4 AS tables, 1 AS probes, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 3, 12, 1, rec FROM rv2
+         |UNION ALL SELECT 6, 4, 4, rec FROM rv3""".stripMargin
+    })
 }
