@@ -152,6 +152,46 @@ object TextOps {
          |     FROM sc$tag) WHERE rnk <= $k)""".stripMargin
   }
 
+  /** Bucketed near-dup PAIR CTEs for one LSH operating point (the
+    * `Dedup.embeddingNearDupPairsLsh` shape): unlike the top-k path, BOTH
+    * pair sides are probe-expanded, candidates are id_a < id_b pairs
+    * sharing any (table, bucket), and the verify stage is the exact-cosine
+    * threshold, not a rank cut. Emits `pv$tag(id_a, id_b)`.
+    */
+  private def lshPairCtes(tag: String, planes: Int, tables: Int,
+                          probes: Int, threshold: Double): String = {
+    val base =
+      s"""b$tag AS (SELECT vec_id, t,
+         |    sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+         |   FROM dots WHERE t < $tables AND p < $planes GROUP BY vec_id, t)""".stripMargin
+    val probeCtes =
+      if (probes == 1)
+        s""",
+           | qp$tag AS (SELECT vec_id, t, bucket FROM b$tag)""".stripMargin
+      else
+        s""",
+           | mr$tag AS (SELECT vec_id, t, p,
+           |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot) ASC, p ASC) AS mrnk
+           |   FROM dots WHERE t < $tables AND p < $planes),
+           | qp$tag AS (
+           |   SELECT vec_id, t, bucket FROM b$tag
+           |   UNION ALL
+           |   SELECT m.vec_id, m.t, xor(b.bucket::UBIGINT, (1 << m.p)::UBIGINT)::BIGINT AS bucket
+           |   FROM mr$tag m JOIN b$tag b ON b.vec_id = m.vec_id AND b.t = m.t
+           |   WHERE m.mrnk <= ${probes - 1})""".stripMargin
+    base + probeCtes +
+      s""",
+         | pr$tag AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |   FROM qp$tag a JOIN qp$tag b ON a.t = b.t AND a.bucket = b.bucket
+         |     AND a.vec_id < b.vec_id),
+         | pv$tag AS (SELECT id_a, id_b FROM pr$tag
+         |   JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b
+         |   WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+         |       i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+         |     (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |      sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= $threshold)""".stripMargin
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -279,6 +319,18 @@ object TextOps {
       val e = T(s, d, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4,
         lloydIters = 1)
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // The lloydIters=0 operating point of the SAME IVF machinery, oracled:
+    // with no mean-refinement the centroids are corpus vectors chosen by
+    // mix64(id) — no summation-order-sensitive float averaging — so DuckDB
+    // re-derives seed choice, cell assignment, probe set, and rerank
+    // exactly. Verifies everything in qt10's plan except the Lloyd passes.
+    "qt10s_ivf_seeded" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4,
+        lloydIters = 0)
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
@@ -832,5 +884,66 @@ object TextOps {
          |SELECT 6 AS planes, 4 AS tables, 1 AS probes, rec AS recall_vs_brute FROM rv1
          |UNION ALL SELECT 3, 12, 1, rec FROM rv2
          |UNION ALL SELECT 6, 4, 4, rec FROM rv3""".stripMargin
+    },
+
+    // Seeded IVF (lloydIters=0): centroid choice (smallest signed
+    // mix64(id), id tiebreak), cosine cell assignment (raw doubles — bit-
+    // equal across engines, ranked before any rounding, exactly like the
+    // Scala sortBy), nProbe probing, and exact rerank, all re-derived.
+    "qt10s_ivf_seeded" -> {
+      def dotSql(a: String, b: String): String =
+        s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+      def nrmSql(a: String): String =
+        s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
+      s"""WITH h AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | seeds AS (SELECT vec_id, embedding,
+         |     row_number() OVER (ORDER BY ${HashSql.toSigned("m")} ASC, vec_id ASC) - 1 AS cell
+         |   FROM h QUALIFY cell < 16),
+         | asgn AS (SELECT e.vec_id, s.cell,
+         |     ${dotSql("e.embedding", "s.embedding")} /
+         |       (${nrmSql("e.embedding")} * ${nrmSql("s.embedding")}) AS csim
+         |   FROM embeddings e CROSS JOIN seeds s WHERE e.embedding IS NOT NULL),
+         | ranked AS (SELECT vec_id, cell,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS crnk
+         |   FROM asgn),
+         | home AS (SELECT vec_id AS corpus_id, cell FROM ranked WHERE crnk = 1),
+         | probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |   WHERE vec_id < 20 AND crnk <= 4),
+         | cand AS (SELECT p.query_id, hm.corpus_id
+         |   FROM probes p JOIN home hm ON p.cell = hm.cell AND p.query_id != hm.corpus_id),
+         | sc AS (SELECT query_id, corpus_id,
+         |     round(${dotSql("q.embedding", "c.embedding")} /
+         |       (${nrmSql("q.embedding")} * ${nrmSql("c.embedding")}), 6) AS sim
+         |   FROM cand JOIN embeddings q ON q.vec_id = query_id
+         |     JOIN embeddings c ON c.vec_id = corpus_id),
+         | r AS (SELECT query_id, corpus_id, sim,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
+         |   FROM sc)
+         |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin
+    },
+
+    // Pair-set recall of the LSH-bucketed near-dup variants vs the exact
+    // all-pairs baseline — both sides in SQL, same dot grid as qt09r.
+    "qt12r_embed_neardup_recall" -> {
+      def recallCte(tag: String): String =
+        s"""r$tag AS (SELECT round(avg(CASE WHEN v.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exact e LEFT JOIN pv$tag v ON v.id_a = e.id_a AND v.id_b = e.id_b)""".stripMargin
+      s"""WITH ${lshDotsCtes(maxTables = 4, maxPlanes = 8)},
+         | exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |   WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+         |     (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |      sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4),
+         |${lshPairCtes("v1", planes = 8, tables = 4, probes = 1, threshold = 0.4)},
+         |${lshPairCtes("v2", planes = 8, tables = 4, probes = 4, threshold = 0.4)},
+         |${lshPairCtes("v3", planes = 8, tables = 2, probes = 4, threshold = 0.4)},
+         |${recallCte("v1")},
+         |${recallCte("v2")},
+         |${recallCte("v3")}
+         |SELECT 8 AS planes, 4 AS tables, 1 AS probes, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 8, 4, 4, rec FROM rv2
+         |UNION ALL SELECT 8, 2, 4, rec FROM rv3""".stripMargin
     })
 }
