@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed UDAF surface (SURVEY §2.11): custom aggregates written as
+  * `Aggregator`s, which Catalyst plans as real two-phase aggregates —
+  * partial buffers per partition, merge at the shuffle — the same
+  * map-side-combine shape as built-in aggs, so they hold at 100 TB where
+  * a collect-then-fold would not.
+  */
+object Aggregators {
+
+  /** Most frequent non-null value; ties break to the SMALLEST value,
+    * making the result deterministic where SQL `mode()` leaves the
+    * tiebreak unspecified (the same determinism discipline as the
+    * DISTINCT ON tiebreak, Upsert.scala A2). The buffer is a value→count
+    * map, bounded by the column's distinct-value count — meant for
+    * bounded-domain columns (flags, categories, language codes), not free
+    * text; at 100 TB the shuffle then carries one small map per
+    * (partition, group), not rows.
+    */
+  object ModeAgg extends Aggregator[String, Map[String, Long], String] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b else b.updated(v, b.getOrElse(v, 0L) + 1L)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      if (a.size < b.size) merge(b, a)
+      else b.foldLeft(a) { case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n) }
+    def finish(m: Map[String, Long]): String =
+      if (m.isEmpty) null
+      else m.minBy { case (k, n) => (-n, k) }._1
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** The Column form, usable with no session-level registration. */
+  val mode: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val u = udaf(ModeAgg, Encoders.STRING)
+    c => u(c)
+  }
+
+  /** SQL-surface registration (idempotent): `SELECT graft_mode(col) ...`.
+    * A UserDefinedAggregateFunction registers per session, unlike the
+    * native expressions GraftExtensions injects at extension time.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("graft_mode", udaf(ModeAgg, Encoders.STRING))
+}

@@ -121,6 +121,15 @@ object Extras {
             lit(0.05) * col("exact_users")).as("within_rsd"))
     }),
 
+    // Typed-Aggregator UDAF (SURVEY §2.11): deterministic mode per group —
+    // a real two-phase aggregate (partial maps per partition, merge at the
+    // shuffle), not a collect-and-fold.
+    "q47_mode_udaf" -> ((s, d) => {
+      T(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(graft.functions.Aggregators.mode(col("o_orderpriority")).as("mode_priority"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Pivot: order status → columns, yearly totals.
     "q29_pivot" -> ((s, d) => {
       T(s, d, "orders")
@@ -452,6 +461,17 @@ object Extras {
         | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
         |   <= 0.05 * count(DISTINCT user_id) AS within_rsd
         |FROM events GROUP BY 1""".stripMargin,
+    // Deterministic mode re-derived relationally: counts per (group,
+    // value), smallest value wins ties.
+    "q47_mode_udaf" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |   FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        | r AS (SELECT o_orderstatus, o_orderpriority,
+        |   row_number() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        |  FROM c),
+        | t AS (SELECT o_orderstatus, count(*) AS n_rows FROM orders GROUP BY 1)
+        |SELECT t.o_orderstatus, r.o_orderpriority AS mode_priority, t.n_rows
+        |FROM t LEFT JOIN r ON r.o_orderstatus = t.o_orderstatus AND r.rn = 1""".stripMargin,
     "q29_pivot" ->
       """SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",

@@ -197,6 +197,22 @@ object Relational {
         .agg(min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
           min(col("l_shipdate")).as("first_ship"), max(col("l_shipdate")).as("last_ship"),
           countDistinct(col("l_suppkey")).as("n_supp"))
+    }),
+
+    // SURVEY §2.7 set operations: INTERSECT / EXCEPT / UNION-distinct
+    // (Spark's intersect/except/union+distinct — all shuffle once on the
+    // full row as key, the same hash-agg shape as DISTINCT, so they scale
+    // like any keyed aggregate). One tagged result exercises all three.
+    "q46_set_ops" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      def buyers(yr: Int) =
+        o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+      val a = buyers(1995)
+      val b = buyers(1996)
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_1995")))
+        .unionByName(b.except(a).withColumn("op", lit("only_1996")))
+        .unionByName(a.union(b).distinct().withColumn("op", lit("either")))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -301,5 +317,15 @@ object Relational {
       """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         | min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
         | count(DISTINCT l_suppkey) AS n_supp
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q46_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995),
+        | b AS (SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996)
+        |SELECT o_custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        |UNION ALL
+        |SELECT o_custkey, 'either' FROM (SELECT * FROM a UNION SELECT * FROM b)""".stripMargin)
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators
+
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ModeAgg: most frequent wins; ties break to the smallest value") {
+    val df = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"),           // b wins on count
+      ("g2", "z"), ("g2", "a"), ("g2", "z"), ("g2", "a"), // tie a/z → a
+      ("g3", "x")
+    ).toDF("g", "v")
+    val got = df.groupBy($"g").agg(Aggregators.mode($"v").as("m"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("g1" -> "b", "g2" -> "a", "g3" -> "x"))
+  }
+
+  test("ModeAgg: nulls don't count; all-null group yields null") {
+    val df = Seq(
+      ("g1", Option("a")), ("g1", None), ("g1", None), ("g1", Option("b")), ("g1", Option("a")),
+      ("g2", None), ("g2", None)
+    ).toDF("g", "v")
+    val got = df.groupBy($"g").agg(Aggregators.mode($"v").as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("g1" -> Some("a"), "g2" -> None))
+  }
+
+  test("ModeAgg: two-phase merge across many partitions equals single-partition result") {
+    val rows = (0 until 1000).map(i => ("g" + (i % 7), "v" + (i % 13)))
+    val many = rows.toDF("g", "v").repartition(8)
+      .groupBy($"g").agg(Aggregators.mode($"v").as("m"))
+      .as[(String, String)].collect().toMap
+    val one = rows.toDF("g", "v").coalesce(1)
+      .groupBy($"g").agg(Aggregators.mode($"v").as("m"))
+      .as[(String, String)].collect().toMap
+    assert(many == one)
+  }
+
+  test("graft_mode is SQL-callable after registration") {
+    Aggregators.register(spark)
+    Seq(("a", "x"), ("a", "x"), ("a", "y")).toDF("g", "v")
+      .createOrReplaceTempView("mode_sql_t")
+    val got = spark.sql("SELECT g, graft_mode(v) AS m FROM mode_sql_t GROUP BY g")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "x"))
+  }
+
+  test("mode aggregate plans as partial + final hash aggregate, no collect") {
+    val df = Seq(("a", "x")).toDF("g", "v")
+      .groupBy($"g").agg(Aggregators.mode($"v").as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    // ObjectHashAggregate runs twice (partial, final) around the exchange —
+    // the map-side-combine shape that keeps the UDAF shuffle-light
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}
