@@ -20,9 +20,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (the fnv1a64/splitmix64 hash family — and the
     * sign-LSH hyperplanes derived from it — is re-derived in SQL, see
-    * TextOps.HashSql). Omitted only where output depends on iterative
-    * float training (IVF k-means) whose quality is instead a recorded
-    * number: qt10r recall.
+    * TextOps.HashSql; the Lloyd-trained IVF path is oracled via
+    * order-deterministic oracle-mode means, see TextOps.ivfCtes). Every
+    * query entry has an oracle.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Events.oracle ++ Extras.oracle

@@ -140,7 +140,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              trainFraction: Double = 1.0): DataFrame = {
+              trainFraction: Double = 1.0,
+              oracleMode: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     // Training re-scans its input 1 + lloydIters times (seed pick + one
     // mean pass per iteration) — cache it for the duration of training and
@@ -170,15 +171,33 @@ object Similarity {
       require(centroids.nonEmpty,
         s"IVF training sample is empty (trainFraction=$trainFraction over this " +
           "corpus) — raise trainFraction or use a larger corpus")
+      // Production mean is `avg` (combinable partial aggregate — summation
+      // order varies with partitioning, as floats allow). `oracleMode`
+      // swaps in an ORDER-DETERMINISTIC mean — values sorted by corpus_id,
+      // summed left-to-right, divided by the count — which DuckDB
+      // reproduces bit-for-bit as `list_sum(list(v ORDER BY vec_id)) /
+      // count(*)`: identical fp order ⇒ bit-equal centroids ⇒ the whole
+      // Lloyd-trained path becomes hash-checkable (TextOps qt10). The
+      // collect_list buffer is one cell's members × one dim — bounded by
+      // the training slice, which `trainFraction` caps at scale.
+      val meanAgg =
+        if (oracleMode)
+          (aggregate(
+            transform(
+              array_sort(collect_list(struct(col("corpus_id").as("id"),
+                col("col").cast("double").as("v")))),
+              x => x.getField("v")),
+            lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("m")
+        else avg(col("col").cast("double")).as("m")
       var iter = 0
       while (iter < lloydIters) {
         // assignment is a narrow per-row scalar (no crossJoin + window
         // shuffle per pass); the only shuffle is the per-dim mean aggregate
         val means = train
           .withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
-          .select(col("cell"), posexplode(col("cv")))
+          .select(col("corpus_id"), col("cell"), posexplode(col("cv")))
           .groupBy(col("cell"), col("pos"))
-          .agg(avg(col("col").cast("double")).as("m"))
+          .agg(meanAgg)
           .groupBy(col("cell"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))

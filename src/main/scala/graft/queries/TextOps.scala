@@ -12,9 +12,10 @@ import graft.operators.{Dedup, Similarity}
   * including the fnv1a64/splitmix64 hash family (MinHash, SimHash), which
   * `HashSql` re-derives in pure DuckDB SQL over UBIGINT — including the
   * sign-LSH hyperplanes, so the LSH ANN path (qt09/qt09r) is oracled end
-  * to end. Only ops whose output depends on iterative float training
-  * (IVF k-means: summation-order-sensitive means) or on estimator
-  * internals (HLL) keep weaker checks, cross-checked in ScalaTest.
+  * to end — and so is the Lloyd-trained IVF path (qt10/qt10r), whose
+  * oracle-mode order-deterministic means make even the k-means training
+  * bit-reproducible in SQL. Only estimator internals (HLL) keep a
+  * tolerance contract, cross-checked in ScalaTest.
   */
 object TextOps {
 
@@ -192,6 +193,68 @@ object TextOps {
          |      sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= $threshold)""".stripMargin
   }
 
+  /** CTE chain re-deriving ONE operating point of the Lloyd-trained
+    * (lloydIters=1) oracle-mode `Similarity.ivfTopK` in DuckDB, namespaced
+    * by `tag`. Stage-for-stage mirror of the Scala path: seeds = smallest
+    * signed mix64(id) of the TRAINING slice (id tiebreak, cell = rank),
+    * training assignment = raw-double cosine vs seeds (cell-asc tiebreak),
+    * centroid = order-deterministic per-dim mean (`list_sum(list(v ORDER
+    * BY vec_id)) / count(*)` — the same left-to-right fp fold oracle mode
+    * runs), cast to FLOAT; empty cells keep their seed; full-corpus
+    * assignment, nProbe probing, exact rerank. `trainScaled` is
+    * trainFraction × 1e6: the slice is `mix64(vec_id) % 1000000 <
+    * trainScaled` over UBIGINT — bit-identical to the Scala
+    * remainderUnsigned filter. Requires a shared `hh` CTE (embeddings +
+    * mix64 of vec_id). Emits `tk$tag(query_id, corpus_id, sim, rnk)` with
+    * rnk <= k applied.
+    */
+  private def ivfCtes(tag: String, nlist: Int, nProbe: Int, k: Int,
+                      trainScaled: Long = 1000000L): String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    def nrmSql(a: String): String =
+      s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
+    val trainFilter =
+      if (trainScaled >= 1000000L) ""
+      else s" WHERE m % 1000000::UBIGINT < $trainScaled::UBIGINT"
+    s"""tr$tag AS (SELECT vec_id, embedding, m FROM hh$trainFilter),
+       | seeds$tag AS (SELECT vec_id, embedding,
+       |     row_number() OVER (ORDER BY ${HashSql.toSigned("m")} ASC, vec_id ASC) - 1 AS cell
+       |   FROM tr$tag QUALIFY cell < $nlist),
+       | tasg$tag AS (SELECT t.vec_id, s.cell,
+       |     row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |       ${dotSql("t.embedding", "s.embedding")} /
+       |         (${nrmSql("t.embedding")} * ${nrmSql("s.embedding")}) DESC, s.cell ASC) AS crnk
+       |   FROM tr$tag t CROSS JOIN seeds$tag s),
+       | mexp$tag AS (SELECT a.cell, u.i AS pos, e.vec_id, e.embedding[u.i]::DOUBLE AS v
+       |   FROM (SELECT vec_id, cell FROM tasg$tag WHERE crnk = 1) a
+       |     JOIN embeddings e ON e.vec_id = a.vec_id,
+       |     unnest(range(1, len(e.embedding) + 1)) AS u(i)),
+       | mean$tag AS (SELECT cell, pos, list_sum(list(v ORDER BY vec_id)) / count(*) AS m
+       |   FROM mexp$tag GROUP BY cell, pos),
+       | cent$tag AS (SELECT cell, list(m::FLOAT ORDER BY pos) AS c FROM mean$tag GROUP BY cell),
+       | cen$tag AS (SELECT s.cell, coalesce(c.c, s.embedding) AS centroid
+       |   FROM seeds$tag s LEFT JOIN cent$tag c USING (cell)),
+       | asg$tag AS (SELECT e.vec_id, kc.cell,
+       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |       ${dotSql("e.embedding", "kc.centroid")} /
+       |         (${nrmSql("e.embedding")} * ${nrmSql("kc.centroid")}) DESC, kc.cell ASC) AS crnk
+       |   FROM embeddings e CROSS JOIN cen$tag kc WHERE e.embedding IS NOT NULL),
+       | cnd$tag AS (SELECT p.query_id, h.corpus_id
+       |   FROM (SELECT vec_id AS query_id, cell FROM asg$tag
+       |          WHERE vec_id < 20 AND crnk <= $nProbe) p
+       |   JOIN (SELECT vec_id AS corpus_id, cell FROM asg$tag WHERE crnk = 1) h
+       |     ON p.cell = h.cell AND p.query_id != h.corpus_id),
+       | sct$tag AS (SELECT query_id, corpus_id,
+       |     round(${dotSql("q.embedding", "c.embedding")} /
+       |       (${nrmSql("q.embedding")} * ${nrmSql("c.embedding")}), 6) AS sim
+       |   FROM cnd$tag JOIN embeddings q ON q.vec_id = query_id
+       |     JOIN embeddings c ON c.vec_id = corpus_id),
+       | tk$tag AS (SELECT query_id, corpus_id, sim,
+       |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
+       |   FROM sct$tag QUALIFY rnk <= $k)""".stripMargin
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -313,12 +376,18 @@ object TextOps {
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
-    // IVF ANN scale path (no oracle: k-means cells; recall asserted in
-    // SimilaritySpec): probe 4 of 16 cells per query, exact rerank inside.
+    // IVF ANN scale path, oracled END TO END including the Lloyd pass:
+    // `oracleMode` makes the per-cell per-dim mean an order-deterministic
+    // fold (values sorted by corpus_id, summed left-to-right — DuckDB's
+    // `list_sum(list(v ORDER BY vec_id)) / count(*)` is the same fp
+    // sequence), so seeds, trained centroids, cell assignment, probing and
+    // rerank are all bit-reproduced in SQL. Production keeps `avg`
+    // (combinable partial agg); SimilaritySpec pins the two modes to the
+    // same neighbor sets on the fixture. Probe 4 of 16 cells per query.
     "qt10_ivf_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, nlist = 16, nProbe = 4,
-        lloydIters = 1)
+        lloydIters = 1, oracleMode = true)
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
@@ -335,8 +404,8 @@ object TextOps {
     }),
 
     // ANN recall vs the exact baseline, recorded by the driver each round
-    // (qt09r: hash-verified — the oracle recomputes both sides in SQL;
-    // qt10r: rows-only, the recall VALUE is in the dumped parquet). Operating
+    // (both hash-verified — the oracle recomputes both sides in SQL).
+    // Operating
     // points: the economical qt09/qt10 setting, and a generous budget
     // showing the recall/cost curve — fixture embeddings are near-random
     // (top-5 cosine ≈ 0.32), the adversarial case for any ANN index, so the
@@ -353,13 +422,22 @@ object TextOps {
           // query per table — recall bought at query time, not index time
           ((6, 4, 4), Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4, probes = 4))))
     }),
+    // IVF recall operating points (all lloydIters=1, oracle-mode means):
+    // the economical setting, a generous probe budget, and the 100 TB
+    // TRAINING path — a 25% deterministic hash-slice of the corpus
+    // (trainFraction) so sampled k-means training has a recorded recall,
+    // not just machinery.
     "qt10r_ivf_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
       recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
-        Seq("query_id", "corpus_id"), ("nlist", "n_probe", "lloyd_iters"),
-        Seq(((16, 4, 1), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4, lloydIters = 1)),
-          ((16, 14, 1), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 14, lloydIters = 1))))
+        Seq("query_id", "corpus_id"), ("nlist", "n_probe", "train_pct"),
+        Seq(((16, 4, 100), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
+            lloydIters = 1, oracleMode = true)),
+          ((16, 14, 100), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 14,
+            lloydIters = 1, oracleMode = true)),
+          ((16, 4, 25), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
+            lloydIters = 1, trainFraction = 0.25, oracleMode = true))))
     }),
 
     // Embedding-cosine near-dup, exact all-pairs (quadratic baseline —
@@ -921,6 +999,47 @@ object TextOps {
          |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
          |   FROM sc)
          |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin
+    },
+
+    // Lloyd-trained IVF (lloydIters=1, oracle-mode means): the full
+    // training → assignment → probe → rerank chain re-derived in SQL —
+    // see ivfCtes. The shared `hh` CTE carries mix64(vec_id) for both the
+    // seed ranking and (in qt10r's sampled variant) the training slice.
+    "qt10_ivf_topk" ->
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | ${ivfCtes("a", nlist = 16, nProbe = 4, k = 5)}
+         |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM tka""".stripMargin,
+
+    // IVF recall operating points vs the brute-force baseline — both sides
+    // in SQL so the recall VALUES are hash-verified (the qt09r discipline),
+    // including the trainFraction=0.25 sampled-training point.
+    "qt10r_ivf_recall" -> {
+      def recallCte(tag: String): String =
+        s"""r$tag AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exact e LEFT JOIN tk$tag t
+           |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)""".stripMargin
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | exact AS (SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |       round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |         i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |       (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |        sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+         |       c.vec_id ASC) AS rnk
+         |   FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         |${ivfCtes("v1", nlist = 16, nProbe = 4, k = 5)},
+         |${ivfCtes("v2", nlist = 16, nProbe = 14, k = 5)},
+         |${ivfCtes("v3", nlist = 16, nProbe = 4, k = 5, trainScaled = 250000L)},
+         |${recallCte("v1")},
+         |${recallCte("v2")},
+         |${recallCte("v3")}
+         |SELECT 16 AS nlist, 4 AS n_probe, 100 AS train_pct, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 16, 14, 100, rec FROM rv2
+         |UNION ALL SELECT 16, 4, 25, rec FROM rv3""".stripMargin
     },
 
     // Pair-set recall of the LSH-bucketed near-dup variants vs the exact

@@ -41,6 +41,40 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.groupBy("query_id").count().count() === 20)
   }
 
+  test("ivfTopK oracleMode: order-deterministic means ≈ production avg means") {
+    // oracleMode exists for the DuckDB oracle (bit-reproducible fp order),
+    // not as a different algorithm: both modes average the same cell
+    // members, differing only in summation order (error ~1 ulp per dim).
+    // Pin that the two modes return essentially the same neighbor sets on
+    // the fixture — a large divergence would mean oracleMode is verifying
+    // something other than the production path.
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    def pairs(oracle: Boolean) =
+      Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4, lloydIters = 1,
+          oracleMode = oracle)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val prod = pairs(oracle = false)
+    val orc = pairs(oracle = true)
+    val overlap = (prod intersect orc).size.toDouble / math.max(prod.size, orc.size)
+    assert(overlap > 0.95, s"oracleMode diverged from production: overlap = $overlap")
+  }
+
+  test("ivfTopK sampled training (trainFraction) keeps useful recall@5") {
+    // the 100 TB training path: k-means on a 25% deterministic hash-slice;
+    // cells only need the density shape, so recall should stay in the same
+    // band as full-corpus training (qt10r records the exact values)
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
+        lloydIters = 1, trainFraction = 0.25)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall@5 with sampled training = $recall")
+  }
+
   test("lshTopK achieves reasonable recall@5 vs brute force on real embeddings") {
     // Fixture embeddings are near-random (top-5 sim ≈ 0.32 → per-bit
     // collision prob ≈ 0.6), so parameters must be generous: 4 planes ×
