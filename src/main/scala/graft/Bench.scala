@@ -34,12 +34,26 @@ object Bench {
     // local-iteration filter (mirrors Verify); unset for the driver's run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Inter-query isolation: queries that checkpoint/persist internally
+    // (connected components' final labels frame, IVF training caches on a
+    // failure path) can leak storage blocks into the shared JVM; 75 queries
+    // × runs of accumulated blocks = the GC/page-pressure ordering noise
+    // that swung identical code ±3-4× between rounds. Drop every persistent
+    // RDD and collect garbage BETWEEN entries so each query starts from the
+    // same memory state its isolated run would see.
+    def isolate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // stop at the first failure: one -1 already poisons the query's
       // result, so re-running a known-failed (possibly slow-to-fail) query
       // runs-1 more times buys nothing
+      isolate()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
@@ -51,7 +65,11 @@ object Bench {
         }
         i += 1
       }
-      name -> (if (failed) -1.0 else times.min)
+      // (min, relative spread): min is the deterministic-cost estimator;
+      // (max-min)/min across the runs is the noise witness — a large value
+      // says this entry's number is scheduling/GC noise, not plan cost
+      name -> (if (failed) (-1.0, -1.0)
+               else (times.min, if (times.min > 0) (times.max - times.min) / times.min else 0.0))
     }.toMap
     // The driver captures only the last ~2000 bytes of stdout; a queries map
     // keyed by full names with nanosecond-precision doubles overflows that
@@ -63,13 +81,24 @@ object Bench {
       "short query ids collide; bench line would drop a query")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
+      .map { case (k, (v, _)) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Noise report, budgeted for the driver's ~2000-byte stdout window:
+    // the WORST relative spreads (capped at 8 entries, 2 decimals) plus the
+    // overall max — enough to tell a real regression (spread small, min
+    // moved) from measurement noise (spread large) without doubling the
+    // line. -1 (failed) entries are excluded; they're already flagged.
+    val spreads = results.toSeq.filter(_._2._2 >= 0)
+    val worst = spreads.sortBy(-_._2._2).take(8)
+      .map { case (k, (_, s)) => "\"" + shortId(k) + "\":" + f"$s%.2f" }
+      .mkString("{", ",", "}")
+    val spreadMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2._2).max
     // any failure invalidates the run: report total=-1 (a smaller-but-
     // incomplete sum would read as a FASTER run to a total-only gate)
-    val failures = results.count(_._2 < 0)
-    val total = if (failures > 0) -1.0 else results.values.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.count(_._2._1 < 0)
+    val total = if (failures > 0) -1.0 else results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"spread_worst":$worst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
