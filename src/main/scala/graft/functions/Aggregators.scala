@@ -23,12 +23,31 @@ object Aggregators {
     * (partition, group), not rows.
     */
   object ModeAgg extends Aggregator[String, Map[String, Long], String] {
+
+    /** Hard cap on the buffer's distinct-value count. The bounded-domain
+      * contract above is ENFORCED, not advisory: a caller aggregating free
+      * text fails fast with a diagnosable message on the first partition
+      * that crosses the cap, instead of growing a per-group map until an
+      * executor dies of OOM mid-shuffle at 100 TB. 64k distinct values is
+      * far above any flag/category/language domain and far below OOM.
+      */
+    val MaxDistinct = 65536
+
+    private def checkBound(m: Map[String, Long]): Map[String, Long] = {
+      require(m.size <= MaxDistinct,
+        s"graft_mode buffer exceeded $MaxDistinct distinct values — this " +
+          "aggregate is for bounded-domain columns (flags, categories, " +
+          "language codes), not free text; use approx top-k instead")
+      m
+    }
+
     def zero: Map[String, Long] = Map.empty
     def reduce(b: Map[String, Long], v: String): Map[String, Long] =
-      if (v == null) b else b.updated(v, b.getOrElse(v, 0L) + 1L)
+      if (v == null) b else checkBound(b.updated(v, b.getOrElse(v, 0L) + 1L))
     def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
       if (a.size < b.size) merge(b, a)
-      else b.foldLeft(a) { case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n) }
+      else checkBound(
+        b.foldLeft(a) { case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n) })
     def finish(m: Map[String, Long]): String =
       if (m.isEmpty) null
       else m.minBy { case (k, n) => (-n, k) }._1

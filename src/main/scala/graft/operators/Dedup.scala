@@ -266,11 +266,16 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      // LAZY checkpoint: the convergence count below is the one action of
+      // the round — it materializes the checkpoint blocks (truncating the
+      // iterative lineage, as before) AND returns the changed count in the
+      // same job, instead of an eager-checkpoint job followed by a second
+      // count job (2 driver round-trips per round → 1).
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           col("component").as("prev"))
-        .localCheckpoint(true) // eager: `next` no longer depends on `labels`
+        .localCheckpoint(false)
       changed = next.filter(col("component") =!= col("prev")).count()
       labels.unpersist() // free the superseded round's checkpoint blocks
       labels = next.select("id", "component")

@@ -27,6 +27,19 @@ class AggregatorsSpec extends SparkSpec {
     assert(got == Map("g1" -> Some("a"), "g2" -> None))
   }
 
+  test("ModeAgg: unbounded domain fails fast instead of growing toward OOM") {
+    // the bounded-domain contract is enforced: reduce/merge require the
+    // buffer to stay under MaxDistinct, so free-text misuse dies with a
+    // diagnosable message on the first offending partition
+    val wide = (0 to Aggregators.ModeAgg.MaxDistinct).map(i => ("g", s"v$i"))
+      .toDF("g", "v").repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      wide.groupBy($"g").agg(Aggregators.mode($"v").as("m")).collect()
+    }
+    assert(e.getMessage.contains("graft_mode") ||
+      Option(e.getCause).exists(_.getMessage.contains("graft_mode")))
+  }
+
   test("ModeAgg: two-phase merge across many partitions equals single-partition result") {
     val rows = (0 until 1000).map(i => ("g" + (i % 7), "v" + (i % 13)))
     val many = rows.toDF("g", "v").repartition(8)
