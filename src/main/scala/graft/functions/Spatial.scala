@@ -126,12 +126,89 @@ object Spatial {
     */
   def wktCentroid(wkt: Column): Column = Expressions.wktCentroid(wkt)
 
+  // --- make_valid (G5's other half) ----------------------------------------
+  // The reference repairs invalid geometries with geopandas make_valid
+  // before stringifying (/root/reference/airflow/dags/bronze/utils.py:
+  // 589-591). Scope here is the structural invalidity a shapefile/WKT
+  // round-trip actually produces — and the one that silently corrupts the
+  // centroid: an UNCLOSED ring makes the shoelace sum skip the closing-edge
+  // term (wrong area, wrong centroid — not a null). Full GEOS make_valid
+  // (self-intersection node-and-split) is out of scope and documented so:
+  // the zoning data has no bowties, and wktCentroid's signed-area integral
+  // is well-defined on them regardless.
+
+  /** Minimal WKT polygon repair, idempotent and identity on valid input:
+    *  - consecutive duplicate vertices collapsed;
+    *  - unclosed rings closed (first vertex appended);
+    *  - degenerate rings dropped (< 4 points once closed, or zero area);
+    *  - a dropped SHELL drops its polygon (holes can't outlive it);
+    *  - nothing left → None. POINT/LINESTRING pass through; null or
+    *    unparseable input → None (matching wktCentroid's null-out).
+    */
+  def makeValidWkt(wkt: String): Option[String] = {
+    if (wkt == null) return None
+    val s = wkt.trim.toUpperCase
+    try {
+      if (s.startsWith("POINT") || s.startsWith("LINESTRING")) {
+        parseCoords(inner(s)) // validates coordinates parse
+        Some(wkt.trim)
+      } else if (s.startsWith("POLYGON") || s.startsWith("MULTIPOLYGON")) {
+        val polys = splitPolygons(s).flatMap { rings =>
+          val repaired = rings.map(r => repairRing(parseCoords(r)))
+          repaired.headOption.flatten match {
+            case None => None // shell degenerate → polygon gone
+            case Some(shell) => Some(shell +: repaired.tail.flatten)
+          }
+        }
+        if (polys.isEmpty) None
+        else if (polys.sizeIs == 1) Some(s"POLYGON ${polyStr(polys.head)}")
+        else Some(s"MULTIPOLYGON ${polys.map(polyStr).mkString("(", ", ", ")")}")
+      } else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Collapse consecutive duplicates, close, reject degenerates. */
+  private def repairRing(coords: Array[(Double, Double)]): Option[Array[(Double, Double)]] = {
+    if (coords.isEmpty) return None
+    val dedup = coords.foldLeft(Vector.empty[(Double, Double)]) {
+      case (acc, c) if acc.lastOption.contains(c) => acc
+      case (acc, c) => acc :+ c
+    }
+    val closed = if (dedup.head == dedup.last) dedup else dedup :+ dedup.head
+    if (closed.length < 4) return None
+    var area = 0.0
+    var j = 0
+    while (j < closed.length - 1) {
+      val (x1, y1) = closed(j); val (x2, y2) = closed(j + 1)
+      area += x1 * y2 - x2 * y1
+      j += 1
+    }
+    if (area == 0.0) None else Some(closed.toArray)
+  }
+
+  private def fmtCoord(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  private def ringStr(r: Array[(Double, Double)]): String =
+    r.map { case (x, y) => s"${fmtCoord(x)} ${fmtCoord(y)}" }.mkString("(", ", ", ")")
+
+  private def polyStr(p: Seq[Array[(Double, Double)]]): String =
+    p.map(ringStr).mkString("(", ", ", ")")
+
+  private val makeValidUdf = org.apache.spark.sql.functions.udf(
+    (wkt: String) => makeValidWkt(wkt).orNull)
+
+  /** Column form. UDF on purpose: geometry repair runs once at ingest on
+    * dimension-sized zone tables (like utmToLonLat), never on the fact side.
+    */
+  def makeValid(wkt: Column): Column = makeValidUdf(wkt)
+
   // --- UTM ↔ WGS84 (G5's to_crs(4326), the reference's zone reprojection:
   // Spanish zonification ships in ETRS89/UTM — bronze/utils.py:589-591) ----
   // Transverse Mercator series per Snyder, "Map Projections — A Working
   // Manual" (USGS PP 1395, public), WGS84/GRS80 ellipsoid, k0=0.9996.
   // Sub-mm self-consistency (round-trip property-tested); geometry validity
-  // repair (make_valid) stays ingest-side and out of scope.
+  // repair is makeValidWkt above, applied at the same ingest point.
 
   private val A = 6378137.0 // WGS84 semi-major
   private val F = 1.0 / 298.257223563

@@ -48,11 +48,20 @@ object Shapefile {
   }
 
   /** The shapefile as a DataFrame(record INT, wkt STRING) — the bronze
-    * shape the reference's zonification load produces.
+    * shape the reference's zonification load produces. `repair` applies
+    * graft.functions.Spatial.makeValidWkt per record, mirroring the
+    * reference's geopandas make_valid at this same ingest point
+    * (/root/reference/airflow/dags/bronze/utils.py:589-591); it is the
+    * identity on well-formed .shp output (rings the whitepaper requires to
+    * be closed), and mends unclosed/duplicate-vertex rings from sloppy
+    * writers before they silently skew the downstream centroid.
     */
-  def toDF(spark: SparkSession, path: String): DataFrame = {
+  def toDF(spark: SparkSession, path: String, repair: Boolean = true): DataFrame = {
     import spark.implicits._
-    readWkt(path).map { case (r, w) => (r, w.orNull) }.toDF("record", "wkt")
+    readWkt(path).map { case (r, w) =>
+      val fixed = if (repair) w.flatMap(graft.functions.Spatial.makeValidWkt) else w
+      (r, fixed.orNull)
+    }.toDF("record", "wkt")
   }
 
   private def parseShape(buf: ByteBuffer, at: Int): Option[String] =

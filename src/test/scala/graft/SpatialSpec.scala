@@ -106,6 +106,67 @@ class SpatialSpec extends SparkSpec {
     assert(Spatial.wktCentroidXY("POINT(3 4)").contains((3.0, 4.0)))
   }
 
+  test("makeValid: closes unclosed rings — and the closure changes the centroid") {
+    // Right triangle listed WITHOUT the closing edge: the shoelace loop
+    // misses the (1 5)→(1 1) cross term (-4 here — off-origin on purpose;
+    // rings through the origin close with a zero term), so the raw centroid
+    // is WRONG (not null). make_valid closes the ring; repaired centroid is
+    // the exact vertex mean (7/3, 7/3).
+    val open = "POLYGON((1 1, 5 1, 1 5))"
+    val fixed = Spatial.makeValidWkt(open).get
+    assert(fixed === "POLYGON ((1 1, 5 1, 1 5, 1 1))")
+    val c = Spatial.wktCentroidXY(fixed).get
+    assert(math.abs(c._1 - 7.0 / 3) < 1e-12 && math.abs(c._2 - 7.0 / 3) < 1e-12)
+    assert(Spatial.wktCentroidXY(open).get !== c, "unclosed ring must differ — that's the bug repair exists for")
+  }
+
+  test("makeValid: identity on valid input, idempotent on repaired input") {
+    val valid = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert(Spatial.makeValidWkt(valid).contains(valid))
+    val repaired = Spatial.makeValidWkt("POLYGON((0 0, 0 0, 2 0, 2 2, 0 2))").get
+    assert(Spatial.makeValidWkt(repaired).contains(repaired))
+  }
+
+  test("makeValid: drops degenerate rings; degenerate shell drops its polygon") {
+    // zero-area sliver shell → polygon gone → None
+    assert(Spatial.makeValidWkt("POLYGON((0 0, 4 0, 0 0))").isEmpty)
+    // valid shell, degenerate hole → hole dropped, shell kept
+    val got = Spatial.makeValidWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 2, 1 1))").get
+    assert(got === "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // multipolygon: dead first part removed, survivor demoted to POLYGON
+    val multi = "MULTIPOLYGON(((0 0, 1 1, 0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))"
+    assert(Spatial.makeValidWkt(multi).get === "POLYGON ((10 0, 11 0, 11 1, 10 1, 10 0))")
+  }
+
+  test("makeValid: null/garbage → None; POINT passes through; Column form null-safe") {
+    assert(Spatial.makeValidWkt(null).isEmpty)
+    assert(Spatial.makeValidWkt("not wkt").isEmpty)
+    assert(Spatial.makeValidWkt("POINT(3 4)").contains("POINT(3 4)"))
+    val got = Seq(("POLYGON((0 0, 4 0, 0 4))", 1), (null, 2), ("garbage", 3))
+      .toDF("wkt", "id").select(Spatial.makeValid($"wkt").as("w"))
+      .as[Option[String]].collect().toSeq
+    assert(got === Seq(Some("POLYGON ((0 0, 4 0, 0 4, 0 0))"), None, None))
+  }
+
+  test("makeValid feeding Silver.zones: repaired zone survives with the exact centroid") {
+    import graft.pipeline.Silver
+    // One valid zone, one unclosed-ring zone, one garbage zone. Without
+    // repair the unclosed zone passes the null-centroid gate WITH A WRONG
+    // CENTROID; with ingest-side repair (the reference's make_valid point)
+    // it lands on the correct one. Garbage stays dropped either way.
+    val bronze = Seq(
+      ("A", "Zona A", "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
+      ("B", "Zona B", "POLYGON((10 10, 14 10, 10 14))"),
+      ("C", "Zona C", "None")).toDF("ID", "Nombre", "geometry")
+    val repaired = bronze.withColumn("geometry", Spatial.makeValid($"geometry"))
+    val rows = Silver.zones(Map("distrito" -> repaired))
+      .select($"id", $"centroid_longitude", $"centroid_latitude")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("A", "B"))
+    val b = rows(1)
+    assert(math.abs(b._2 - (10 + 4.0 / 3)) < 1e-9 && math.abs(b._3 - (10 + 4.0 / 3)) < 1e-9)
+  }
+
   test("wktCentroid works as a column over a DataFrame") {
     val got = Seq("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))").toDF("wkt")
       .select(Spatial.wktCentroid($"wkt").as("c"))
