@@ -17,6 +17,129 @@ object Extras {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  // --- bronze-shaped fixtures ------------------------------------------------
+  // Shared between the per-table silver entries (q32..q40, each oracled in
+  // isolation) and the composed qp01_pipeline entry, which wires ALL of them
+  // through Pipeline.buildSilver with ONE municipios/relations dim pair —
+  // the reference's actual workload shape (main.py:159-182 feeds the same
+  // dims to all three INE tables). Pure refactor: each per-table entry's
+  // output is unchanged.
+
+  /** q32's OD bronze: lineitem → all-string MITMA OD rows (null distancia
+    * on the qty≥25 ∧ returnflag=R slice exercises the critical-field drop).
+    */
+  private def odBronze(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem").select(
+      date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
+      (col("l_linenumber") % 24).cast("string").as("periodo"),
+      col("l_orderkey").cast("string").as("origen"),
+      col("l_partkey").cast("string").as("destino"),
+      when(col("l_quantity") < 25, "0.5-2").when(col("l_returnflag") === "R", lit(null))
+        .otherwise("2-10").as("distancia"),
+      lit("casa").as("actividad_origen"),
+      col("l_linestatus").as("actividad_destino"),
+      col("l_suppkey").cast("string").as("residencia"),
+      lit("10-15").as("renta"), lit("NA").as("edad"), lit("NA").as("sexo"),
+      col("l_quantity").cast("string").as("viajes"),
+      col("l_extendedprice").cast("string").as("viajes_km"),
+      when(col("l_returnflag") === "R", "si").when(col("l_returnflag") === "A", "NO")
+        .otherwise("xx").as("estudio_destino_posible"),
+      when(col("l_linenumber") % 2 === 0, "Si").otherwise("no").as("estudio_origen_posible"))
+
+  /** q35's zone bronze: integer-coordinate WKT rectangles from nation. */
+  private def zonesBronze(s: SparkSession, d: String): DataFrame = {
+    val x = (col("n_nationkey") * 7 % 120) - 60
+    val y = (col("n_nationkey") * 3 % 160) - 80
+    T(s, d, "nation").select(
+      col("n_name").as("ID"),
+      concat(lit("Zona "), col("n_name")).as("Nombre"),
+      lit("100").as("Poblacion"),
+      concat(lit("POLYGON(("),
+        x, lit(" "), y, lit(", "),
+        x + 2, lit(" "), y, lit(", "),
+        x + 2, lit(" "), y + 2, lit(", "),
+        x, lit(" "), y + 2, lit(", "),
+        x, lit(" "), y, lit("))")).as("geometry"))
+  }
+
+  /** q38's overnight bronze branch (null residencia on linenumber=7). */
+  private def overnightBranch(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem").filter(col("l_orderkey") % 12 === 0).select(
+      date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
+      when(col("l_linenumber") === 7, lit(null).cast("string"))
+        .otherwise(col("l_suppkey").cast("string")).as("zona_residencia"),
+      col("l_partkey").cast("string").as("zona_pernoctacion"),
+      col("l_quantity").cast("string").as("personas"))
+
+  /** q39's people-per-day bronze branch. */
+  private def peopleDayBranch(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem").filter(col("l_orderkey") % 12 === 0).select(
+      date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
+      col("l_suppkey").cast("string").as("zona_pernoctacion"),
+      lit("25-45").as("edad"),
+      when(col("l_linenumber") % 2 === 0, "M").otherwise("F").as("sexo"),
+      when(col("l_quantity") > 40, "2+").otherwise(col("l_linenumber").cast("string")).as("numero_viajes"),
+      col("l_extendedprice").cast("string").as("personas"))
+
+  /** q40's raw holidays (nationwide flag + 1-based name list). */
+  private def holidaysRawFixture(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(
+      concat(lit("2024-01-"), lpad((col("n_nationkey") % 28 + 1).cast("string"), 2, "0")).as("startDate"),
+      array(
+        struct(lit("ES").as("language"), concat(lit("Fiesta "), col("n_name")).as("text")),
+        struct(lit("EN").as("language"), concat(lit("Holiday "), col("n_name")).as("text"))).as("name"),
+      (col("n_nationkey") % 3 =!= 0).as("nationwide"))
+
+  /** q33's empresas (empty Data on %7, non-CNAE tipo on %5). */
+  private def empresasFixture(s: SparkSession, d: String): DataFrame = {
+    val n = T(s, d, "nation")
+    n.select(
+      concat(lit("COD"), col("n_nationkey")).as("COD"),
+      concat(col("n_name"),
+        when(col("n_nationkey") % 5 === 0, lit(". Total. Empresas. Industria."))
+          .otherwise(lit(". Total. Empresas. Total CNAE."))).as("Nombre"),
+      when(col("n_nationkey") % 7 === 0, array().cast("array<struct<Fecha:long,Valor:double>>"))
+        .otherwise(array(
+          struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
+            col("n_regionkey").cast("double").as("Valor")),
+          struct((col("n_nationkey").cast("long") * 86400000L + 86400000L).as("Fecha"),
+            (col("n_regionkey") + 10).cast("double").as("Valor")))).as("Data"))
+  }
+
+  /** q37's poblacion (one Data element per nation). */
+  private def poblacionFixture(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(
+      concat(lit("P"), col("n_nationkey")).as("COD"),
+      concat(col("n_name"), lit(". Total. Población.")).as("Nombre"),
+      array(struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
+        (col("n_nationkey") * 1000).cast("double").as("Valor"))).as("Data"))
+
+  /** q36's renta (distrito/sección suffixes on %4∈{0,1}, null Valor on %5). */
+  private def rentaFixture(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(
+      concat(lit("R"), col("n_nationkey")).as("COD"),
+      concat(col("n_name"),
+        when(col("n_nationkey") % 4 === 0, lit(" distrito 01. Total. Renta neta media por persona."))
+          .when(col("n_nationkey") % 4 === 1, lit(" sección 0101. Total. Renta neta media por persona."))
+          .otherwise(lit(". Total. Renta neta media por persona."))).as("Nombre"),
+      array(struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
+        when(col("n_nationkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise((col("n_regionkey") * 1000 + 15000).cast("double")).as("Valor"))).as("Data"))
+
+  /** q36's municipio dim — unfiltered, the composed pipeline's shared dim. */
+  private def municipiosShared(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(col("n_nationkey").cast("string").as("Codigo"),
+      upper(col("n_name")).as("Nombre"))
+
+  /** q36's relations dim — distrito_mitma set for every municipio. */
+  private def relationsShared(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(
+      lit("S").as("seccion_ine"), lit("D").as("distrito_ine"),
+      col("n_nationkey").cast("string").as("municipio_ine"),
+      concat(lit("DM"), col("n_nationkey")).as("distrito_mitma"),
+      lit(null).cast("string").as("municipio_mitma"),
+      lit(null).cast("string").as("gau_mitma"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP grouping-set hierarchy (subtotals + grand total).
     "q21_rollup" -> ((s, d) => {
@@ -202,22 +325,7 @@ object Extras {
     // datetime build, double casts, si/no booleans, weekend/holiday flags,
     // critical-field null filter (null distancia rows must drop).
     "q32_silver_od" -> ((s, d) => {
-      val bronze = T(s, d, "lineitem").select(
-        date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
-        (col("l_linenumber") % 24).cast("string").as("periodo"),
-        col("l_orderkey").cast("string").as("origen"),
-        col("l_partkey").cast("string").as("destino"),
-        when(col("l_quantity") < 25, "0.5-2").when(col("l_returnflag") === "R", lit(null))
-          .otherwise("2-10").as("distancia"),
-        lit("casa").as("actividad_origen"),
-        col("l_linestatus").as("actividad_destino"),
-        col("l_suppkey").cast("string").as("residencia"),
-        lit("10-15").as("renta"), lit("NA").as("edad"), lit("NA").as("sexo"),
-        col("l_quantity").cast("string").as("viajes"),
-        col("l_extendedprice").cast("string").as("viajes_km"),
-        when(col("l_returnflag") === "R", "si").when(col("l_returnflag") === "A", "NO")
-          .otherwise("xx").as("estudio_destino_posible"),
-        when(col("l_linenumber") % 2 === 0, "Si").otherwise("no").as("estudio_origen_posible"))
+      val bronze = odBronze(s, d)
       val holidays = T(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
         .select(to_date(col("o_orderdate")).as("date")).distinct()
       Silver.od(Map("distrito" -> bronze), holidays)
@@ -233,19 +341,7 @@ object Extras {
     // compute the same centroid analytically ((x+1, y+1)) without a spatial
     // extension, then the same haversine as q13.
     "q35_silver_distances" -> ((s, d) => {
-      val x = (col("n_nationkey") * 7 % 120) - 60
-      val y = (col("n_nationkey") * 3 % 160) - 80
-      val bronze = T(s, d, "nation").select(
-        col("n_name").as("ID"),
-        concat(lit("Zona "), col("n_name")).as("Nombre"),
-        lit("100").as("Poblacion"),
-        concat(lit("POLYGON(("),
-          x, lit(" "), y, lit(", "),
-          x + 2, lit(" "), y, lit(", "),
-          x + 2, lit(" "), y + 2, lit(", "),
-          x, lit(" "), y + 2, lit(", "),
-          x, lit(" "), y, lit("))")).as("geometry"))
-      val zones = Silver.zones(Map("distrito" -> bronze))
+      val zones = Silver.zones(Map("distrito" -> zonesBronze(s, d)))
       Silver.distances(zones)
         .select(col("origin"), col("destination"),
           round(col("distance_km"), 3).as("dist_km"))
@@ -255,11 +351,7 @@ object Extras {
     // INE trio under the oracle.
     "q37_silver_population" -> ((s, d) => {
       val n = T(s, d, "nation")
-      val poblacion = n.select(
-        concat(lit("P"), col("n_nationkey")).as("COD"),
-        concat(col("n_name"), lit(". Total. Población.")).as("Nombre"),
-        array(struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
-          (col("n_nationkey") * 1000).cast("double").as("Valor"))).as("Data"))
+      val poblacion = poblacionFixture(s, d)
       val municipios = n.filter(col("n_nationkey") % 3 =!= 1)
         .select(col("n_nationkey").cast("string").as("Codigo"), upper(col("n_name")).as("Nombre"))
       val relations = n.select(
@@ -276,40 +368,17 @@ object Extras {
     "q38_silver_overnights" -> ((s, d) => {
       // deterministic subset (ADVICE r1): limit-without-order relied on
       // engines sharing one parquet file's row order
-      val li = T(s, d, "lineitem").filter(col("l_orderkey") % 12 === 0)
-      val branch = li.select(
-        date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
-        when(col("l_linenumber") === 7, lit(null).cast("string"))
-          .otherwise(col("l_suppkey").cast("string")).as("zona_residencia"),
-        col("l_partkey").cast("string").as("zona_pernoctacion"),
-        col("l_quantity").cast("string").as("personas"))
+      val branch = overnightBranch(s, d)
       Silver.overnights(Map("distrito" -> branch, "municipio" -> branch))
     }),
-    "q39_silver_people_day" -> ((s, d) => {
+    "q39_silver_people_day" -> ((s, d) =>
       // deterministic subset (ADVICE r1): limit-without-order relied on
       // engines sharing one parquet file's row order
-      val li = T(s, d, "lineitem").filter(col("l_orderkey") % 12 === 0)
-      val branch = li.select(
-        date_format(col("l_shipdate"), "yyyyMMdd").as("fecha"),
-        col("l_suppkey").cast("string").as("zona_pernoctacion"),
-        lit("25-45").as("edad"),
-        when(col("l_linenumber") % 2 === 0, "M").otherwise("F").as("sexo"),
-        when(col("l_quantity") > 40, "2+").otherwise(col("l_linenumber").cast("string")).as("numero_viajes"),
-        col("l_extendedprice").cast("string").as("personas"))
-      Silver.peopleDay(Map("gau" -> branch))
-    }),
+      Silver.peopleDay(Map("gau" -> peopleDayBranch(s, d)))),
 
     // Silver.holidays under the oracle: nationwide filter + 1-based first
     // element of the name list + its text field.
-    "q40_silver_holidays" -> ((s, d) => {
-      val raw = T(s, d, "nation").select(
-        concat(lit("2024-01-"), lpad((col("n_nationkey") % 28 + 1).cast("string"), 2, "0")).as("startDate"),
-        array(
-          struct(lit("ES").as("language"), concat(lit("Fiesta "), col("n_name")).as("text")),
-          struct(lit("EN").as("language"), concat(lit("Holiday "), col("n_name")).as("text"))).as("name"),
-        (col("n_nationkey") % 3 =!= 0).as("nationwide"))
-      Silver.holidays(raw)
-    }),
+    "q40_silver_holidays" -> ((s, d) => Silver.holidays(holidaysRawFixture(s, d))),
 
     // Statistical aggregates (stddev/variance/correlation/covariance).
     "q34_stats" -> ((s, d) => {
@@ -327,17 +396,7 @@ object Extras {
     // DISTINCT ON COD with the deterministic tiebreak.
     "q33_silver_business" -> ((s, d) => {
       val n = T(s, d, "nation")
-      val empresas = n.select(
-        concat(lit("COD"), col("n_nationkey")).as("COD"),
-        concat(col("n_name"),
-          when(col("n_nationkey") % 5 === 0, lit(". Total. Empresas. Industria."))
-            .otherwise(lit(". Total. Empresas. Total CNAE."))).as("Nombre"),
-        when(col("n_nationkey") % 7 === 0, array().cast("array<struct<Fecha:long,Valor:double>>"))
-          .otherwise(array(
-            struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
-              col("n_regionkey").cast("double").as("Valor")),
-            struct((col("n_nationkey").cast("long") * 86400000L + 86400000L).as("Fecha"),
-              (col("n_regionkey") + 10).cast("double").as("Valor")))).as("Data"))
+      val empresas = empresasFixture(s, d)
       val municipios = n.filter(col("n_nationkey") % 3 =!= 0)
         .select(col("n_nationkey").cast("string").as("Codigo"), upper(col("n_name")).as("Nombre"))
       val relations = n.filter(col("n_nationkey") % 2 === 0).select(
@@ -352,26 +411,37 @@ object Extras {
     // Silver.income under the oracle: exercises the distrito/sección regex
     // pre-filters, the suffix strip, the 3rd-segment tipo, and the
     // valor-not-null requirement.
-    "q36_silver_income" -> ((s, d) => {
-      val n = T(s, d, "nation")
-      val renta = n.select(
-        concat(lit("R"), col("n_nationkey")).as("COD"),
-        concat(col("n_name"),
-          when(col("n_nationkey") % 4 === 0, lit(" distrito 01. Total. Renta neta media por persona."))
-            .when(col("n_nationkey") % 4 === 1, lit(" sección 0101. Total. Renta neta media por persona."))
-            .otherwise(lit(". Total. Renta neta media por persona."))).as("Nombre"),
-        array(struct((col("n_nationkey").cast("long") * 86400000L).as("Fecha"),
-          when(col("n_nationkey") % 5 === 0, lit(null).cast("double"))
-            .otherwise((col("n_regionkey") * 1000 + 15000).cast("double")).as("Valor"))).as("Data"))
-      val municipios = n.select(col("n_nationkey").cast("string").as("Codigo"),
-        upper(col("n_name")).as("Nombre"))
-      val relations = n.select(
-        lit("S").as("seccion_ine"), lit("D").as("distrito_ine"),
-        col("n_nationkey").cast("string").as("municipio_ine"),
-        concat(lit("DM"), col("n_nationkey")).as("distrito_mitma"),
-        lit(null).cast("string").as("municipio_mitma"),
-        lit(null).cast("string").as("gau_mitma"))
-      Silver.income(renta, municipios, relations)
+    "q36_silver_income" -> ((s, d) =>
+      Silver.income(rentaFixture(s, d), municipiosShared(s, d), relationsShared(s, d))),
+
+    // The COMPOSED pipeline (reference workload shape, main.py:159-182): all
+    // nine silver tables wired through Pipeline.buildSilver from one bronze
+    // fixture set — q32's OD, q35's zones, q38/q39's MITMA branches, q40's
+    // holidays, the three INE sources, ONE shared municipios/relations dim
+    // pair (as the reference DAG feeds them). Output is the per-table row
+    // count, so one action materializes every dependency edge (zones →
+    // distances, holidaysRaw → holidays → od) and the oracle re-derives
+    // each count from the same fixtures. This is also the per-round
+    // end-to-end bench entry (VERDICT r4 item 8).
+    "qp01_pipeline" -> ((s, d) => {
+      val in = graft.pipeline.Pipeline.Inputs(
+        odBranches = Map("distrito" -> odBronze(s, d)),
+        overnightBranches = Map(
+          "distrito" -> overnightBranch(s, d), "municipio" -> overnightBranch(s, d)),
+        peopleDayBranches = Map("gau" -> peopleDayBranch(s, d)),
+        zoneBranches = Map("distrito" -> zonesBronze(s, d)),
+        holidaysRaw = holidaysRawFixture(s, d),
+        empresas = empresasFixture(s, d),
+        poblacion = poblacionFixture(s, d),
+        renta = rentaFixture(s, d),
+        municipios = municipiosShared(s, d),
+        relations = relationsShared(s, d))
+      graft.pipeline.Pipeline.buildSilver(in).toSeq.sortBy(_._1)
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).cast("long").as("n_rows"))
+            .select(lit(name).as("table_name"), col("n_rows"))
+        }
+        .reduce(_ unionByName _)
     }),
 
     // Deterministic hash-keyed train/val/test assignment (8/1/1 by weight):
@@ -722,5 +792,86 @@ object Extras {
     "q45_bloom_join" ->
       """SELECT l.l_orderkey, l.l_suppkey AS s_suppkey, l.l_quantity, s.s_name
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |WHERE s.s_nationkey = 3""".stripMargin)
+        |WHERE s.s_nationkey = 3""".stripMargin,
+    // Composed pipeline: every table's row count re-derived from the same
+    // bronze fixtures. The INE counts walk the full UNNEST→join→filter
+    // chains (count(DISTINCT COD) ≡ the DISTINCT ON COD row count); the
+    // MITMA counts mirror the null-producing CASEs ahead of the
+    // critical-field drops.
+    "qp01_pipeline" ->
+      """WITH empresas AS (SELECT 'COD' || n_nationkey AS COD,
+        |   n_name || CASE WHEN n_nationkey % 5 = 0 THEN '. Total. Empresas. Industria.'
+        |                  ELSE '. Total. Empresas. Total CNAE.' END AS Nombre,
+        |   CASE WHEN n_nationkey % 7 = 0 THEN CAST([] AS STRUCT(Fecha BIGINT, Valor DOUBLE)[])
+        |        ELSE [{'Fecha': n_nationkey::BIGINT * 86400000, 'Valor': n_regionkey::DOUBLE},
+        |              {'Fecha': n_nationkey::BIGINT * 86400000 + 86400000, 'Valor': (n_regionkey + 10)::DOUBLE}]
+        |   END AS Data
+        |  FROM nation),
+        | poblacion AS (SELECT 'P' || n_nationkey AS COD,
+        |   n_name || '. Total. Población.' AS Nombre,
+        |   [{'Fecha': n_nationkey::BIGINT * 86400000, 'Valor': (n_nationkey * 1000)::DOUBLE}] AS Data
+        |  FROM nation),
+        | renta AS (SELECT 'R' || n_nationkey AS COD,
+        |   n_name || CASE WHEN n_nationkey % 4 = 0 THEN ' distrito 01. Total. Renta neta media por persona.'
+        |                  WHEN n_nationkey % 4 = 1 THEN ' sección 0101. Total. Renta neta media por persona.'
+        |                  ELSE '. Total. Renta neta media por persona.' END AS Nombre,
+        |   [{'Fecha': n_nationkey::BIGINT * 86400000,
+        |     'Valor': CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |                   ELSE (n_regionkey * 1000 + 15000)::DOUBLE END}] AS Data
+        |  FROM nation),
+        | municipios AS (SELECT n_nationkey::VARCHAR AS Codigo, upper(n_name) AS Nombre FROM nation),
+        | relations AS (SELECT n_nationkey::VARCHAR AS municipio_ine,
+        |   'DM' || n_nationkey AS distrito_mitma,
+        |   NULL::VARCHAR AS municipio_mitma, NULL::VARCHAR AS gau_mitma FROM nation),
+        | b_flat AS (SELECT e.COD,
+        |   coalesce(nullif(trim(split_part(e.Nombre, '.', 1)), ''), e.Nombre) AS nombre,
+        |   trim(split_part(e.Nombre, '.', 4)) AS tipo
+        |  FROM empresas e, UNNEST(e.Data) AS t(item)
+        |  WHERE e.Data IS NOT NULL AND len(e.Data) > 0),
+        | b_cnt AS (SELECT count(DISTINCT f.COD)::BIGINT AS n
+        |  FROM b_flat f LEFT JOIN municipios m ON lower(f.nombre) = lower(m.Nombre)
+        |  LEFT JOIN relations r ON m.Codigo = r.municipio_ine
+        |  WHERE lower(f.tipo) LIKE '%cnae%' AND
+        |   (r.distrito_mitma IS NOT NULL OR r.municipio_mitma IS NOT NULL OR r.gau_mitma IS NOT NULL)),
+        | p_flat AS (SELECT p.COD,
+        |   coalesce(nullif(trim(split_part(p.Nombre, '.', 1)), ''), p.Nombre) AS nombre
+        |  FROM poblacion p, UNNEST(p.Data) AS t(item)
+        |  WHERE p.Data IS NOT NULL AND len(p.Data) > 0),
+        | p_cnt AS (SELECT count(DISTINCT f.COD)::BIGINT AS n
+        |  FROM p_flat f LEFT JOIN municipios m ON lower(f.nombre) = lower(m.Nombre)
+        |  LEFT JOIN relations r ON m.Codigo = r.municipio_ine
+        |  WHERE (r.distrito_mitma IS NOT NULL OR r.municipio_mitma IS NOT NULL OR r.gau_mitma IS NOT NULL)),
+        | r_pre AS (SELECT * FROM renta
+        |  WHERE NOT regexp_matches(lower(Nombre), '(sección|seccion)\s+\d+')
+        |    AND NOT regexp_matches(lower(Nombre), 'distrito\s+\d+')),
+        | r_flat AS (SELECT r.COD,
+        |   trim(regexp_replace(split_part(r.Nombre, '.', 1),
+        |        '\s+(distrito|sección|seccion)\s+\d+', '', 'gi')) AS nombre,
+        |   CAST(item.Valor AS DOUBLE) AS valor
+        |  FROM r_pre r, UNNEST(r.Data) AS t(item)
+        |  WHERE r.Data IS NOT NULL AND len(r.Data) > 0),
+        | r_cnt AS (SELECT count(DISTINCT f.COD)::BIGINT AS n
+        |  FROM r_flat f LEFT JOIN municipios m ON lower(f.nombre) = lower(m.Nombre)
+        |  LEFT JOIN relations rel ON m.Codigo = rel.municipio_ine
+        |  WHERE f.valor IS NOT NULL AND
+        |   (rel.distrito_mitma IS NOT NULL OR rel.municipio_mitma IS NOT NULL OR rel.gau_mitma IS NOT NULL)),
+        | od_cnt AS (SELECT count(*)::BIGINT AS n FROM lineitem
+        |  WHERE (CASE WHEN l_quantity < 25 THEN '0.5-2'
+        |              WHEN l_returnflag = 'R' THEN NULL ELSE '2-10' END) IS NOT NULL),
+        | on_cnt AS (SELECT (2 * count(*))::BIGINT AS n FROM lineitem
+        |  WHERE l_orderkey % 12 = 0 AND l_linenumber != 7),
+        | pd_cnt AS (SELECT count(*)::BIGINT AS n FROM lineitem WHERE l_orderkey % 12 = 0),
+        | z_cnt AS (SELECT count(*)::BIGINT AS n FROM nation),
+        | d_cnt AS (SELECT count(*)::BIGINT AS n
+        |  FROM nation a JOIN nation b ON a.n_nationkey != b.n_nationkey),
+        | h_cnt AS (SELECT count(*)::BIGINT AS n FROM nation WHERE n_nationkey % 3 != 0)
+        |SELECT 'bronze_spanish_holidays' AS table_name, n AS n_rows FROM h_cnt
+        |UNION ALL SELECT 'silver_business', n FROM b_cnt
+        |UNION ALL SELECT 'silver_distances', n FROM d_cnt
+        |UNION ALL SELECT 'silver_income', n FROM r_cnt
+        |UNION ALL SELECT 'silver_od', n FROM od_cnt
+        |UNION ALL SELECT 'silver_overnight_stay', n FROM on_cnt
+        |UNION ALL SELECT 'silver_people_day', n FROM pd_cnt
+        |UNION ALL SELECT 'silver_population', n FROM p_cnt
+        |UNION ALL SELECT 'silver_zones', n FROM z_cnt""".stripMargin)
 }
