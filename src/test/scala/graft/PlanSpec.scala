@@ -165,4 +165,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected fingerprint anti-join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("composed pipeline: dims broadcast, facts never sort-merge, no cartesian") {
+    val p = plan(SparkEntry.queries("qp01_pipeline")(spark, sf))
+    // every dim join (holidays flag, municipios ILIKE, relations) broadcasts
+    // — the fact side (lineitem-derived OD) must not shuffle for them
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a dim join fell back to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the composed plan:\n$p")
+    // the zones self-join may plan as a broadcast nested loop ONLY because
+    // the single-branch fixture makes zone_level a folded constant (the
+    // 3-branch reference shape keeps the equi-key); both sides are
+    // dimension-sized. Any OTHER nested loop in the composed plan is a bug,
+    // so every BNLJ occurrence must carry the zones-pair != condition.
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("origin") && l.contains("destination"),
+        s"unexpected nested-loop join (not the zones pair): $l\n$p")
+    }
+  }
 }
