@@ -239,6 +239,67 @@ object Dedup {
       .drop("__fp", "__keep")
   }
 
+  /** Exact n-gram Jaccard ≥ threshold with PREFIX FILTERING — the AllPairs/
+    * PPJoin family (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08). Output is IDENTICAL to
+    * `ngramJaccardPairsIndexed` — exact, no recall trade — but only each
+    * document's PREFIX enters the posting join: under a global rarest-first
+    * shingle order (document frequency asc, shingle asc), a pair with
+    * J ≥ t must share at least one shingle among the first
+    * |s| − ⌈t·|s|⌉ + 1 of each side, so candidate generation cost drops
+    * from Σ df² over ALL posting lists to Σ df² over PREFIX postings — and
+    * the ubiquitous head shingles (the ones the df-cap variant must DROP,
+    * trading exactness) sort to the END of the order, where they are
+    * rarely indexed at all. This is the 100 TB exact path: the df pass is
+    * one map-combinable aggregate, the prefix is a per-document window,
+    * and the verify step computes true Jaccard only on surviving
+    * candidates.
+    *
+    * Candidates also pass the length filter t·max(|a|,|b|) ≤ min(|a|,|b|).
+    * Both fp-threshold comparisons carry a 1e-9 slack so binary rounding
+    * of t·n can only ADMIT extra candidates (the final exact Jaccard
+    * filter rejects them), never wrongly prune a boundary pair.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double,
+                              blockCols: Seq[String] = Nil): DataFrame = {
+    val sized = df.select(Seq(col(idCol)) ++ blockCols.map(col) :+
+        wordShingles(col(textCol), n).as("__sh"): _*)
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__n_sh", size(col("__sh")))
+    val posts = sized.select(Seq(col(idCol), col("__n_sh")) ++ blockCols.map(col) :+
+      explode(col("__sh")).as("__shingle"): _*)
+    // rarest-first global order: per-(block, shingle) document frequency
+    val dfs = posts.groupBy((blockCols :+ "__shingle").map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("__shingle").asc)
+    // prefix length |s| − ⌈t·|s|⌉ + 1; the 1e-9 slack can only lengthen it
+    val prefix = posts.join(dfs, (blockCols :+ "__shingle"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <=
+        col("__n_sh") - ceil(lit(threshold) * col("__n_sh") - lit(1e-9)) + 1)
+    val a = prefix.select(Seq(col(idCol).as("id_a"), col("__n_sh").as("__n_a"),
+      col("__shingle")) ++ blockCols.map(col): _*)
+    val b = prefix.select(Seq(col(idCol).as("id_b"), col("__n_sh").as("__n_b"),
+      col("__shingle")) ++ blockCols.map(col): _*)
+    val cands = a.join(b, ("__shingle" +: blockCols))
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("__n_a"), col("__n_b")) * threshold <=
+        least(col("__n_a"), col("__n_b")) + lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verify: true Jaccard over the (small) candidate set only
+    val setsA = sized.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val setsB = sized.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
+    cands.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard", round(inter /
+        (size(col("__sh_a")) + size(col("__sh_b")) - inter).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Connected components over an undirected pair graph — the step that
     * turns near-dup PAIRS (any of the operators above) into dedup
     * DECISIONS: docs joined by a chain of pairwise matches form one

@@ -337,6 +337,15 @@ object TextOps {
       Dedup.ngramJaccardPairsIndexed(T(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.15, blockCols = Seq("lang"))),
 
+    // The prefix-filtered variant (AllPairs/PPJoin): EXACT like qt05 — the
+    // oracle is literally qt05's SQL — but only each doc's rarest
+    // |s|−⌈t·|s|⌉+1 shingles enter the posting join. The exact scale path:
+    // ubiquitous shingles sort to the end of the order and are rarely
+    // indexed, without the df-cap's recall trade.
+    "qt05p_ngram_jaccard_prefix" -> ((s, d) =>
+      Dedup.ngramJaccardPairsPrefix(T(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.15, blockCols = Seq("lang"))),
+
     // The capped variant: shingles with document frequency above
     // max(4, 5% of the lang block) are dropped from the shingle space —
     // the production bound on posting-list density (worst-case join cost is
@@ -365,6 +374,18 @@ object TextOps {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 5)
         .withColumn("rnk", col("rnk").cast("long"))
     }),
+
+    // Int8 embedding quantization (the 4× ANN memory cut): per-vector
+    // max-abs scale, round-half-up ints. Both engines evaluate the same
+    // double-precision expression in the same order, so the quantized
+    // vectors are bit-identical — hashed here via per-vector sum/min/max
+    // over the int array plus the raw scale.
+    "qt22_quantize_int8" -> ((s, d) =>
+      graft.operators.Similarity.quantizeInt8(T(s, d, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("quantized"), lit(0L), (a, v) => a + v.cast("long")).as("q_sum"),
+          array_min(col("quantized")).cast("long").as("q_min"),
+          array_max(col("quantized")).cast("long").as("q_max"))),
 
     // LSH-bucketed approximate top-5, oracled end to end: the hyperplanes
     // come from the mix64 family HashSql re-derives in SQL, so DuckDB
@@ -601,7 +622,7 @@ object TextOps {
   // \s+ split matches TextFns.tokens (tabs/newlines are separators too)
   private val tokensSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = withDerived(Map(
     "qt01_token_stats" ->
       s"""SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens,
          | length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS n_chars_nospace,
@@ -1075,5 +1096,26 @@ object TextOps {
          |UNION ALL SELECT 8, 4, 4, rec FROM rv2
          |UNION ALL SELECT 8, 2, 4, rec FROM rv3
          |UNION ALL SELECT 6, 4, 6, rec FROM rv4""".stripMargin
-    })
+    }))
+
+  /** Oracles shared verbatim by construction-equivalent queries: the
+    * prefix-filtered Jaccard join is exact, so its oracle IS qt05's.
+    */
+  private def withDerived(base: Map[String, String]): Map[String, String] =
+    base + ("qt05p_ngram_jaccard_prefix" -> base("qt05_ngram_jaccard")) +
+      ("qt22_quantize_int8" ->
+        """WITH m AS (SELECT vec_id,
+          |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs,
+          |   embedding FROM embeddings),
+          | q AS (SELECT vec_id, max_abs,
+          |   CASE WHEN max_abs = 0 THEN list_transform(embedding, x -> 0)
+          |        ELSE list_transform(embedding,
+          |               x -> floor(x::DOUBLE * 127.0 / max_abs + 0.5)::INTEGER)
+          |   END AS quant
+          |  FROM m)
+          |SELECT vec_id, max_abs / 127.0 AS scale,
+          | list_sum(quant)::BIGINT AS q_sum,
+          | list_min(quant)::BIGINT AS q_min,
+          | list_max(quant)::BIGINT AS q_max
+          |FROM q""".stripMargin)
 }

@@ -52,6 +52,28 @@ class DedupSpec extends SparkSpec {
     assert(idx === quad)
   }
 
+  test("prefix-filtered jaccard ≡ quadratic all-pairs across thresholds (incl. boundary)") {
+    // low threshold (near-full prefixes), high threshold (aggressive
+    // pruning — prefix ≈ 30% of each doc), and an exact-boundary value all
+    // reproduce the quadratic reference output pair-for-pair
+    for (t <- Seq(0.1, 0.5, 0.7, 14.0 / 15.0)) {
+      val quad = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pre = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pre === quad, s"prefix filtering lost/added pairs at threshold $t")
+    }
+  }
+
+  test("prefix-filtered jaccard honors block columns like the indexed join") {
+    val blocked = docs.withColumn("lang", when($"doc_id" < 3, "en").otherwise("de"))
+    val idx = Dedup.ngramJaccardPairsIndexed(blocked, "doc_id", "text", n = 3,
+      threshold = 0.1, blockCols = Seq("lang")).as[(Long, Long, Double)].collect().toSet
+    val pre = Dedup.ngramJaccardPairsPrefix(blocked, "doc_id", "text", n = 3,
+      threshold = 0.1, blockCols = Seq("lang")).as[(Long, Long, Double)].collect().toSet
+    assert(pre === idx)
+  }
+
   test("df cap: generous caps are a no-op; a tight cap drops ubiquitous-shingle pairs") {
     val base = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text", n = 3, threshold = 0.1)
       .as[(Long, Long, Double)].collect().toSet

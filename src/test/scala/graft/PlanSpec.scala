@@ -42,10 +42,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("qt05 indexed jaccard has no nested-loop pair explosion") {
-    val p = plan(SparkEntry.queries("qt05_ngram_jaccard")(spark, sf))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"pair generation degenerated:\n$p")
+  test("qt05 indexed + prefix-filtered jaccard have no nested-loop pair explosion") {
+    for (q <- Seq("qt05_ngram_jaccard", "qt05p_ngram_jaccard_prefix")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q pair generation degenerated:\n$p")
+    }
   }
 
   test("near-dup and ANN candidate joins stay equi-keyed (no product anywhere in the family)") {

@@ -108,4 +108,31 @@ class SimilaritySpec extends SparkSpec {
     // and on the near-random fixture the boost should be material, not noise
     assert(r4 > r1 + 0.05, s"expected a material multi-probe boost: $r1 -> $r4")
   }
+
+  test("quantizeInt8: |q| ≤ 127, known values, zero vector, dequant error ≤ scale/2") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(3.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).orderBy("vec_id")
+      .as[(Long, Double, Seq[Int])].collect()
+    // max|x|=1 → scale 1/127; q = round-half-up(x·127): (64, -127, 32)
+    assert(got(0)._3 === Seq(64, -127, 32) && math.abs(got(0)._2 - 1.0 / 127) < 1e-15)
+    assert(got(1)._3 === Seq(0, 0) && got(1)._2 === 0.0) // zero vector
+    assert(got(2)._3 === Seq(127)) // the max element always hits ±127
+    // reconstruction bound on real fixture vectors: |x − q·s| ≤ s/2 + eps
+    val e = Tables.table(spark, sf, "embeddings")
+    val bad = Similarity.quantizeInt8(e)
+      .join(e, "vec_id")
+      .select(exists(zip_with($"embedding", $"quantized",
+        (x, q) => abs(x.cast("double") - q.cast("double") * $"scale") > $"scale" * 0.5 + lit(1e-12)),
+        c => c).as("violated"))
+      .filter($"violated").count()
+    assert(bad === 0, "a quantized value reconstructs outside the half-step bound")
+    // every quantized magnitude fits int8
+    val over = Similarity.quantizeInt8(e)
+      .select(exists($"quantized", q => abs(q) > 127).as("over"))
+      .filter($"over").count()
+    assert(over === 0)
+  }
 }
