@@ -338,13 +338,16 @@ object TextOps {
         n = 3, threshold = 0.15, blockCols = Seq("lang"))),
 
     // The prefix-filtered variant (AllPairs/PPJoin): EXACT like qt05 — the
-    // oracle is literally qt05's SQL — but only each doc's rarest
-    // |s|−⌈t·|s|⌉+1 shingles enter the posting join. The exact scale path:
-    // ubiquitous shingles sort to the end of the order and are rarely
-    // indexed, without the df-cap's recall trade.
+    // oracle is qt05's SQL at this threshold — but only each doc's rarest
+    // |s|−⌈t·|s|⌉+1 shingles enter the posting join. Run at a PRODUCTION
+    // dedup threshold (0.7): the prefix is ~30% of each document and the
+    // ubiquitous head shingles sort to the unindexed end of the order, so
+    // the filter's df pass pays for itself — at qt05's exploratory 0.15
+    // the prefix is ~85% of the doc and the plain inverted index wins
+    // (that regime's scale knob is qt05c's df cap, which trades recall).
     "qt05p_ngram_jaccard_prefix" -> ((s, d) =>
       Dedup.ngramJaccardPairsPrefix(T(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.15, blockCols = Seq("lang"))),
+        n = 3, threshold = 0.7, blockCols = Seq("lang"))),
 
     // The capped variant: shingles with document frequency above
     // max(4, 5% of the lang block) are dropped from the shingle space —
@@ -673,23 +676,7 @@ object TextOps {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "qt05_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
-         | sh AS (SELECT doc_id, lang,
-         |   CASE WHEN len(ts) = 0 THEN []
-         |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-         |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
-         |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
-         |  FROM toks),
-         | sized AS (SELECT doc_id, lang, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
-         | posts AS (SELECT doc_id, lang, n, unnest(sh) AS shingle FROM sized),
-         | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
-         |   count(*) AS inter
-         |  FROM posts a JOIN posts b
-         |   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
-         |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.15""".stripMargin,
+    "qt05_ngram_jaccard" -> ngramJaccardOracle("0.15"),
     // qm01/qm02: re-derive the synthetic-asset contract (asset_id i in
     // range(600); modality = i%3 image/audio/video; payload fixed 256 bytes;
     // video duration 60 s sampled every 10 s) — payload BYTES are opaque
@@ -1098,11 +1085,33 @@ object TextOps {
          |UNION ALL SELECT 6, 4, 6, rec FROM rv4""".stripMargin
     }))
 
-  /** Oracles shared verbatim by construction-equivalent queries: the
-    * prefix-filtered Jaccard join is exact, so its oracle IS qt05's.
+  /** qt05's oracle, parameterized on the Jaccard threshold: the
+    * prefix-filtered variant runs the SAME exact semantics at a production
+    * dedup threshold, so its oracle is this SQL with its own cutoff.
+    */
+  private def ngramJaccardOracle(threshold: String): String =
+    s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+       | sh AS (SELECT doc_id, lang,
+       |   CASE WHEN len(ts) = 0 THEN []
+       |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+       |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
+       |  FROM toks),
+       | sized AS (SELECT doc_id, lang, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+       | posts AS (SELECT doc_id, lang, n, unnest(sh) AS shingle FROM sized),
+       | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+       |   count(*) AS inter
+       |  FROM posts a JOIN posts b
+       |   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
+       |FROM cand WHERE round(inter/(na + nb - inter), 6) >= $threshold""".stripMargin
+
+  /** Oracles shared by construction-equivalent queries: the prefix-filtered
+    * Jaccard join is exact, so its oracle is qt05's SQL at its threshold.
     */
   private def withDerived(base: Map[String, String]): Map[String, String] =
-    base + ("qt05p_ngram_jaccard_prefix" -> base("qt05_ngram_jaccard")) +
+    base + ("qt05p_ngram_jaccard_prefix" -> ngramJaccardOracle("0.7")) +
       ("qt22_quantize_int8" ->
         """WITH m AS (SELECT vec_id,
           |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs,
