@@ -167,6 +167,43 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(b._2 - (10 + 4.0 / 3)) < 1e-9 && math.abs(b._3 - (10 + 4.0 / 3)) < 1e-9)
   }
 
+  test("makeValid properties: identity on generated simple polygons, unclosed-repair, idempotence") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // star-shaped simple polygons: random integer points around a center,
+    // sorted by angle — always valid, always closed by construction
+    val ptGen = for {
+      r <- Gen.choose(2, 40); a <- Gen.choose(0, 359)
+    } yield (r, a)
+    def polygon(seed: Long): Seq[(Long, Long)] = {
+      val pts = (0 until 8).map(i =>
+        ptGen.apply(Gen.Parameters.default, Seed(seed * 100 + i)).get)
+      val dedup = pts.map { case (r, a) =>
+        val rad = math.toRadians(a.toDouble)
+        (math.round(r * math.cos(rad)), math.round(r * math.sin(rad)))
+      }.distinct
+      // sort by angle → star-shaped; need ≥3 distinct non-collinear points
+      dedup.sortBy { case (x, y) => math.atan2(y.toDouble, x.toDouble) }
+    }
+    for (seed <- 0L until 30L) {
+      val ring = polygon(seed)
+      val closed = ring :+ ring.head
+      val wkt = closed.map { case (x, y) => s"$x $y" }.mkString("POLYGON ((", ", ", "))")
+      Spatial.makeValidWkt(wkt) match {
+        case None => // fully degenerate (collinear/zero-area) draw — legal outcome
+        case Some(fixed) =>
+          assert(fixed === wkt, s"valid polygon not identity at seed $seed")
+          // removing the closing vertex must repair back to the same WKT
+          val open = ring.map { case (x, y) => s"$x $y" }.mkString("POLYGON ((", ", ", "))")
+          assert(Spatial.makeValidWkt(open).contains(wkt), s"unclosed repair failed at seed $seed")
+          // idempotence
+          assert(Spatial.makeValidWkt(fixed).contains(fixed), s"not idempotent at seed $seed")
+          // the repaired polygon must centroid cleanly
+          assert(Spatial.wktCentroidXY(fixed).isDefined)
+      }
+    }
+  }
+
   test("wktCentroid works as a column over a DataFrame") {
     val got = Seq("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))").toDF("wkt")
       .select(Spatial.wktCentroid($"wkt").as("c"))
