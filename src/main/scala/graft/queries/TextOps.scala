@@ -349,6 +349,28 @@ object TextOps {
       Dedup.ngramJaccardPairsPrefix(T(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.7, blockCols = Seq("lang"))),
 
+    // Edit-distance VERIFICATION of near-dup candidates — the confirm
+    // stage a production dedup runs after candidate generation: true
+    // Levenshtein on the candidate pairs only (a handful of pairs, never
+    // the n² corpus), normalized by the longer text. Engine parity note:
+    // DuckDB's levenshtein counts bytes, Spark's counts code points — the
+    // ASCII fixture makes them identical, and the production contract is
+    // ASCII-normalized text (qt13's normalizer runs first).
+    "qt23_editdist_verify" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text",
+        n = 3, threshold = 0.15, blockCols = Seq("lang"))
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+      val dist = levenshtein(col("__ta"), col("__tb"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          dist.cast("long").as("edit_dist"),
+          (dist.cast("double") /
+            greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+            .as("edit_ratio"))
+    }),
+
     // The capped variant: shingles with document frequency above
     // max(4, 5% of the lang block) are dropped from the shingle space —
     // the production bound on posting-list density (worst-case join cost is
@@ -1112,6 +1134,16 @@ object TextOps {
     */
   private def withDerived(base: Map[String, String]): Map[String, String] =
     base + ("qt05p_ngram_jaccard_prefix" -> ngramJaccardOracle("0.7")) +
+      ("qt23_editdist_verify" ->
+        s"""WITH pairs AS (
+           |${ngramJaccardOracle("0.15")})
+           |SELECT p.id_a, p.id_b, p.jaccard,
+           | levenshtein(a.text, b.text)::BIGINT AS edit_dist,
+           | levenshtein(a.text, b.text)::DOUBLE
+           |   / greatest(length(a.text), length(b.text))::DOUBLE AS edit_ratio
+           |FROM pairs p
+           |JOIN documents a ON p.id_a = a.doc_id
+           |JOIN documents b ON p.id_b = b.doc_id""".stripMargin) +
       ("qt22_quantize_int8" ->
         """WITH m AS (SELECT vec_id,
           |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs,

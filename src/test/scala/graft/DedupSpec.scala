@@ -87,6 +87,24 @@ class DedupSpec extends SparkSpec {
     assert(tight.count() === 0)
   }
 
+  test("edit-distance verification: exact dups at 0, near dups small and consistent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val a = docs.select($"doc_id".as("id_a"), $"text".as("__ta"))
+    val b = docs.select($"doc_id".as("id_b"), $"text".as("__tb"))
+    val dist = levenshtein($"__ta", $"__tb")
+    val got = pairs.join(a, "id_a").join(b, "id_b")
+      .select($"id_a", $"id_b", dist.cast("long").as("edit_dist"),
+        (dist.cast("double") / greatest(length($"__ta"), length($"__tb")).cast("double"))
+          .as("edit_ratio"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((0L, 1L)) === ((0L, 0.0))) // byte-identical docs
+    // docs 0/2 differ only in the final word (today→tonight): a small
+    // positive distance, identical whichever exact-dup twin anchors it
+    assert(got((0L, 2L))._1 > 0 && got((0L, 2L))._2 < 0.15)
+    assert(got((0L, 2L)) === got((1L, 2L)))
+  }
+
   test("minhashLshPairs recovers the high-jaccard pairs the exact method finds") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
