@@ -168,6 +168,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("int8 quantization is map-only: no exchange, no join, no UDF") {
+    val df = SparkEntry.queries("qt22_quantize_int8")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // projects over a scan, nothing else — higher-order array lambdas
+    // (transform/aggregate) evaluate outside whole-stage codegen by Spark
+    // design, but the operator never shuffles, joins, or leaves Catalyst
+    assert(!p.contains("Exchange"), s"quantization shuffled:\n$p")
+    assert(!p.contains("Join"), s"quantization joined:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"quantization left Catalyst:\n$p")
+  }
+
   test("composed pipeline: dims broadcast, facts never sort-merge, no cartesian") {
     val p = plan(SparkEntry.queries("qp01_pipeline")(spark, sf))
     // every dim join (holidays flag, municipios ILIKE, relations) broadcasts
