@@ -33,6 +33,11 @@ object Curation {
       maxTopBigramFrac: Double = 0.5,
       ngramN: Int = 3,
       nearDupJaccard: Double = 0.85,
+      // when set, near-dup candidate pairs are CONFIRMED by Levenshtein
+      // before clustering: pairs whose edit distance exceeds this fraction
+      // of the longer text are rejected as shingle-coincidence false
+      // positives. Runs on candidates only — never n².
+      maxEditRatio: Option[Double] = None,
       contaminationMax: Double = 0.8,
       splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
       trainSplit: String = "train",
@@ -73,9 +78,19 @@ object Curation {
       .select(col("keep_id").as(idCol))
     val exact = quality.join(exactKeep, Seq(idCol), "left_semi")
 
-    // 4. near-dup clusters over the survivors, keep canonical members
-    val pairs = Dedup.ngramJaccardPairsIndexed(exact, idCol, textCol,
+    // 4. near-dup clusters over the survivors, keep canonical members.
+    // Optional verify stage: confirm Jaccard candidates by edit distance
+    // (normalized by the longer text) before they merge clusters
+    val rawPairs = Dedup.ngramJaccardPairsIndexed(exact, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.nearDupJaccard)
+    val pairs = cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
+      val ta = exact.select(id.as("id_a"), col(textCol).as("__ta"))
+      val tb = exact.select(id.as("id_b"), col(textCol).as("__tb"))
+      rawPairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(levenshtein(col("__ta"), col("__tb")).cast("double") <=
+          lit(maxRatio) * greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
     val canonical = Dedup.nearDupClusters(exact, idCol, pairs)
       .filter(col("is_canonical")).select(id)
     val deduped = exact.join(canonical, Seq(idCol), "left_semi")

@@ -46,6 +46,22 @@ class CurationSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("curate: edit-distance verify stage — generous ratio is a no-op, strict keeps both near-dups") {
+    val default = Curation.curate(corpus, benchmark, "doc_id", "text")
+      .documents.select("doc_id").as[Long].collect().toSet
+    // generous bound admits every true near-dup pair → identical output
+    val generous = Curation.curate(corpus, benchmark, "doc_id", "text",
+      Curation.Config(maxEditRatio = Some(0.5)))
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(generous === default)
+    // near-zero bound rejects the 7/8 pair (they differ by one word), so
+    // BOTH survive as their own cluster canonical; nothing else changes
+    val strict = Curation.curate(corpus, benchmark, "doc_id", "text",
+      Curation.Config(maxEditRatio = Some(0.001)))
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(strict === (default + 8L))
+  }
+
   test("curate: near-dup canonical keeps the min id; rerun is deterministic") {
     val out1 = Curation.curate(corpus, benchmark, "doc_id", "text").documents
     assert(out1.filter($"doc_id" === 7L).count() === 1) // 7 < 8 → 7 canonical
