@@ -257,9 +257,13 @@ object Dedup {
     * candidates.
     *
     * Candidates also pass the length filter t·max(|a|,|b|) ≤ min(|a|,|b|).
-    * Both fp-threshold comparisons carry a 1e-9 slack so binary rounding
-    * of t·n can only ADMIT extra candidates (the final exact Jaccard
-    * filter rejects them), never wrongly prune a boundary pair.
+    * Both pruning comparisons run against t − 5e-7, not t: the final
+    * filter (like every Jaccard variant here) compares round(J, 6) ≥ t,
+    * which admits true J down to t − 5e-7 — pruning at raw t could drop a
+    * boundary pair the indexed/quadratic variants (and the oracle) emit.
+    * An additional 1e-9 slack covers binary rounding of t·n itself, so
+    * pruning can only ADMIT extra candidates (the final exact filter
+    * rejects them), never wrongly drop one.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double,
@@ -275,18 +279,21 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__df").asc, col("__shingle").asc)
-    // prefix length |s| − ⌈t·|s|⌉ + 1; the 1e-9 slack can only lengthen it
+    // the pruning threshold: t minus the 6-decimal rounding window the
+    // final round(J,6) >= t filter admits
+    val tPrune = math.max(threshold - 5e-7, 0.0)
+    // prefix length |s| − ⌈t'·|s|⌉ + 1; the 1e-9 slack can only lengthen it
     val prefix = posts.join(dfs, (blockCols :+ "__shingle"))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <=
-        col("__n_sh") - ceil(lit(threshold) * col("__n_sh") - lit(1e-9)) + 1)
+        col("__n_sh") - ceil(lit(tPrune) * col("__n_sh") - lit(1e-9)) + 1)
     val a = prefix.select(Seq(col(idCol).as("id_a"), col("__n_sh").as("__n_a"),
       col("__shingle")) ++ blockCols.map(col): _*)
     val b = prefix.select(Seq(col(idCol).as("id_b"), col("__n_sh").as("__n_b"),
       col("__shingle")) ++ blockCols.map(col): _*)
     val cands = a.join(b, ("__shingle" +: blockCols))
       .filter(col("id_a") < col("id_b"))
-      .filter(greatest(col("__n_a"), col("__n_b")) * threshold <=
+      .filter(greatest(col("__n_a"), col("__n_b")) * tPrune <=
         least(col("__n_a"), col("__n_b")) + lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
     // verify: true Jaccard over the (small) candidate set only

@@ -31,11 +31,16 @@ object Similarity {
     * All arithmetic is double-precision column expressions in a fixed
     * evaluation order, so the quantized ints are bit-deterministic across
     * engines — the property the oracle hashes. Zero vectors quantize to
-    * all-zero with scale 0. Map-only: no shuffle, no UDF.
+    * all-zero with scale 0; EMPTY vectors follow the same contract (empty
+    * quantized array, scale 0 — array_max of an empty array is null, so
+    * without the explicit size guard both when-branches would miss and
+    * nulls would propagate silently); null vectors stay null, like every
+    * other operator here. Map-only: no shuffle, no UDF.
     */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val maxAbs = when(size(col(vecCol)) === 0, lit(0.0))
+      .otherwise(array_max(transform(col(vecCol), x => abs(x.cast("double")))))
     val quant = when(col("__max_abs") === 0.0,
         transform(col(vecCol), _ => lit(0).cast("int")))
       .otherwise(transform(col(vecCol),

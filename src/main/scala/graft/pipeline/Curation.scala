@@ -86,8 +86,20 @@ object Curation {
     val pairs = cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
       val ta = exact.select(id.as("id_a"), col(textCol).as("__ta"))
       val tb = exact.select(id.as("id_b"), col(textCol).as("__tb"))
+      // BOUNDED Levenshtein: the DP early-exits (and returns -1) once the
+      // distance exceeds ⌈maxRatio·max(|a|,|b|)⌉ — O(bound·min) per pair
+      // instead of O(|a|·|b|), which matters when candidates are long
+      // documents. -1 (exceeded) fails the ≤ comparison like any
+      // over-bound distance; the exact unrounded ratio check stays.
+      val bound = ceil(lit(maxRatio) *
+        greatest(length(col("__ta")), length(col("__tb"))).cast("double")).cast("int")
+      val dist = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Levenshtein(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("__ta")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("__tb")),
+          Some(org.apache.spark.sql.graftbridge.Bridge.expression(bound))))
       rawPairs.join(ta, "id_a").join(tb, "id_b")
-        .filter(levenshtein(col("__ta"), col("__tb")).cast("double") <=
+        .filter(dist >= 0 && dist.cast("double") <=
           lit(maxRatio) * greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }

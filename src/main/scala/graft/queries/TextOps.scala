@@ -1146,7 +1146,8 @@ object TextOps {
            |JOIN documents b ON p.id_b = b.doc_id""".stripMargin) +
       ("qt22_quantize_int8" ->
         """WITH m AS (SELECT vec_id,
-          |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs,
+          |   CASE WHEN len(embedding) = 0 THEN 0.0
+          |        ELSE list_max(list_transform(embedding, x -> abs(x::DOUBLE))) END AS max_abs,
           |   embedding FROM embeddings),
           | q AS (SELECT vec_id, max_abs,
           |   CASE WHEN max_abs = 0 THEN list_transform(embedding, x -> 0)

@@ -120,6 +120,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0)._3 === Seq(64, -127, 32) && math.abs(got(0)._2 - 1.0 / 127) < 1e-15)
     assert(got(1)._3 === Seq(0, 0) && got(1)._2 === 0.0) // zero vector
     assert(got(2)._3 === Seq(127)) // the max element always hits ±127
+    // empty vector → empty quantized array + scale 0 (the zero-vector
+    // contract), not silent nulls; null vector stays null end to end
+    val edge = Seq((4L, Some(Seq.empty[Float])), (5L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val edgeGot = Similarity.quantizeInt8(edge).orderBy("vec_id")
+      .as[(Long, Option[Double], Option[Seq[Int]])].collect()
+    assert(edgeGot(0)._2 === Some(0.0) && edgeGot(0)._3 === Some(Seq.empty[Int]))
+    assert(edgeGot(1)._2.isEmpty && edgeGot(1)._3.isEmpty)
     // reconstruction bound on real fixture vectors: |x − q·s| ≤ s/2 + eps
     val e = Tables.table(spark, sf, "embeddings")
     val bad = Similarity.quantizeInt8(e)
