@@ -56,6 +56,15 @@ object Bench {
       isolate()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
+      // one UNTIMED warmup run per entry: first-run-only cost (parquet
+      // footer reads, codegen compilation for this entry's plan shapes)
+      // otherwise lands inside the timed window and shows up as the
+      // sub-second entries' spread (r5 spread_max 4.28 on q04). A failure
+      // here is the same failure the timed runs would hit — record it.
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed (warmup): ${e.getMessage}"); failed = true
+      }
       var i = 0
       while (i < runs && !failed) {
         val t0 = System.nanoTime()
