@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Extras, Relational, TextOps}
+import graft.queries.{CurationQ, Events, Extras, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` aggregates the per-family catalogs; every SQL-expressible entry
@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TextOps.defs ++ Events.defs ++ Extras.defs
+    Relational.defs ++ TextOps.defs ++ Events.defs ++ Extras.defs ++ CurationQ.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (the fnv1a64/splitmix64 hash family — and the
@@ -25,5 +25,5 @@ object SparkEntry {
     * query entry has an oracle.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ Events.oracle ++ Extras.oracle
+    Relational.oracle ++ TextOps.oracle ++ Events.oracle ++ Extras.oracle ++ CurationQ.oracle
 }

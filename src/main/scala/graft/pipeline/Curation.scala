@@ -53,8 +53,25 @@ object Curation {
     */
   case class Curated(documents: DataFrame, sequences: DataFrame)
 
+  /** Every intermediate survivor set of one [curate] run — the stage
+    * frames a production run would checkpoint between arrows. Exposed so
+    * the composed pipeline can be verified STAGE BY STAGE (qc01): each
+    * frame is lazy and shares the plan subtree of the previous one, so
+    * counting all of them is one job per frame over a common lineage, not
+    * a re-run per stage.
+    */
+  case class Stages(input: DataFrame, quality: DataFrame, exact: DataFrame,
+                    deduped: DataFrame, clean: DataFrame, split: DataFrame,
+                    packed: DataFrame)
+
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Curated = {
+    val st = stages(docs, benchmark, idCol, textCol, cfg)
+    Curated(st.split, st.packed)
+  }
+
+  def stages(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): Stages = {
     val id = col(idCol)
 
     // 1. canonicalize: one byte representation (NFC) with PII gone, BEFORE
@@ -126,6 +143,6 @@ object Curation {
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val packed = Pack.packSequences(trainTokens, idCol, "n_tokens",
       cfg.seqBudget, cfg.packShards)
-    Curated(split, packed)
+    Stages(canon, quality, exact, deduped, clean, split, packed)
   }
 }
