@@ -36,6 +36,45 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe jaccard [nDocs]`: where prefix filtering
+    * actually crosses over the plain inverted index — a HOT-SHINGLE corpus
+    * (every document shares a boilerplate head, the web-corpus shape):
+    * each doc is 30 identical boilerplate tokens + 30 unique tokens, so
+    * ~28 shingles have df = nDocs while the rest have df ≈ 1. The plain
+    * index must materialize Σdf² ≈ 28·nDocs² candidate rows from the hot
+    * postings; the prefix path's rarest-first order sorts the hot
+    * shingles to the unindexed tail, so at threshold 0.7 the prefix is
+    * unique-shingles-only and candidate generation stays ~linear. Twenty
+    * planted exact-dup pairs (ids < 40 collapse in twos) keep the output
+    * non-empty — correctness itself is the qt05p/qt05t oracle's job.
+    * On the near-uniform sf0.1 FIXTURE the same prefix machinery benches
+    * ~3× slower than the plain index (no hot postings to dodge, df pass +
+    * rank window are pure overhead) — this probe is the regime where it
+    * pays; both numbers are recorded in docs/SCALE.md.
+    */
+  private def jaccardProbe(nDocs: Int): Unit = {
+    val spark = GraftSession.get()
+    import org.apache.spark.sql.DataFrame
+    val boiler = concat_ws(" ", (0 until 30).map(j => lit(s"boiler$j")): _*)
+    // ids < 40 pair up (2k and 2k+1 share unique tokens → exact dups)
+    val uid = when(col("id") < 40, col("id") - col("id") % 2).otherwise(col("id"))
+    val unique = concat_ws(" ", (0 until 30).map(j =>
+      concat(lit("u"), uid, lit("x"), lit(j))): _*)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(boiler, lit(" "), unique).as("text")).persist()
+    docs.count()
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      println(f"""{"probe":"$name","n":$nDocs,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+    time("prefix_t07")(graft.operators.Dedup.ngramJaccardPairsPrefix(
+      docs, "doc_id", "text", n = 3, threshold = 0.7))
+    time("indexed_t07")(graft.operators.Dedup.ngramJaccardPairsIndexed(
+      docs, "doc_id", "text", n = 3, threshold = 0.7))
+    spark.stop()
+  }
+
   /** `runMain graft.ScaleProbe curation [nDocs]`: headroom timings for the
     * curation-family operators on a deterministic synthetic corpus far
     * beyond fixture scale — the word-count-shaped reductions (vocab),
@@ -82,6 +121,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("shingle")) return shingleProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+    if (args.headOption.contains("jaccard"))
+      return jaccardProbe(args.lift(1).map(_.toInt).getOrElse(4000))
     if (args.headOption.contains("curation"))
       return curationProbe(args.lift(1).map(_.toInt).getOrElse(1000000))
     val n = args.headOption.map(_.toInt).getOrElse(100000)

@@ -339,14 +339,30 @@ object TextOps {
 
     // The prefix-filtered variant (AllPairs/PPJoin): EXACT like qt05 — the
     // oracle is qt05's SQL at this threshold — but only each doc's rarest
-    // |s|−⌈t·|s|⌉+1 shingles enter the posting join. Run at a PRODUCTION
-    // dedup threshold (0.7): the prefix is ~30% of each document and the
-    // ubiquitous head shingles sort to the unindexed end of the order, so
-    // the filter's df pass pays for itself — at qt05's exploratory 0.15
-    // the prefix is ~85% of the doc and the plain inverted index wins
-    // (that regime's scale knob is qt05c's df cap, which trades recall).
+    // |s|−⌈t·|s|⌉+1 shingles enter the posting join. What the prefix buys
+    // is a WORST-CASE bound, not fixture speed: candidate cost drops from
+    // Σdf² over all posting lists to Σdf² over prefix postings, and the
+    // hot head shingles (the ones qt05c's df cap must DROP, trading
+    // exactness) sort to the unindexed tail of the rarest-first order. On
+    // the near-uniform sf0.1 fixture every posting list is short, so the
+    // df pass + per-doc rank window are pure overhead and this benches
+    // ~3× SLOWER than the plain inverted index at the same threshold
+    // (qt05t is the apples-to-apples twin) — while on a hot-shingle
+    // corpus the plain index explodes quadratically and the prefix path
+    // keeps candidate generation near-linear (measured: ScaleProbe
+    // `jaccard` mode, docs/SCALE.md). At 100 TB the corpus IS
+    // hot-shingle-heavy (boilerplate), which is why this is the exact
+    // scale path.
     "qt05p_ngram_jaccard_prefix" -> ((s, d) =>
       Dedup.ngramJaccardPairsPrefix(T(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.7, blockCols = Seq("lang"))),
+
+    // The same-threshold inverted-index twin of qt05p: identical output
+    // (same oracle SQL), same threshold 0.7 — exists so the bench records
+    // an apples-to-apples prefix-vs-plain pair per round instead of
+    // comparing qt05p against qt05's different-threshold 0.15 run.
+    "qt05t_ngram_jaccard_t07" -> ((s, d) =>
+      Dedup.ngramJaccardPairsIndexed(T(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.7, blockCols = Seq("lang"))),
 
     // Edit-distance VERIFICATION of near-dup candidates — the confirm
@@ -1134,6 +1150,7 @@ object TextOps {
     */
   private def withDerived(base: Map[String, String]): Map[String, String] =
     base + ("qt05p_ngram_jaccard_prefix" -> ngramJaccardOracle("0.7")) +
+      ("qt05t_ngram_jaccard_t07" -> ngramJaccardOracle("0.7")) +
       ("qt23_editdist_verify" ->
         s"""WITH pairs AS (
            |${ngramJaccardOracle("0.15")})
