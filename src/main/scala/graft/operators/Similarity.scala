@@ -307,6 +307,77 @@ object Similarity {
     * tables multiply the index, probes only multiply the per-query join
     * fan-out.
     */
+  /** Σ aᵢ·bᵢ over two int arrays as a LONG — exact integer arithmetic
+    * (|q| ≤ 127 ⇒ each product ≤ 16129; the long sum is overflow-safe to
+    * dim ~5.7e14), so quantized scores are bit-identical across engines
+    * with no fp-order caveats at all.
+    */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+
+  private def intNorm2(a: Column): Column =
+    aggregate(transform(a, x => (x * x).cast("long")), lit(0L), (acc, v) => acc + v)
+
+  /** LSH ANN over the INT8-QUANTIZED store — the path that makes the 4×
+    * memory cut of [quantizeInt8] real: candidate generation is the same
+    * sign-LSH bucket join as [lshTopK] (buckets come from the float
+    * vectors at INDEX BUILD time — a one-off cost; the per-query scoring
+    * store is what must stay resident at 100 TB), candidates are scored
+    * on quantized vectors — cosine of dequantized vectors equals cosine
+    * of the raw int vectors, the per-vector scales cancel — and only the
+    * top-`rerank` shortlist per query is re-scored exactly on float32.
+    * So the float store is touched for rerank·queries rows instead of
+    * every candidate, and the scoring store is a quarter the size; the
+    * recall cost of quantized shortlisting is recorded per round as
+    * qt22r operating points (matching the ~1% loss cited at
+    * quantizeInt8's scheme source). The quantized score is an exact
+    * integer dot over a double norm product — deterministic ranking with
+    * corpus-id tiebreak, so the shortlist (and thus the result) is
+    * bit-reproducible and SQL-oracle-checkable end to end.
+    */
+  def lshTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+                  planes: Int = 12, tables: Int = 2, probes: Int = 1,
+                  rerank: Int = 25,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank shortlist ($rerank) must be at least k ($k)")
+    def bucketed(df: DataFrame, prefix: String, nProbes: Int): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as("__v"))
+        .withColumn("tb", explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            graft.functions.Expressions.lshProbes(col("__v"), planes, t, nProbes).as("bs"))): _*)))
+        .select(col(s"${prefix}_id"), col("tb.t").as("table"), explode(col("tb.bs")).as("bucket"))
+    val cands = bucketed(queries, "q", probes)
+      .join(bucketed(corpus, "c", 1), Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("corpus_id"))
+      .distinct()
+    def quant(df: DataFrame, prefix: String): DataFrame =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col(idCol).as(s"${prefix}_qid"), col("quantized").as(s"${prefix}q"),
+          sqrt(intNorm2(col("quantized")).cast("double")).as(s"${prefix}qn"))
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("corpus_id").asc)
+    val shortlist = cands
+      .join(quant(queries, "q"), col("query_id") === col("q_qid"))
+      .join(quant(corpus, "c"), col("corpus_id") === col("c_qid"))
+      .withColumn("qsim",
+        intDot(col("qq"), col("cq")).cast("double") / (col("qqn") * col("cqn")))
+      .withColumn("qrnk", row_number().over(shortW))
+      .filter(col("qrnk") <= rerank)
+      .select(col("query_id"), col("corpus_id"))
+    val cF = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val qF = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    shortlist.join(qF, "query_id").join(cF, "corpus_id")
+      .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12, tables: Int = 2, probes: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -193,6 +193,64 @@ object TextOps {
          |      sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= $threshold)""".stripMargin
   }
 
+  /** Bucket + int8-shortlist + float-rerank CTEs for one QUANTIZED LSH
+    * operating point (the `Similarity.lshTopKInt8` shape), namespaced by
+    * `tag`. Requires the shared `dots` grid AND a shared `qzn` CTE
+    * (quantized vectors + integer norms — see the qt22r oracle). The
+    * quantized score is an exact BIGINT dot over a double norm product —
+    * identical fp sequence to the Spark side, so the shortlist ranking
+    * (corpus-id tiebreak) reproduces bit-for-bit; the final stage is the
+    * qt08 exact-cosine rerank on the top-`rerank` shortlist. Emits
+    * `topk$tag(query_id, corpus_id, sim, rnk)`.
+    */
+  private def lshTopkInt8Ctes(tag: String, planes: Int, tables: Int,
+                              probes: Int, k: Int, rerank: Int): String = {
+    val base =
+      s"""b$tag AS (SELECT vec_id, t,
+         |    sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+         |   FROM dots WHERE t < $tables AND p < $planes GROUP BY vec_id, t)""".stripMargin
+    val probeCtes =
+      if (probes == 1)
+        s""",
+           | qp$tag AS (SELECT vec_id, t, bucket FROM b$tag WHERE vec_id < 20)""".stripMargin
+      else
+        s""",
+           | mr$tag AS (SELECT vec_id, t, p,
+           |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot) ASC, p ASC) AS mrnk
+           |   FROM dots WHERE vec_id < 20 AND t < $tables AND p < $planes),
+           | qp$tag AS (
+           |   SELECT vec_id, t, bucket FROM b$tag WHERE vec_id < 20
+           |   UNION ALL
+           |   SELECT m.vec_id, m.t, xor(b.bucket::UBIGINT, (1 << m.p)::UBIGINT)::BIGINT AS bucket
+           |   FROM mr$tag m JOIN b$tag b ON b.vec_id = m.vec_id AND b.t = m.t
+           |   WHERE m.mrnk <= ${probes - 1})""".stripMargin
+    base + probeCtes +
+      s""",
+         | cand$tag AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+         |   FROM qp$tag qb JOIN b$tag cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |     AND qb.vec_id != cb.vec_id),
+         | qsc$tag AS (SELECT query_id, corpus_id,
+         |     list_sum(list_transform(range(1, len(a.qv) + 1),
+         |       i -> (a.qv[i] * b.qv[i])::BIGINT))::DOUBLE / (a.qn * b.qn) AS qsim
+         |   FROM cand$tag JOIN qzn a ON a.vec_id = query_id
+         |     JOIN qzn b ON b.vec_id = corpus_id),
+         | sl$tag AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
+         |     FROM qsc$tag) WHERE qrnk <= $rerank),
+         | sc$tag AS (SELECT query_id, corpus_id,
+         |     round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |       i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |     (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |      sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+         |   FROM sl$tag JOIN embeddings q ON q.vec_id = query_id
+         |     JOIN embeddings c ON c.vec_id = corpus_id),
+         | topk$tag AS (SELECT query_id, corpus_id, sim, rnk FROM (
+         |     SELECT query_id, corpus_id, sim,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
+         |     FROM sc$tag) WHERE rnk <= $k)""".stripMargin
+  }
+
   /** CTE chain re-deriving ONE operating point of the Lloyd-trained
     * (lloydIters=1) oracle-mode `Similarity.ivfTopK` in DuckDB, namespaced
     * by `tag`. Stage-for-stage mirror of the Scala path: seeds = smallest
@@ -500,6 +558,26 @@ object TextOps {
             lloydIters = 1, oracleMode = true)),
           ((16, 4, 25), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
             lloydIters = 1, trainFraction = 0.25, oracleMode = true))))
+    }),
+
+    // The quantized ANN path (lshTopKInt8): same 6-plane/4-table/4-probe
+    // index as qt09r's multi-probe point, but candidates are scored on the
+    // int8 store (the 4× memory cut of qt22) with an exact float rerank
+    // on the top-`rerank` shortlist only. Operating points: rerank=0 is
+    // the all-float path (the baseline the memory cut is measured
+    // against), rerank=10 and rerank=25 are the quantized path at two
+    // shortlist budgets — the recall delta IS the cost of scoring on a
+    // quarter of the memory, recorded hash-verified per round.
+    "qt22r_quantized_ann_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
+        Seq("query_id", "corpus_id"), ("planes", "tables", "rerank"),
+        Seq(((6, 4, 0), Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4, probes = 4)),
+          ((6, 4, 10), Similarity.lshTopKInt8(e, q, k = 5, planes = 6, tables = 4,
+            probes = 4, rerank = 10)),
+          ((6, 4, 25), Similarity.lshTopKInt8(e, q, k = 5, planes = 6, tables = 4,
+            probes = 4, rerank = 25))))
     }),
 
     // Embedding-cosine near-dup, exact all-pairs (quadratic baseline —
@@ -1094,6 +1172,48 @@ object TextOps {
          |SELECT 16 AS nlist, 4 AS n_probe, 100 AS train_pct, rec AS recall_vs_brute FROM rv1
          |UNION ALL SELECT 16, 14, 100, rec FROM rv2
          |UNION ALL SELECT 16, 4, 25, rec FROM rv3""".stripMargin
+    },
+
+    // Quantized-ANN recall: the int8-scored shortlist path vs the
+    // all-float path on the same index — both sides AND the exact
+    // baseline in SQL, so the recall deltas (the price of the 4× memory
+    // cut) are hash-verified values. The shared `qzn` CTE re-derives the
+    // qt22 quantization plus integer norms once for all variants.
+    "qt22r_quantized_ann_recall" -> {
+      def recallCte(tag: String): String =
+        s"""r$tag AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exact e LEFT JOIN topk$tag t
+           |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)""".stripMargin
+      s"""WITH ${lshDotsCtes(maxTables = 4, maxPlanes = 6)},
+         | qzn AS (SELECT vec_id, qv,
+         |    sqrt(list_sum(list_transform(qv, x -> (x * x)::BIGINT))::DOUBLE) AS qn
+         |   FROM (SELECT vec_id,
+         |     CASE WHEN mab = 0 THEN list_transform(embedding, x -> 0)
+         |          ELSE list_transform(embedding,
+         |                 x -> floor(x::DOUBLE * 127.0 / mab + 0.5)::INTEGER) END AS qv
+         |    FROM (SELECT vec_id, embedding,
+         |      CASE WHEN len(embedding) = 0 THEN 0.0
+         |           ELSE list_max(list_transform(embedding, x -> abs(x::DOUBLE))) END AS mab
+         |     FROM embeddings WHERE embedding IS NOT NULL))),
+         | exact AS (SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |       round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |         i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |       (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |        sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+         |       c.vec_id ASC) AS rnk
+         |   FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         |${lshTopkCtes("v1", planes = 6, tables = 4, probes = 4, k = 5)},
+         |${lshTopkInt8Ctes("v2", planes = 6, tables = 4, probes = 4, k = 5, rerank = 10)},
+         |${lshTopkInt8Ctes("v3", planes = 6, tables = 4, probes = 4, k = 5, rerank = 25)},
+         |${recallCte("v1")},
+         |${recallCte("v2")},
+         |${recallCte("v3")}
+         |SELECT 6 AS planes, 4 AS tables, 0 AS rerank, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 6, 4, 10, rec FROM rv2
+         |UNION ALL SELECT 6, 4, 25, rec FROM rv3""".stripMargin
     },
 
     // Pair-set recall of the LSH-bucketed near-dup variants vs the exact

@@ -109,6 +109,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 > r1 + 0.05, s"expected a material multi-probe boost: $r1 -> $r4")
   }
 
+  test("lshTopKInt8: exhaustive rerank ≡ float path; shortlist recall monotone in rerank") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    // with a shortlist larger than any bucket's candidate set, the exact
+    // float rerank sees every candidate — the quantized shortlisting can
+    // exclude nothing, so the result must be IDENTICAL to the float path
+    val float = Similarity.lshTopK(e, q, k = 5, planes = 6, tables = 4, probes = 4)
+      .select("query_id", "corpus_id", "sim", "rnk").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    val int8Full = Similarity.lshTopKInt8(e, q, k = 5, planes = 6, tables = 4, probes = 4,
+        rerank = 1000000)
+      .select("query_id", "corpus_id", "sim", "rnk").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(int8Full === float, "exhaustive-rerank int8 path diverged from the float path")
+    // a tight shortlist can only lose neighbors relative to a wide one
+    def hits(rerank: Int): Int =
+      Similarity.lshTopKInt8(e, q, k = 5, planes = 6, tables = 4, probes = 4, rerank = rerank)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+        .intersect(float.map(t => (t._1, t._2))).size
+    assert(hits(25) >= hits(5), "recall not monotone in the rerank budget")
+  }
+
   test("quantizeInt8: |q| ≤ 127, known values, zero vector, dequant error ≤ scale/2") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),
