@@ -307,6 +307,84 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental NEAR-dup: every n-gram-Jaccard pair ≥ threshold that
+    * TOUCHES a new `delta` batch against an already-deduped corpus —
+    * pair generation is restricted to (delta × corpus ∪ delta × delta)
+    * and corpus × corpus pairs never materialize, which is the whole
+    * point: the daily 100 TB operation re-pairs the arrivals, not the
+    * world. Output is EXACTLY the full re-dedup of corpus ∪ delta
+    * restricted to pairs with a delta member (the qt24 oracle).
+    *
+    * Prefix-filtered (the [ngramJaccardPairsPrefix] machinery) under a
+    * rarest-first order FROZEN FROM THE CORPUS INDEX: document
+    * frequencies come from the corpus postings alone — the production
+    * shape, where the corpus's posting/prefix index is persisted and the
+    * delta must not require re-aggregating 100 TB to update it. Shingles
+    * unseen by the corpus get df 0 (rarer than anything indexed). The
+    * prefix theorem needs only that both sides' prefixes are taken under
+    * the SAME total order — any fixed order is exact — so freezing the
+    * order costs nothing but optimality drift as the corpus ages.
+    *
+    * Contract: corpus and delta ids must be disjoint (pairs are
+    * canonicalized as id_a = least, id_b = greatest over the union id
+    * space). At scale, `corpus` would be the persisted (id, shingles)
+    * table and `dfs` its posting-count sidecar; here both derive from
+    * the text column, with the derivation seams matching what a
+    * production run would persist.
+    */
+  def nearDupDelta(corpus: DataFrame, delta: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    def sized(df: DataFrame, side: String) =
+      df.select(col(idCol).as("__id"), wordShingles(col(textCol), n).as("__sh"))
+        .filter(size(col("__sh")) > 0)
+        .withColumn("__n_sh", size(col("__sh")))
+        .withColumn("__side", lit(side))
+    val cSized = sized(corpus, "c")
+    val dSized = sized(delta, "d")
+    val allSized = cSized.unionByName(dSized)
+    // the FROZEN index: per-shingle df over corpus postings only
+    val dfs = cSized.select(explode(col("__sh")).as("__shingle"))
+      .groupBy(col("__shingle")).agg(count(lit(1)).as("__df"))
+    val tPrune = math.max(threshold - 5e-7, 0.0)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("__shingle").asc)
+    // prefixes for BOTH sides under the corpus-frozen order (left join:
+    // delta-only shingles take df 0)
+    def prefix(s: DataFrame) = s
+      .select(col("__id"), col("__n_sh"), col("__side"), explode(col("__sh")).as("__shingle"))
+      .join(dfs, Seq("__shingle"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <=
+        col("__n_sh") - ceil(lit(tPrune) * col("__n_sh") - lit(1e-9)) + 1)
+      .select(col("__id"), col("__n_sh"), col("__side"), col("__shingle"))
+    val dPrefix = prefix(dSized)
+    val allPrefix = prefix(allSized)
+    // delta side × (corpus ∪ delta) side: every emitted pair touches the
+    // delta; corpus × corpus cannot appear. least/greatest canonicalizes
+    // (delta × delta pairs arrive in both orientations; distinct folds them)
+    val cands = dPrefix.select(col("__id").as("__id_l"), col("__n_sh").as("__n_l"),
+        col("__shingle"))
+      .join(allPrefix.select(col("__id").as("__id_r"), col("__n_sh").as("__n_r"),
+        col("__shingle")), Seq("__shingle"))
+      .filter(col("__id_l") =!= col("__id_r"))
+      .filter(greatest(col("__n_l"), col("__n_r")) * tPrune <=
+        least(col("__n_l"), col("__n_r")) + lit(1e-9))
+      .select(least(col("__id_l"), col("__id_r")).as("id_a"),
+        greatest(col("__id_l"), col("__id_r")).as("id_b"))
+      .distinct()
+    // verify: true Jaccard over the candidate set only
+    val setsA = allSized.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val setsB = allSized.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
+    cands.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard", round(inter /
+        (size(col("__sh_a")) + size(col("__sh_b")) - inter).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Connected components over an undirected pair graph — the step that
     * turns near-dup PAIRS (any of the operators above) into dedup
     * DECISIONS: docs joined by a chain of pairwise matches form one

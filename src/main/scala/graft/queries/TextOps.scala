@@ -723,6 +723,22 @@ object TextOps {
       Dedup.dedupDelta(delta, corpusFps, "text", "doc_id").select("doc_id", "lang")
     }),
 
+    // Incremental NEAR-dup (the qt21 treatment for the near-dup family):
+    // docs < 250 play the already-deduped corpus, the delta is the rest
+    // plus 100 re-submitted copies of corpus docs under new ids. Pair
+    // generation is delta×corpus ∪ delta×delta only, prefix-filtered
+    // under a rarest-first order FROZEN from the corpus posting index —
+    // the oracle is the full re-dedup of corpus ∪ delta restricted to
+    // pairs touching the delta, which exactness makes identical.
+    "qt24_neardup_delta" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      val delta = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.nearDupDelta(corpus, delta, "doc_id", "text", n = 3, threshold = 0.7)
+    }),
+
     // Multimodal plumbing over deterministic synthetic assets (no fixture
     // table exists for binary payloads). The generator's size/modality/
     // duration contract is pure arithmetic, so BOTH queries carry a DuckDB
@@ -1281,6 +1297,26 @@ object TextOps {
            |FROM pairs p
            |JOIN documents a ON p.id_a = a.doc_id
            |JOIN documents b ON p.id_b = b.doc_id""".stripMargin) +
+      ("qt24_neardup_delta" ->
+        s"""WITH u AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+           | toks AS (SELECT doc_id, $tokensSql AS ts FROM u),
+           | sh AS (SELECT doc_id,
+           |   CASE WHEN len(ts) = 0 THEN []
+           |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+           |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
+           |  FROM toks),
+           | sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+           | posts AS (SELECT doc_id, n, unnest(sh) AS shingle FROM sized),
+           | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+           |   count(*) AS inter
+           |  FROM posts a JOIN posts b
+           |   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
+           |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.7
+           |  AND (id_a >= 250 OR id_b >= 250)""".stripMargin) +
       ("qt22_quantize_int8" ->
         """WITH m AS (SELECT vec_id,
           |   CASE WHEN len(embedding) = 0 THEN 0.0

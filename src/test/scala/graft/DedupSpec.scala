@@ -209,6 +209,35 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
   }
 
+  test("nearDupDelta ≡ full re-dedup restricted to delta-touching pairs") {
+    // corpus: the base docs; delta: a re-submitted copy of 0 (exact dup),
+    // a near dup of 2, and a genuinely new doc — plus a delta-internal
+    // dup pair (10/11). Includes every pair class: delta×corpus exact,
+    // delta×corpus near, delta×delta, and corpus×corpus (which must NOT
+    // be emitted even though 0/1/2 pair up above threshold).
+    val corpus = docs
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),
+      (13L, "entirely fresh content with no overlap whatsoever in any shingle")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.7, 0.9)) {
+      val got = Dedup.nearDupDelta(corpus, delta, "doc_id", "text", n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val full = Dedup.ngramJaccardPairsIndexed(corpus.unionByName(delta),
+          "doc_id", "text", n = 3, threshold = t)
+        .filter($"id_a" >= 10 || $"id_b" >= 10)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === full, s"delta pair set diverged from restricted full re-dedup at t=$t")
+      assert(got.forall(p => p._1 >= 10 || p._2 >= 10), "emitted a corpus×corpus pair")
+    }
+    // the exact-dup copies must surface: (0,10), (0,11) cross, (10,11) within
+    val at09 = Dedup.nearDupDelta(corpus, delta, "doc_id", "text", n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(Set((0L, 10L, 1.0), (0L, 11L, 1.0), (1L, 10L, 1.0), (10L, 11L, 1.0)).subsetOf(at09))
+  }
+
   test("simhash: identical text → distance 0; near dup within 3 bits of original") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
