@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` stages (the Scala analog of arrow-batched Pandas UDFs:
   * one JVM pass per partition, batch-shaped, no per-row closure dispatch).
   *
-  * DECODE IS A STUB: this container has no image/audio codecs, so
+  * DECODE IS A STUB — with one real exception: binary PGM/PPM images
+  * decode, resample, and re-encode for real via [NetpbmCodec] (pure JVM —
+  * no codec libraries in this container). For every other format
   * `StubCodec` derives deterministic fake pixels/samples from the payload
   * bytes. The Spark-side contract — schema, partitioning, batch iteration,
   * null handling — is real and tested; swapping StubCodec for a JNI/ffmpeg
-  * codec is a one-function change.
+  * codec is a one-function change on the same seam the netpbm path uses.
   */
 object Multimodal {
 
@@ -58,6 +60,88 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for the binary netpbm formats — PGM (`P5`, grayscale) and
+    * PPM (`P6`, RGB) — pure JVM, no native libs: header is ASCII tokens
+    * (magic, width, height, maxval; `#` comments legal between tokens),
+    * followed by one binary byte per sample. The one trivial image format
+    * this container can decode for real, so the multimodal family has a
+    * genuine decode → transform → encode path through the same
+    * mapPartitions seam the stub uses; [StubCodec] remains the
+    * loudly-labeled stand-in for everything else (JPEG/ffmpeg territory).
+    */
+  object NetpbmCodec {
+    /** Decoded raster: `channels` = 1 (PGM) or 3 (PPM), `pixels` row-major,
+      * channel-interleaved, one byte per sample.
+      */
+    case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+    /** None for anything that isn't a well-formed 8-bit binary PGM/PPM
+      * (wrong magic, maxval > 255, truncated raster) — the caller falls
+      * back to the stub path rather than crashing the partition.
+      */
+    def decode(payload: Array[Byte]): Option[Image] = {
+      if (payload.length < 2 || payload(0) != 'P' ||
+        (payload(1) != '5' && payload(1) != '6')) return None
+      val channels = if (payload(1) == '5') 1 else 3
+      var pos = 2
+      // next ASCII integer token, skipping whitespace and # comments
+      def nextInt(): Option[Int] = {
+        while (pos < payload.length &&
+          (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
+          if (payload(pos) == '#')
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < payload.length && payload(pos).toChar.isDigit) pos += 1
+        if (pos == start) None
+        else Some(new String(payload, start, pos - start, "US-ASCII").toInt)
+      }
+      for {
+        w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+        if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+        // exactly ONE whitespace byte separates maxval from the raster
+        if pos < payload.length && payload(pos).toChar.isWhitespace
+        raster = java.util.Arrays.copyOfRange(payload, pos + 1, payload.length)
+        if raster.length == w * h * channels
+      } yield Image(w, h, channels, raster)
+    }
+
+    def encode(img: Image): Array[Byte] = {
+      val header = s"P${if (img.channels == 1) 5 else 6}\n${img.width} ${img.height}\n255\n"
+        .getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + img.pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+      out
+    }
+
+    /** Nearest-neighbor resample (source pixel ⌊i·srcDim/dstDim⌋ — the
+      * standard box-free mapping, deterministic, no fp accumulation).
+      */
+    def resize(img: Image, w: Int, h: Int): Image = {
+      require(w > 0 && h > 0, s"target dims must be positive: ${w}x$h")
+      val out = new Array[Byte](w * h * img.channels)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * img.height / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * img.width / w).toInt
+          var c = 0
+          while (c < img.channels) {
+            out((y * w + x) * img.channels + c) =
+              img.pixels((sy * img.width + sx) * img.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Image(w, h, img.channels, out)
+    }
+  }
+
   /** Deterministic synthetic asset table (ids → payload bytes), for tests
     * and benches; modality round-robins image/audio/video.
     */
@@ -86,16 +170,22 @@ object Multimodal {
     }.toDF("asset_id", "modality", "features")
   }
 
-  /** Image resize: non-image rows pass through untouched; image payloads are
-    * re-encoded and meta updated — schema-preserving, narrow.
+  /** Image resize: non-image rows pass through untouched; image payloads
+    * are re-encoded and meta updated — schema-preserving, narrow. Payloads
+    * that decode as binary PGM/PPM go through the REAL [NetpbmCodec]
+    * nearest-neighbor resample; everything else falls back to the
+    * [StubCodec] stand-in (this container has no other codecs).
     */
   def resizeImages(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map {
         case a if a.modality == "image" =>
-          a.copy(payload = StubCodec.resize(a.payload, w, h),
-            meta = a.meta.copy(width = w, height = h))
+          val resized = NetpbmCodec.decode(a.payload) match {
+            case Some(img) => NetpbmCodec.encode(NetpbmCodec.resize(img, w, h))
+            case None => StubCodec.resize(a.payload, w, h)
+          }
+          a.copy(payload = resized, meta = a.meta.copy(width = w, height = h))
         case a => a
       }
     }

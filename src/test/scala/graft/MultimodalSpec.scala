@@ -45,4 +45,44 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[String]("modality") -> r.getAs[Long]("n_assets")).toMap
     assert(st === Map("image" -> 10L, "audio" -> 10L, "video" -> 10L))
   }
+
+  test("NetpbmCodec: encode/decode round-trip, comments, rejects malformed") {
+    import Multimodal.NetpbmCodec
+    // 4x2 RGB gradient
+    val px = Array.tabulate[Byte](4 * 2 * 3)(i => (i * 11 % 256).toByte)
+    val img = NetpbmCodec.Image(4, 2, 3, px)
+    val back = NetpbmCodec.decode(NetpbmCodec.encode(img)).get
+    assert(back.width === 4 && back.height === 2 && back.channels === 3)
+    assert(back.pixels.toSeq === px.toSeq)
+    // header comments are legal between tokens
+    val commented = ("P5\n# a comment\n2 1\n# another\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](7, 9))
+    val c = NetpbmCodec.decode(commented).get
+    assert(c.width === 2 && c.height === 1 && c.channels === 1 && c.pixels.toSeq === Seq[Byte](7, 9))
+    // malformed: wrong magic, truncated raster, 16-bit maxval
+    assert(NetpbmCodec.decode("JFIF....".getBytes("US-ASCII")).isEmpty)
+    assert(NetpbmCodec.decode("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(NetpbmCodec.decode(("P5\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0))).isEmpty)
+  }
+
+  test("resizeImages really resamples netpbm payloads (nearest-neighbor), stub otherwise") {
+    import Multimodal.{Asset, AssetMeta, NetpbmCodec}
+    // 4x4 grayscale: pixel value = 16*y + x, so the expected 2x2
+    // nearest-neighbor sample is exactly rows/cols {0,2}
+    val px = Array.tabulate[Byte](16)(i => (16 * (i / 4) + i % 4).toByte)
+    val pgm = NetpbmCodec.encode(NetpbmCodec.Image(4, 4, 1, px))
+    val in = Seq(
+      Asset(0L, "image", pgm, AssetMeta("pgm", 4, 4, 0, 0L)),
+      Asset(1L, "image", Array[Byte](1, 2, 3, 4), AssetMeta("png", 640, 480, 0, 0L)))
+      .toDS()
+    val out = Multimodal.resizeImages(in, 2, 2).collect().sortBy(_.asset_id)
+    val real = NetpbmCodec.decode(out(0).payload).get
+    assert(real.width === 2 && real.height === 2)
+    assert(real.pixels.toSeq === Seq[Byte](0, 2, 32, 34))
+    assert(out(0).meta.width === 2 && out(0).meta.height === 2)
+    // the non-netpbm payload went through the stub (not decodable as netpbm)
+    assert(Multimodal.NetpbmCodec.decode(out(1).payload).isEmpty)
+    assert(out(1).meta.width === 2 && out(1).meta.height === 2)
+  }
 }
