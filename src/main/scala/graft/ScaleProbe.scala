@@ -75,6 +75,49 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe qc01 [sfDir]`: per-stage wall-clock of the
+    * composed curation entry — where does qc01's bench time actually go
+    * (gates, pair generation + components, decontamination, packing)?
+    */
+  private def qc01Probe(sfDir: String): Unit = {
+    val spark = GraftSession.get()
+    def time[A](name: String)(act: => A): A = {
+      val t0 = System.nanoTime()
+      val r = act
+      println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 50 && col("doc_id") % 17 =!= 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val bench = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    val cfg = graft.queries.CurationQ.cfg
+    // sub-stages of the construction cost: pair generation vs verify vs CC
+    val canon = corpus.select(col("doc_id"),
+      graft.functions.TextFns.scrubPii(
+        graft.functions.Expressions.normalizeText(col("text"), "NFC")).as("text"))
+    time("canon_quality_gate")(canon
+      .filter(graft.functions.TextFns.tokenCount(col("text")) >= cfg.minTokens &&
+        graft.functions.TextFns.qualityScore(col("text")) >= cfg.minQuality).count())
+    val rawPairs = graft.operators.Dedup.ngramJaccardPairsPrefix(
+      canon, "doc_id", "text", n = cfg.ngramN, threshold = cfg.nearDupJaccard)
+    time("prefix_pairs_085_unblocked")(println("pairs=" + rawPairs.count()))
+    val rawPairsIdx = graft.operators.Dedup.ngramJaccardPairsIndexed(
+      canon, "doc_id", "text", n = cfg.ngramN, threshold = cfg.nearDupJaccard)
+    time("indexed_pairs_085_unblocked")(println("pairs=" + rawPairsIdx.count()))
+    val st = time("construct_stages_cc_loop")(
+      graft.pipeline.Curation.stages(corpus, bench, "doc_id", "text",
+        cfg, persist = true))
+    time("count_quality")(st.quality.count())
+    time("count_exact")(st.exact.count())
+    time("count_deduped")(st.deduped.count())
+    time("count_clean")(st.clean.count())
+    time("count_split")(st.split.count())
+    time("count_packed")(st.packed.count())
+    spark.stop()
+  }
+
   /** `runMain graft.ScaleProbe curation [nDocs]`: headroom timings for the
     * curation-family operators on a deterministic synthetic corpus far
     * beyond fixture scale — the word-count-shaped reductions (vocab),
@@ -123,6 +166,8 @@ object ScaleProbe {
     if (args.headOption.contains("shingle")) return shingleProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("jaccard"))
       return jaccardProbe(args.lift(1).map(_.toInt).getOrElse(4000))
+    if (args.headOption.contains("qc01"))
+      return qc01Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("curation"))
       return curationProbe(args.lift(1).map(_.toInt).getOrElse(1000000))
     val n = args.headOption.map(_.toInt).getOrElse(100000)

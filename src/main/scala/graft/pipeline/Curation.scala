@@ -70,8 +70,19 @@ object Curation {
     Curated(st.split, st.packed)
   }
 
+  /** `persist = true` caches each stage frame as it is built — the
+    * "persist at every arrow" mode the object doc describes for
+    * production runs (and for anything that observes more than one stage,
+    * like qc01's count union: without it every observer re-executes the
+    * shared upstream chain, and the near-dup stage's component loop —
+    * which runs eagerly during construction — would pay the quality/exact
+    * chain a second time). `false` (default) keeps the composition fully
+    * lazy so small single-output runs execute as one job and leak no
+    * cache entries.
+    */
   def stages(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
-             cfg: Config = Config()): Stages = {
+             cfg: Config = Config(), persist: Boolean = false): Stages = {
+    def mark(df: DataFrame): DataFrame = if (persist) df.persist() else df
     val id = col(idCol)
 
     // 1. canonicalize: one byte representation (NFC) with PII gone, BEFORE
@@ -88,17 +99,23 @@ object Curation {
       .filter(col("dup_line_frac") <= cfg.maxDupLineFrac &&
         col("top_bigram_frac") <= cfg.maxTopBigramFrac)
       .select(id)
-    val quality = gated.join(rep, Seq(idCol), "left_semi")
+    val quality = mark(gated.join(rep, Seq(idCol), "left_semi"))
 
     // 3. exact dedup (fingerprint aggregate), keep the min-id copy
     val exactKeep = Dedup.exactByFingerprint(quality, textCol, idCol)
       .select(col("keep_id").as(idCol))
-    val exact = quality.join(exactKeep, Seq(idCol), "left_semi")
+    val exact = mark(quality.join(exactKeep, Seq(idCol), "left_semi"))
 
     // 4. near-dup clusters over the survivors, keep canonical members.
+    // Prefix-filtered pair generation (exact — identical output to the
+    // plain inverted index, the DedupSpec-pinned equivalence): at a
+    // production dedup threshold the prefix indexes ~15-30% of each doc
+    // and hot boilerplate shingles sort to the unindexed tail, which is
+    // the regime a real corpus (and this fixture's ~31-word vocabulary)
+    // lives in — see ScaleProbe `jaccard` / docs/SCALE.md.
     // Optional verify stage: confirm Jaccard candidates by edit distance
     // (normalized by the longer text) before they merge clusters
-    val rawPairs = Dedup.ngramJaccardPairsIndexed(exact, idCol, textCol,
+    val rawPairs = Dedup.ngramJaccardPairsPrefix(exact, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.nearDupJaccard)
     val pairs = cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
       val ta = exact.select(id.as("id_a"), col(textCol).as("__ta"))
@@ -122,7 +139,7 @@ object Curation {
     }
     val canonical = Dedup.nearDupClusters(exact, idCol, pairs)
       .filter(col("is_canonical")).select(id)
-    val deduped = exact.join(canonical, Seq(idCol), "left_semi")
+    val deduped = mark(exact.join(canonical, Seq(idCol), "left_semi"))
 
     // 5. decontaminate against the benchmark (containment, not Jaccard).
     // The benchmark goes through the SAME canonicalization as stage 1 —
@@ -135,14 +152,14 @@ object Curation {
     val contaminated = Dedup.ngramContainmentPairs(deduped, benchCanon, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.contaminationMax)
       .select(col("doc_id").as(idCol)).distinct()
-    val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
+    val clean = mark(deduped.join(contaminated, Seq(idCol), "left_anti"))
 
     // 6. deterministic split, 7. pack the configured train split
-    val split = Split.assignSplit(clean, id, cfg.splits)
+    val split = mark(Split.assignSplit(clean, id, cfg.splits))
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val packed = Pack.packSequences(trainTokens, idCol, "n_tokens",
-      cfg.seqBudget, cfg.packShards)
+    val packed = mark(Pack.packSequences(trainTokens, idCol, "n_tokens",
+      cfg.seqBudget, cfg.packShards))
     Stages(canon, quality, exact, deduped, clean, split, packed)
   }
 }

@@ -61,7 +61,13 @@ object CurationQ {
         .unionByName(docs.filter(col("doc_id") < 50 && col("doc_id") % 17 =!= 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       val bench = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
-      val st = Curation.stages(corpus, bench, "doc_id", "text", cfg)
+      // persist = true: the 11 count branches below share one lineage;
+      // fully lazy, every branch re-executes the full upstream chain
+      // (~11× the pipeline — the sf0.1 bench measured 115 s). The
+      // persist-at-every-arrow mode materializes each stage once (the
+      // component loop that runs during construction warms the caches);
+      // the bench's inter-entry isolation reclaims the blocks.
+      val st = Curation.stages(corpus, bench, "doc_id", "text", cfg, persist = true)
       def cnt(stage: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).cast("long").as("n"))
           .select(lit(stage).as("stage"), col("n"))

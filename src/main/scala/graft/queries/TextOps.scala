@@ -398,19 +398,20 @@ object TextOps {
     // The prefix-filtered variant (AllPairs/PPJoin): EXACT like qt05 — the
     // oracle is qt05's SQL at this threshold — but only each doc's rarest
     // |s|−⌈t·|s|⌉+1 shingles enter the posting join. What the prefix buys
-    // is a WORST-CASE bound, not fixture speed: candidate cost drops from
-    // Σdf² over all posting lists to Σdf² over prefix postings, and the
-    // hot head shingles (the ones qt05c's df cap must DROP, trading
-    // exactness) sort to the unindexed tail of the rarest-first order. On
-    // the near-uniform sf0.1 fixture every posting list is short, so the
-    // df pass + per-doc rank window are pure overhead and this benches
-    // ~3× SLOWER than the plain inverted index at the same threshold
-    // (qt05t is the apples-to-apples twin) — while on a hot-shingle
-    // corpus the plain index explodes quadratically and the prefix path
-    // keeps candidate generation near-linear (measured: ScaleProbe
-    // `jaccard` mode, docs/SCALE.md). At 100 TB the corpus IS
-    // hot-shingle-heavy (boilerplate), which is why this is the exact
-    // scale path.
+    // is a WORST-CASE bound: candidate cost drops from Σdf² over all
+    // posting lists to Σdf² over prefix postings, and the hot head
+    // shingles (the ones qt05c's df cap must DROP, trading exactness)
+    // sort to the unindexed tail of the rarest-first order. On the small
+    // sf0.1 fixture the df pass + per-doc rank window roughly cancel
+    // what the shorter postings save, and this benches LEVEL with the
+    // plain inverted index at the same threshold (qt05t is the
+    // apples-to-apples twin: 1.47 vs 1.43 s — BENCH_r05's 4.37 s reading
+    // was first-run cost inside the timed window, gone since the bench
+    // warms each entry untimed). On a hot-shingle corpus the plain index
+    // explodes quadratically while the prefix path stays near-linear
+    // (9.4× at 12k boilerplate docs and diverging — ScaleProbe `jaccard`
+    // mode, docs/SCALE.md). At 100 TB the corpus IS hot-shingle-heavy,
+    // which is why this is the exact scale path.
     "qt05p_ngram_jaccard_prefix" -> ((s, d) =>
       Dedup.ngramJaccardPairsPrefix(T(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.7, blockCols = Seq("lang"))),
