@@ -181,6 +181,34 @@ class PlanSpec extends SparkSpec {
       s"quantization left Catalyst:\n$p")
   }
 
+  test("incremental near-dup delta: every join equi-keyed, no product") {
+    val p = plan(SparkEntry.queries("qt24_neardup_delta")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta pair generation degenerated to a product:\n$p")
+  }
+
+  test("quantized ANN: bucket join + int8 shortlist + float rerank all equi-keyed, no UDF") {
+    // the raw operator, not qt22r — the recall harness intentionally
+    // contains the brute-force baseline (a pinned BNLJ) and a tiny
+    // variant-dim crossJoin, which are gated separately
+    val e = Tables.table(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.lshTopKInt8(e, e.filter($"vec_id" < 20),
+      k = 5, planes = 6, tables = 4, probes = 4, rerank = 25)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quantized ANN degenerated to a product:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"quantized ANN left Catalyst:\n$p")
+  }
+
+  test("composed curation (qc01): no product anywhere in the 8-stage plan") {
+    val p = plan(SparkEntry.queries("qc01_curation")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the composed curation plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the composed curation plan:\n$p")
+  }
+
   test("composed pipeline: dims broadcast, facts never sort-merge, no cartesian") {
     val p = plan(SparkEntry.queries("qp01_pipeline")(spark, sf))
     // every dim join (holidays flag, municipios ILIKE, relations) broadcasts
