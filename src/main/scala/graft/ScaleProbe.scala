@@ -87,11 +87,9 @@ object ScaleProbe {
       println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       r
     }
-    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
-    val corpus = docs.filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
-      .unionByName(docs.filter(col("doc_id") < 50 && col("doc_id") % 17 =!= 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val bench = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    // the bench entry's exact fixture + config — shared definitions, so
+    // the probe cannot silently drift from the workload it decomposes
+    val (corpus, bench) = graft.queries.CurationQ.fixture(spark, sfDir)
     val cfg = graft.queries.CurationQ.cfg
     // sub-stages of the construction cost: pair generation vs verify vs CC
     val canon = corpus.select(col("doc_id"),

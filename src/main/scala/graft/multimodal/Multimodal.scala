@@ -84,7 +84,9 @@ object Multimodal {
         (payload(1) != '5' && payload(1) != '6')) return None
       val channels = if (payload(1) == '5') 1 else 3
       var pos = 2
-      // next ASCII integer token, skipping whitespace and # comments
+      // next ASCII integer token, skipping whitespace and # comments; a
+      // digit run past Int range (corrupt/hostile header) is a malformed
+      // token, not an exception — decode must never crash the partition
       def nextInt(): Option[Int] = {
         while (pos < payload.length &&
           (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
@@ -94,7 +96,7 @@ object Multimodal {
         }
         val start = pos
         while (pos < payload.length && payload(pos).toChar.isDigit) pos += 1
-        if (pos == start) None
+        if (pos == start || pos - start > 9) None
         else Some(new String(payload, start, pos - start, "US-ASCII").toInt)
       }
       for {
@@ -103,7 +105,9 @@ object Multimodal {
         // exactly ONE whitespace byte separates maxval from the raster
         if pos < payload.length && payload(pos).toChar.isWhitespace
         raster = java.util.Arrays.copyOfRange(payload, pos + 1, payload.length)
-        if raster.length == w * h * channels
+        // LONG arithmetic: w*h*channels can overflow Int for hostile dims
+        // (65536×65536 wraps to 0 and would "match" an empty raster)
+        if raster.length.toLong == w.toLong * h * channels
       } yield Image(w, h, channels, raster)
     }
 

@@ -359,8 +359,11 @@ object Dedup {
       .filter(col("__rank") <=
         col("__n_sh") - ceil(lit(tPrune) * col("__n_sh") - lit(1e-9)) + 1)
       .select(col("__id"), col("__n_sh"), col("__side"), col("__shingle"))
-    val dPrefix = prefix(dSized)
+    // one prefix pass over corpus ∪ delta; the delta side is a filter of
+    // it (allSized ⊇ dSized — a second prefix(dSized) would re-run the
+    // explode + df join + rank window over every delta posting)
     val allPrefix = prefix(allSized)
+    val dPrefix = allPrefix.filter(col("__side") === "d")
     // delta side × (corpus ∪ delta) side: every emitted pair touches the
     // delta; corpus × corpus cannot appear. least/greatest canonicalizes
     // (delta × delta pairs arrive in both orientations; distinct folds them)

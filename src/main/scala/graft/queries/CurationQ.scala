@@ -54,13 +54,24 @@ object CurationQ {
     splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
     trainSplit = "train", seqBudget = 2048, packShards = 64)
 
+  /** The qc01 fixture — ONE definition (ScaleProbe's qc01 decomposition
+    * probe reuses it, so what the probe times is by construction the
+    * workload the bench entry runs): corpus = the doc_id % 17 != 0 slice
+    * plus re-submitted copies of docs < 50 under id+10000; benchmark =
+    * the doc_id % 17 == 0 slice.
+    */
+  def fixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = T(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 50 && col("doc_id") % 17 =!= 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val bench = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    (corpus, bench)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc01_curation" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
-        .unionByName(docs.filter(col("doc_id") < 50 && col("doc_id") % 17 =!= 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val bench = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+      val (corpus, bench) = fixture(s, d)
       // persist = true: the 11 count branches below share one lineage;
       // fully lazy, every branch re-executes the full upstream chain
       // (~11× the pipeline — the sf0.1 bench measured 115 s). The

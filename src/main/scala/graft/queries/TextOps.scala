@@ -107,15 +107,17 @@ object TextOps {
        |      i -> e.embedding[i]::DOUBLE * c.cs[i])) AS dot
        |   FROM embeddings e CROSS JOIN cl c WHERE e.embedding IS NOT NULL)""".stripMargin
 
-  /** Bucket + exact-rerank CTEs for one LSH operating point, namespaced by
-    * `tag`: base buckets are the plane-sign bits (sum of disjoint powers of
-    * two == the OR ExprImpl folds), query probes add the `probes-1`
-    * smallest-|margin| one-bit flips (ExprImpl.lshProbes order: |dot| asc,
-    * plane asc), candidates join per (table, bucket), rerank is the qt08
-    * oracle's cosine. Emits `topk$tag(query_id, corpus_id, sim, rnk)`.
+  /** Shared bucket + probe + candidate CTEs for a query-side (vec_id < 20)
+    * LSH operating point, namespaced by `tag`: base buckets are the
+    * plane-sign bits (sum of disjoint powers of two == the OR ExprImpl
+    * folds), query probes add the `probes-1` smallest-|margin| one-bit
+    * flips (ExprImpl.lshProbes order: |dot| asc, plane asc), candidates
+    * join per (table, bucket). Emits `cand$tag(query_id, corpus_id)` —
+    * the one candidate-generation definition both the float and the int8
+    * rerank oracles build on, so probe-logic fixes cannot diverge.
     */
-  private def lshTopkCtes(tag: String, planes: Int, tables: Int,
-                          probes: Int, k: Int): String = {
+  private def lshCandCtes(tag: String, planes: Int, tables: Int,
+                          probes: Int): String = {
     val base =
       s"""b$tag AS (SELECT vec_id, t,
          |    sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
@@ -139,19 +141,33 @@ object TextOps {
       s""",
          | cand$tag AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
          |   FROM qp$tag qb JOIN b$tag cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-         |     AND qb.vec_id != cb.vec_id),
-         | sc$tag AS (SELECT query_id, corpus_id,
-         |     round(list_sum(list_transform(range(1, len(q.embedding) + 1),
-         |       i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
-         |     (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-         |      sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
-         |   FROM cand$tag JOIN embeddings q ON q.vec_id = query_id
-         |     JOIN embeddings c ON c.vec_id = corpus_id),
-         | topk$tag AS (SELECT query_id, corpus_id, sim, rnk FROM (
-         |     SELECT query_id, corpus_id, sim,
-         |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
-         |     FROM sc$tag) WHERE rnk <= $k)""".stripMargin
+         |     AND qb.vec_id != cb.vec_id)""".stripMargin
   }
+
+  /** The qt08 exact-cosine rerank over a (query_id, corpus_id) CTE `src`,
+    * emitting `topk$tag(query_id, corpus_id, sim, rnk)` with rnk ≤ k.
+    */
+  private def cosineTopkCtes(tag: String, src: String, k: Int): String =
+    s"""sc$tag AS (SELECT query_id, corpus_id,
+       |     round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |       i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+       |     (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |      sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+       |   FROM $src JOIN embeddings q ON q.vec_id = query_id
+       |     JOIN embeddings c ON c.vec_id = corpus_id),
+       | topk$tag AS (SELECT query_id, corpus_id, sim, rnk FROM (
+       |     SELECT query_id, corpus_id, sim,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
+       |     FROM sc$tag) WHERE rnk <= $k)""".stripMargin
+
+  /** Bucket + exact-rerank CTEs for one float LSH operating point:
+    * [lshCandCtes] candidates, [cosineTopkCtes] rerank.
+    */
+  private def lshTopkCtes(tag: String, planes: Int, tables: Int,
+                          probes: Int, k: Int): String =
+    lshCandCtes(tag, planes, tables, probes) +
+      s""",
+         | ${cosineTopkCtes(tag, s"cand$tag", k)}""".stripMargin
 
   /** Bucketed near-dup PAIR CTEs for one LSH operating point (the
     * `Dedup.embeddingNearDupPairsLsh` shape): unlike the top-k path, BOTH
@@ -193,42 +209,21 @@ object TextOps {
          |      sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= $threshold)""".stripMargin
   }
 
-  /** Bucket + int8-shortlist + float-rerank CTEs for one QUANTIZED LSH
-    * operating point (the `Similarity.lshTopKInt8` shape), namespaced by
-    * `tag`. Requires the shared `dots` grid AND a shared `qzn` CTE
-    * (quantized vectors + integer norms — see the qt22r oracle). The
-    * quantized score is an exact BIGINT dot over a double norm product —
-    * identical fp sequence to the Spark side, so the shortlist ranking
-    * (corpus-id tiebreak) reproduces bit-for-bit; the final stage is the
-    * qt08 exact-cosine rerank on the top-`rerank` shortlist. Emits
+  /** Int8-shortlist + float-rerank CTEs for one QUANTIZED LSH operating
+    * point (the `Similarity.lshTopKInt8` shape): [lshCandCtes]
+    * candidates — the same definition the float oracle uses — then a
+    * quantized-score shortlist cut, then the qt08 exact rerank on it.
+    * Requires the shared `dots` grid AND a shared `qzn` CTE (quantized
+    * vectors + integer norms — see the qt22r oracle). The quantized
+    * score is an exact BIGINT dot over a double norm product — identical
+    * fp sequence to the Spark side, so the shortlist ranking (corpus-id
+    * tiebreak) reproduces bit-for-bit. Emits
     * `topk$tag(query_id, corpus_id, sim, rnk)`.
     */
   private def lshTopkInt8Ctes(tag: String, planes: Int, tables: Int,
-                              probes: Int, k: Int, rerank: Int): String = {
-    val base =
-      s"""b$tag AS (SELECT vec_id, t,
-         |    sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
-         |   FROM dots WHERE t < $tables AND p < $planes GROUP BY vec_id, t)""".stripMargin
-    val probeCtes =
-      if (probes == 1)
-        s""",
-           | qp$tag AS (SELECT vec_id, t, bucket FROM b$tag WHERE vec_id < 20)""".stripMargin
-      else
-        s""",
-           | mr$tag AS (SELECT vec_id, t, p,
-           |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot) ASC, p ASC) AS mrnk
-           |   FROM dots WHERE vec_id < 20 AND t < $tables AND p < $planes),
-           | qp$tag AS (
-           |   SELECT vec_id, t, bucket FROM b$tag WHERE vec_id < 20
-           |   UNION ALL
-           |   SELECT m.vec_id, m.t, xor(b.bucket::UBIGINT, (1 << m.p)::UBIGINT)::BIGINT AS bucket
-           |   FROM mr$tag m JOIN b$tag b ON b.vec_id = m.vec_id AND b.t = m.t
-           |   WHERE m.mrnk <= ${probes - 1})""".stripMargin
-    base + probeCtes +
+                              probes: Int, k: Int, rerank: Int): String =
+    lshCandCtes(tag, planes, tables, probes) +
       s""",
-         | cand$tag AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
-         |   FROM qp$tag qb JOIN b$tag cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-         |     AND qb.vec_id != cb.vec_id),
          | qsc$tag AS (SELECT query_id, corpus_id,
          |     list_sum(list_transform(range(1, len(a.qv) + 1),
          |       i -> (a.qv[i] * b.qv[i])::BIGINT))::DOUBLE / (a.qn * b.qn) AS qsim
@@ -238,18 +233,7 @@ object TextOps {
          |     SELECT query_id, corpus_id,
          |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
          |     FROM qsc$tag) WHERE qrnk <= $rerank),
-         | sc$tag AS (SELECT query_id, corpus_id,
-         |     round(list_sum(list_transform(range(1, len(q.embedding) + 1),
-         |       i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
-         |     (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-         |      sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
-         |   FROM sl$tag JOIN embeddings q ON q.vec_id = query_id
-         |     JOIN embeddings c ON c.vec_id = corpus_id),
-         | topk$tag AS (SELECT query_id, corpus_id, sim, rnk FROM (
-         |     SELECT query_id, corpus_id, sim,
-         |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk
-         |     FROM sc$tag) WHERE rnk <= $k)""".stripMargin
-  }
+         | ${cosineTopkCtes(tag, s"sl$tag", k)}""".stripMargin
 
   /** CTE chain re-deriving ONE operating point of the Lloyd-trained
     * (lloydIters=1) oracle-mode `Similarity.ivfTopK` in DuckDB, namespaced

@@ -64,6 +64,12 @@ class MultimodalSpec extends SparkSpec {
     assert(NetpbmCodec.decode("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
     assert(NetpbmCodec.decode(("P5\n1 1\n65535\n".getBytes("US-ASCII") ++
       Array[Byte](0, 0))).isEmpty)
+    // hostile headers must reject, not throw: an over-Int digit run
+    // (NumberFormatException without the 9-digit cap) and dims whose
+    // product wraps Int (65536 x 65536 -> 0 would "match" an empty raster)
+    assert(NetpbmCodec.decode(("P5\n3000000000 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1))).isEmpty)
+    assert(NetpbmCodec.decode("P5\n65536 65536\n255\n".getBytes("US-ASCII")).isEmpty)
   }
 
   test("resizeImages really resamples netpbm payloads (nearest-neighbor), stub otherwise") {
