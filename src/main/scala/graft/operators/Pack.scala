@@ -38,17 +38,36 @@ object Pack {
     * NULL id are dropped (a null id has no hash shard and no position in
     * the shard order — packing them would be nondeterministic).
     */
+  /** `shardOffsets` (shard → tokens already packed into that shard)
+    * makes the packing INCREMENTAL: the new documents' token stream
+    * continues each shard where the previous batch ended — sequence ids
+    * keep counting up, the previous batch's partially-filled last
+    * sequence is topped up first — instead of restarting every shard at
+    * position 0 and overwriting sequence ids the corpus already shipped.
+    * Obtain it from the previous packing with [shardOffsets]. Shards
+    * absent from the frame start at 0 (a shard no prior doc hashed to).
+    */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-                    budget: Long, shards: Int = 64): DataFrame = {
+                    budget: Long, shards: Int = 64,
+                    shardOffsets: Option[DataFrame] = None): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
     require(shards > 0, s"shards must be positive: $shards")
     val id = col(idCol)
-    val sharded = df.filter(col(tokenCol) > 0 && id.isNotNull)
+    val sharded0 = df.filter(col(tokenCol) > 0 && id.isNotNull)
       .withColumn("shard", floor(Split.hashFraction(id) * shards).cast("int"))
+    // the offset table is shards-sized (tiny) — broadcast, no shuffle of
+    // the document side beyond the packing window's own
+    val sharded = shardOffsets.fold(sharded0.withColumn("__off", lit(0L))) { offs =>
+      sharded0.join(
+        broadcast(offs.select(col("shard"), col("offset_tokens").as("__off0"))),
+        Seq("shard"), "left")
+        .withColumn("__off", coalesce(col("__off0"), lit(0L)))
+        .drop("__off0")
+    }
     val w = Window.partitionBy(col("shard")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sharded
-      .withColumn("cum", sum(col(tokenCol)).over(w))
+      .withColumn("cum", sum(col(tokenCol)).over(w) + col("__off"))
       .withColumn("prev", col("cum") - col(tokenCol))
     // the doc occupies stream positions [prev, cum); sequence b covers
     // [b*budget, (b+1)*budget) — emit one piece per overlapped sequence
@@ -61,6 +80,16 @@ object Pack {
         (least(col("cum"), (col("seq") + 1) * budget)
           - greatest(col("prev"), col("seq") * budget)).cast("long").as("tok_len"))
   }
+
+  /** Per-shard token offsets of an existing packing — the state handed to
+    * the next incremental [packSequences] call: total tokens packed per
+    * shard (= where that shard's stream ended). Offsets ACCUMULATE across
+    * batches: pass the union of every batch's pieces so far, or keep a
+    * running state table and add each new batch's sums to it.
+    */
+  def shardOffsets(packed: DataFrame): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(sum(col("tok_len")).as("offset_tokens"))
 
   /** Padding-free packing efficiency probe: per shard, the number of
     * sequences and the fill of the LAST (only partially filled) one —

@@ -162,4 +162,141 @@ object Curation {
       cfg.seqBudget, cfg.packShards))
     Stages(canon, quality, exact, deduped, clean, split, packed)
   }
+
+  /** The persisted state an incremental run needs from the batch that
+    * shipped: the curated corpus documents (id + CANONICAL text — the
+    * near-dup index is derived from these), their fingerprint set (exact
+    * index — a ~0.01% shadow of the text), and where each packing shard's
+    * token stream ended. Everything else the delta needs (split
+    * assignment, gates) is a pure function of the row.
+    */
+  case class CorpusState(docs: DataFrame, fingerprints: DataFrame,
+                         shardOffsets: DataFrame)
+
+  /** Derive [CorpusState] from a completed batch run's stage frames.
+    *
+    * The frames are EAGERLY lineage-truncated (localCheckpoint): state is
+    * by definition what a production run persists to storage between
+    * batches, and [curateDelta] references each state frame several
+    * times — carrying the full batch plan into every reference multiplies
+    * an already-deep lineage until analysis itself becomes the bottleneck
+    * (measured: minutes of planning and an OOM building the explain
+    * string on a toy fixture). The checkpoint is the storage round-trip's
+    * stand-in; loading state from real tables needs no truncation.
+    */
+  def stateOf(st: Stages, idCol: String, textCol: String): CorpusState =
+    CorpusState(
+      docs = st.clean.select(col(idCol), col(textCol)).localCheckpoint(true),
+      fingerprints = st.clean
+        .select(TextFns.fingerprint(col(textCol)).as("fp")).distinct()
+        .localCheckpoint(true),
+      shardOffsets = Pack.shardOffsets(st.packed).localCheckpoint(true))
+
+  /** INCREMENTAL curation: one day's `delta` batch through the same
+    * stages as [curate], against an already-curated corpus — without
+    * ever reprocessing the corpus. The per-stage substitutions are the
+    * incremental operators the batch stages pair with:
+    *
+    *   - exact dedup    → [Dedup.dedupDelta]: within-delta collapse +
+    *     anti-join of the corpus FINGERPRINT index (never the text);
+    *   - near-dup       → [Dedup.nearDupDelta]: prefix pairs restricted
+    *     to delta×corpus ∪ delta×delta under the corpus-frozen rarest-
+    *     first order — corpus×corpus never re-pairs;
+    *   - packing        → [Pack.packSequences] with the corpus's shard
+    *     offsets: each shard's stream CONTINUES where the batch ended
+    *     (sequence ids keep counting, the last partial sequence tops up).
+    *
+    * Drop policy for near-dup pairs (after the optional edit-distance
+    * verify): a delta doc paired with ANY corpus doc drops — the corpus
+    * copy already shipped and must stay canonical (training-set stability:
+    * an arrival never retroactively evicts shipped data); within
+    * delta-only clusters the min-id member ships, exactly like [curate].
+    * Since corpus ids precede delta ids in any sane ingest scheme, this
+    * is the same min-id-canonical decision the batch run would make —
+    * with ONE documented divergence: a delta doc whose only near-dup link
+    * is to a corpus doc the batch run itself retired (a non-canonical
+    * cluster member, absent from `state.docs`) is not caught; threshold-
+    * transitive chains through retired docs are inherently invisible to
+    * any index that stores canonical survivors only.
+    *
+    * The quality gates, decontamination, and split assignment are pure
+    * per-row functions and run unchanged — a re-submitted doc gets the
+    * identical verdict it got the first time.
+    */
+  def curateDelta(state: CorpusState, delta: DataFrame, benchmark: DataFrame,
+                  idCol: String, textCol: String,
+                  cfg: Config = Config(), persist: Boolean = false): Stages = {
+    def mark(df: DataFrame): DataFrame = if (persist) df.persist() else df
+    val id = col(idCol)
+
+    // 1-2. canonicalize + row-local gates: identical to the batch stages
+    val canon = delta.select(id,
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+    val gated = canon
+      .filter(TextFns.tokenCount(col(textCol)) >= cfg.minTokens &&
+        TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
+    val rep = graft.operators.Repetition.repetitionSignals(gated, idCol, textCol)
+      .filter(col("dup_line_frac") <= cfg.maxDupLineFrac &&
+        col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+      .select(id)
+    val quality = mark(gated.join(rep, Seq(idCol), "left_semi"))
+
+    // 3. exact dedup against the corpus fingerprint index
+    val exact = mark(Dedup.dedupDelta(quality, state.fingerprints, textCol, idCol))
+
+    // 4. near-dup against corpus + within delta, optional edit verify
+    val rawPairs = Dedup.nearDupDelta(state.docs, exact, idCol, textCol,
+      n = cfg.ngramN, threshold = cfg.nearDupJaccard)
+    val pairs = cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
+      val texts = state.docs.unionByName(exact.select(id, col(textCol)))
+      val ta = texts.select(id.as("id_a"), col(textCol).as("__ta"))
+      val tb = texts.select(id.as("id_b"), col(textCol).as("__tb"))
+      val bound = ceil(lit(maxRatio) *
+        greatest(length(col("__ta")), length(col("__tb"))).cast("double")).cast("int")
+      val dist = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Levenshtein(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("__ta")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("__tb")),
+          Some(org.apache.spark.sql.graftbridge.Bridge.expression(bound))))
+      rawPairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(dist >= 0 && dist.cast("double") <=
+          lit(maxRatio) * greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    // delta docs linked to a corpus doc drop outright; delta-only pairs
+    // cluster and keep the min-id canonical, as the batch stage does
+    val corpusIds = state.docs.select(id.as("__cid"))
+    val corpusLinked =
+      pairs.join(corpusIds, pairs("id_a") === col("__cid"), "left_semi")
+        .select(col("id_b").as(idCol))
+      .unionByName(
+        pairs.join(corpusIds, pairs("id_b") === col("__cid"), "left_semi")
+          .select(col("id_a").as(idCol)))
+      .distinct()
+    val deltaPairs = pairs
+      .join(corpusIds, pairs("id_a") === col("__cid"), "left_anti")
+      .join(corpusIds, pairs("id_b") === col("__cid"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val canonical = Dedup.nearDupClusters(exact, idCol, deltaPairs)
+      .filter(col("is_canonical")).select(id)
+    val deduped = mark(exact
+      .join(corpusLinked, Seq(idCol), "left_anti")
+      .join(canonical, Seq(idCol), "left_semi"))
+
+    // 5. decontaminate (same canonicalization on the benchmark side)
+    val benchCanon = benchmark.select(col(idCol),
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+    val contaminated = Dedup.ngramContainmentPairs(deduped, benchCanon, idCol, textCol,
+      n = cfg.ngramN, threshold = cfg.contaminationMax)
+      .select(col("doc_id").as(idCol)).distinct()
+    val clean = mark(deduped.join(contaminated, Seq(idCol), "left_anti"))
+
+    // 6-7. per-row split; pack CONTINUES the corpus's shard streams
+    val split = mark(Split.assignSplit(clean, id, cfg.splits))
+    val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
+      .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val packed = mark(Pack.packSequences(trainTokens, idCol, "n_tokens",
+      cfg.seqBudget, cfg.packShards, shardOffsets = Some(state.shardOffsets)))
+    Stages(canon, quality, exact, deduped, clean, split, packed)
+  }
 }

@@ -69,33 +69,82 @@ object CurationQ {
     (corpus, bench)
   }
 
+  /** The qc02 fixture: the batch corpus is the doc_id < 250 slice (minus
+    * benchmark docs), the DELTA is the day's arrivals — the remaining
+    * docs plus re-submitted copies of corpus-range docs under id+10000
+    * (ids above every corpus id, the ingest ordering curateDelta's drop
+    * policy assumes). Copies of docs the batch run itself dropped are the
+    * interesting cases: a quality-dropped doc's copy re-fails the same
+    * gates; a near-dup-retired doc's copy pairs with the SHIPPED
+    * canonical; a contaminated doc's copy (absent from the fingerprint
+    * index — it never shipped) passes dedup and dies at decontamination
+    * again.
+    */
+  def fixtureDelta(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = T(s, d, "documents")
+    val corpusRaw = docs.filter(col("doc_id") < 250 && col("doc_id") % 17 =!= 0)
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    // copies range < 200 deliberately covers doc 166, the corpus-slice
+    // contaminated doc (droped by the BATCH run's decontamination, so
+    // absent from the fingerprint index): its re-submission must travel
+    // the whole delta pipeline and die at decontamination AGAIN — the
+    // stage would otherwise drop nothing on this fixture
+    val delta = docs.filter(col("doc_id") >= 250 && col("doc_id") % 17 =!= 0)
+      .select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 200 && col("doc_id") % 17 =!= 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    (corpusRaw, bench, delta)
+  }
+
+  /** Per-stage survivor counts + packed-sequence stats of one Stages run —
+    * the 11-row frame both composed entries hash against their oracles.
+    */
+  private def stageCounts(st: Curation.Stages): DataFrame = {
+    def cnt(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(stage).as("stage"), col("n"))
+    cnt("00_input", st.input)
+      .unionByName(cnt("01_quality", st.quality))
+      .unionByName(cnt("02_exact", st.exact))
+      .unionByName(cnt("03_neardup", st.deduped))
+      .unionByName(cnt("04_clean", st.clean))
+      .unionByName(st.split.groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(concat(lit("05_split_"), col("split")).as("stage"), col("n")))
+      .unionByName(cnt("06_pieces", st.packed))
+      .unionByName(st.packed.select("shard", "seq").distinct()
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("06_sequences").as("stage"), col("n")))
+      .unionByName(st.packed.agg(sum(col("tok_len")).cast("long").as("n"))
+        .select(lit("06_packed_tokens").as("stage"), col("n")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc01_curation" -> ((s, d) => {
       val (corpus, bench) = fixture(s, d)
-      // persist = true: the 11 count branches below share one lineage;
-      // fully lazy, every branch re-executes the full upstream chain
-      // (~11× the pipeline — the sf0.1 bench measured 115 s). The
-      // persist-at-every-arrow mode materializes each stage once (the
-      // component loop that runs during construction warms the caches);
-      // the bench's inter-entry isolation reclaims the blocks.
-      val st = Curation.stages(corpus, bench, "doc_id", "text", cfg, persist = true)
-      def cnt(stage: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).cast("long").as("n"))
-          .select(lit(stage).as("stage"), col("n"))
-      cnt("00_input", st.input)
-        .unionByName(cnt("01_quality", st.quality))
-        .unionByName(cnt("02_exact", st.exact))
-        .unionByName(cnt("03_neardup", st.deduped))
-        .unionByName(cnt("04_clean", st.clean))
-        .unionByName(st.split.groupBy(col("split"))
-          .agg(count(lit(1)).cast("long").as("n"))
-          .select(concat(lit("05_split_"), col("split")).as("stage"), col("n")))
-        .unionByName(cnt("06_pieces", st.packed))
-        .unionByName(st.packed.select("shard", "seq").distinct()
-          .agg(count(lit(1)).cast("long").as("n"))
-          .select(lit("06_sequences").as("stage"), col("n")))
-        .unionByName(st.packed.agg(sum(col("tok_len")).cast("long").as("n"))
-          .select(lit("06_packed_tokens").as("stage"), col("n")))
+      // persist = true: the 11 count branches share one lineage; fully
+      // lazy, every branch re-executes the full upstream chain (~11× the
+      // pipeline — the sf0.1 bench measured 115 s). The persist-at-every-
+      // arrow mode materializes each stage once (the component loop that
+      // runs during construction warms the caches); the bench's
+      // inter-entry isolation reclaims the blocks.
+      stageCounts(Curation.stages(corpus, bench, "doc_id", "text", cfg, persist = true))
+    }),
+
+    // The INCREMENTAL twin: one day's delta through curateDelta against
+    // the state of a batch run over the corpus slice — dedupDelta's
+    // fingerprint anti-join, nearDupDelta's corpus-frozen prefix pairs,
+    // per-row gates/split, and offset-continued packing, with the same
+    // 11 stage counts re-derived in SQL (which must therefore re-derive
+    // the BATCH run too — the state is an intermediate of the oracle).
+    "qc02_curation_delta" -> ((s, d) => {
+      val (corpusRaw, bench, delta) = fixtureDelta(s, d)
+      val state = Curation.stateOf(
+        Curation.stages(corpusRaw, bench, "doc_id", "text", cfg, persist = true),
+        "doc_id", "text")
+      stageCounts(Curation.curateDelta(state, delta, bench, "doc_id", "text",
+        cfg, persist = true))
     }))
 
   private val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
@@ -112,6 +161,117 @@ object CurationQ {
        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
        |  FROM (SELECT doc_id, $toks AS ts FROM $src)""".stripMargin
 
+  // ---------- oracle CTE builders ----------
+  // Suffix-parameterized so qc02 can re-derive the BATCH chain (its state
+  // is an oracle intermediate) and stack the delta chain on top. All
+  // multi-referenced stages carry MATERIALIZED hints — DuckDB's default
+  // inlining re-evaluates a CTE per reference, exponential in chain depth.
+
+  /** quality gates: emits `quality$x(doc_id, text)` from `$src`. */
+  private def gatesCtes(x: String, src: String): String =
+    s"""q$x AS (SELECT doc_id, text, len($toks)::DOUBLE AS n_tok,
+       |   length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS n_chars,
+       |   CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
+       |   CASE WHEN len($toks) = 0 THEN 0.0
+       |        ELSE len(list_filter($ltoks, w -> w IN $stopList))::DOUBLE / len($toks) END AS sr
+       |  FROM $src),
+       | qs$x AS (SELECT doc_id, text, n_tok,
+       |   (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
+       |   + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 2.0
+       |           AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 12.0
+       |      THEN 1.0 ELSE 0.3 END) * 0.25
+       |   + (1.0 - least(pr * 4, 1.0)) * 0.25 + least(sr * 5, 1.0) * 0.25 AS quality
+       |  FROM q$x),
+       | gated$x AS MATERIALIZED (SELECT doc_id, text FROM qs$x WHERE n_tok >= 20 AND quality >= 0.76),
+       | lraw$x AS (SELECT doc_id, trim(l) AS line
+       |  FROM gated$x, unnest(string_split(text, chr(10))) AS u(l) WHERE trim(l) != ''),
+       | lcnt$x AS (SELECT doc_id, line, count(*) AS cnt FROM lraw$x GROUP BY 1, 2),
+       | lstat$x AS (SELECT doc_id, sum(cnt - 1)::DOUBLE / sum(cnt) AS dlf FROM lcnt$x GROUP BY 1),
+       | bg$x AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+       |  FROM (SELECT doc_id, $toks AS ts FROM gated$x), unnest(range(1, len(ts))) r(i)
+       |  WHERE len(ts) >= 2),
+       | bgc$x AS (SELECT doc_id, g, count(*) AS cnt FROM bg$x GROUP BY 1, 2),
+       | bgs$x AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS tbf FROM bgc$x GROUP BY 1),
+       | quality$x AS MATERIALIZED (SELECT g.doc_id, g.text FROM gated$x g
+       |   LEFT JOIN lstat$x USING (doc_id) LEFT JOIN bgs$x USING (doc_id)
+       |   WHERE coalesce(dlf, 0.0) <= 0.5 AND coalesce(tbf, 0.0) <= 0.12)""".stripMargin
+
+  /** exact dedup (min-id per fingerprint): emits `exact$x` from `quality$x`. */
+  private def exactMinCtes(x: String): String =
+    s"""fps$x AS (SELECT doc_id, text,
+       |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM quality$x),
+       | exact$x AS MATERIALIZED (SELECT doc_id, text FROM
+       |   (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS k FROM fps$x)
+       |  WHERE doc_id = k)""".stripMargin
+
+  /** batch tail: near-dup pairs + edit verify + components + decontamination
+    * + split + pack over `exact$x`; requires a shared `bsized` CTE (the
+    * benchmark shingles) and a `reach$x` slot in the WITH RECURSIVE list.
+    * Emits neardup$x, clean$x, split$x, pieces$x.
+    */
+  private def batchTailCtes(x: String): String =
+    s"""sized$x AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n
+       |  FROM (${shingleSql(s"exact$x")}) WHERE len(sh) > 0),
+       | posts$x AS (SELECT doc_id, n, unnest(sh) AS s FROM sized$x),
+       | cand$x AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS inter
+       |   FROM posts$x a JOIN posts$x b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+       | rawpairs$x AS (SELECT ia, ib FROM cand$x WHERE round(inter / (na + nb - inter), 6) >= 0.85),
+       | -- edit-distance VERIFY: multiplication form (d <= r * maxlen), matching
+       | -- the Spark comparison bit-for-bit (a division twin rounds differently)
+       | pairs$x AS MATERIALIZED (SELECT ia, ib FROM rawpairs$x
+       |   JOIN exact$x ea ON ea.doc_id = ia JOIN exact$x eb ON eb.doc_id = ib
+       |   WHERE levenshtein(ea.text, eb.text)::DOUBLE <=
+       |     0.02 * greatest(length(ea.text), length(eb.text))::DOUBLE),
+       | edges$x AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs$x
+       |   UNION SELECT ib, ia FROM pairs$x),
+       | reach$x(id, l) AS (SELECT src, src FROM edges$x
+       |   UNION SELECT e.src, r.l FROM edges$x e JOIN reach$x r ON r.id = e.dst),
+       | comp$x AS MATERIALIZED (SELECT id, min(l) AS component FROM reach$x GROUP BY id),
+       | neardup$x AS MATERIALIZED (SELECT e.doc_id, e.text FROM exact$x e
+       |   LEFT JOIN comp$x c ON e.doc_id = c.id
+       |   WHERE coalesce(c.component, e.doc_id) = e.doc_id),
+       | cposts$x AS (SELECT doc_id, unnest(sh) AS s FROM (${shingleSql(s"neardup$x")}) WHERE len(sh) > 0),
+       | cont$x AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+       |   SELECT c.doc_id, b.bench_id, b.nb, count(*) AS inter
+       |    FROM cposts$x c JOIN bposts b USING (s) GROUP BY 1, 2, 3)
+       |  WHERE round(inter / nb, 6) >= 0.8),
+       | clean$x AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardup$x n
+       |   WHERE n.doc_id NOT IN (SELECT doc_id FROM cont$x)),
+       | su$x AS (SELECT doc_id, text, $hashFrac AS u FROM clean$x),
+       | split$x AS MATERIALIZED (SELECT doc_id, text,
+       |   CASE WHEN u < 0.98 THEN 'train' WHEN u < 0.99 THEN 'val' ELSE 'test' END AS split
+       |  FROM su$x),
+       | tr$x AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM split$x WHERE split = 'train'),
+       | sharded$x AS (SELECT doc_id, n_tokens, floor($hashFrac * 64)::INT AS shard
+       |  FROM tr$x WHERE n_tokens > 0),
+       | cums$x AS (SELECT doc_id, shard, n_tokens,
+       |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sharded$x),
+       | spans$x AS (SELECT doc_id, shard, cum, cum - n_tokens AS prev FROM cums$x),
+       | pieces$x AS MATERIALIZED (SELECT doc_id, shard, prev, cum,
+       |   unnest(generate_series(floor(prev / 2048)::BIGINT, floor((cum - 1) / 2048)::BIGINT)) AS seq
+       |  FROM spans$x)""".stripMargin
+
+  /** the benchmark-shingle CTEs both decontamination stages probe. */
+  private val benchCtes: String =
+    s"""bsized AS MATERIALIZED (SELECT doc_id AS bench_id, sh, len(sh) AS nb
+       |  FROM (${shingleSql("bench")}) WHERE len(sh) > 0),
+       | bposts AS (SELECT bench_id, nb, unnest(sh) AS s FROM bsized)""".stripMargin
+
+  /** the 11 stage-count rows over suffix-`$x` frames, input CTE `$input`. */
+  private def countsSelect(x: String, input: String): String =
+    s"""SELECT '00_input' AS stage, count(*)::BIGINT AS n FROM $input
+       |UNION ALL SELECT '01_quality', count(*) FROM quality$x
+       |UNION ALL SELECT '02_exact', count(*) FROM exact$x
+       |UNION ALL SELECT '03_neardup', count(*) FROM neardup$x
+       |UNION ALL SELECT '04_clean', count(*) FROM clean$x
+       |UNION ALL SELECT '05_split_' || split, count(*) FROM split$x GROUP BY split
+       |UNION ALL SELECT '06_pieces', count(*) FROM pieces$x
+       |UNION ALL SELECT '06_sequences', count(*) FROM (SELECT DISTINCT shard, seq FROM pieces$x)
+       |UNION ALL SELECT '06_packed_tokens',
+       |  sum(least(cum, (seq + 1) * 2048) - greatest(prev, seq * 2048))::BIGINT FROM pieces$x""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "qc01_curation" ->
       s"""WITH RECURSIVE corpus AS MATERIALIZED (
@@ -119,90 +279,90 @@ object CurationQ {
          |  UNION ALL
          |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50 AND doc_id % 17 != 0),
          | bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-         | q AS (SELECT doc_id, text, len($toks)::DOUBLE AS n_tok,
-         |   length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS n_chars,
-         |   CASE WHEN length(text) = 0 THEN 0.0
-         |        ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
-         |   CASE WHEN len($toks) = 0 THEN 0.0
-         |        ELSE len(list_filter($ltoks, w -> w IN $stopList))::DOUBLE / len($toks) END AS sr
-         |  FROM corpus),
-         | qs AS (SELECT doc_id, text, n_tok,
-         |   (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
-         |   + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 2.0
-         |           AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 12.0
-         |      THEN 1.0 ELSE 0.3 END) * 0.25
-         |   + (1.0 - least(pr * 4, 1.0)) * 0.25 + least(sr * 5, 1.0) * 0.25 AS quality
-         |  FROM q),
-         | gated AS MATERIALIZED (SELECT doc_id, text FROM qs WHERE n_tok >= 20 AND quality >= 0.76),
-         | lraw AS (SELECT doc_id, trim(l) AS line
-         |  FROM gated, unnest(string_split(text, chr(10))) AS u(l) WHERE trim(l) != ''),
-         | lcnt AS (SELECT doc_id, line, count(*) AS cnt FROM lraw GROUP BY 1, 2),
-         | lstat AS (SELECT doc_id, sum(cnt - 1)::DOUBLE / sum(cnt) AS dlf FROM lcnt GROUP BY 1),
-         | bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
-         |  FROM (SELECT doc_id, $toks AS ts FROM gated), unnest(range(1, len(ts))) r(i)
-         |  WHERE len(ts) >= 2),
-         | bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
-         | bgs AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS tbf FROM bgc GROUP BY 1),
-         | quality AS MATERIALIZED (SELECT g.doc_id, g.text FROM gated g
-         |   LEFT JOIN lstat USING (doc_id) LEFT JOIN bgs USING (doc_id)
-         |   WHERE coalesce(dlf, 0.0) <= 0.5 AND coalesce(tbf, 0.0) <= 0.12),
-         | fps AS (SELECT doc_id, text,
-         |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM quality),
-         | exact AS MATERIALIZED (SELECT doc_id, text FROM
-         |   (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS k FROM fps)
-         |  WHERE doc_id = k),
-         | sized AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n
-         |  FROM (${shingleSql("exact")}) WHERE len(sh) > 0),
-         | posts AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
-         | cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS inter
-         |   FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
-         | rawpairs AS (SELECT ia, ib FROM cand WHERE round(inter / (na + nb - inter), 6) >= 0.85),
-         | -- edit-distance VERIFY: multiplication form (d <= r * maxlen), matching
-         | -- the Spark comparison bit-for-bit (a division twin rounds differently)
-         | pairs AS MATERIALIZED (SELECT ia, ib FROM rawpairs
-         |   JOIN exact ea ON ea.doc_id = ia JOIN exact eb ON eb.doc_id = ib
+         | $benchCtes,
+         | ${gatesCtes("", "corpus")},
+         | ${exactMinCtes("")},
+         | ${batchTailCtes("")}
+         |${countsSelect("", "corpus")}""".stripMargin,
+
+    // The incremental twin: the BATCH chain over the corpus slice
+    // (suffix c) is re-derived first — its clean set, fingerprint index,
+    // and per-shard pack offsets ARE the state — then the delta chain
+    // (suffix d) applies the incremental operators: min-id-within-delta
+    // exact collapse + fingerprint anti-join; union near-dup pairs
+    // restricted to delta-touching (corpus ids < 250 <= delta ids, so
+    // id_b >= 250 is exactly "touches delta" under id_a < id_b);
+    // edit-verify; corpus-linked deltas drop, delta-only clusters keep
+    // min id (its own recursive reach); containment vs the same
+    // benchmark; per-row split; packing continued from the corpus
+    // offsets (LEFT JOIN + coalesce 0 for shards the corpus never hit).
+    "qc02_curation_delta" ->
+      s"""WITH RECURSIVE corpusraw AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 250 AND doc_id % 17 != 0),
+         | bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+         | delta AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id % 17 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200 AND doc_id % 17 != 0),
+         | $benchCtes,
+         | ${gatesCtes("c", "corpusraw")},
+         | ${exactMinCtes("c")},
+         | ${batchTailCtes("c")},
+         | cfps AS MATERIALIZED (SELECT DISTINCT
+         |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM cleanc),
+         | offsets AS MATERIALIZED (SELECT shard,
+         |   sum(least(cum, (seq + 1) * 2048) - greatest(prev, seq * 2048)) AS offset_tokens
+         |  FROM piecesc GROUP BY shard),
+         | ${gatesCtes("d", "delta")},
+         | fpsd AS (SELECT doc_id, text,
+         |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM qualityd),
+         | exactd AS MATERIALIZED (SELECT doc_id, text FROM
+         |   (SELECT doc_id, text, fp, min(doc_id) OVER (PARTITION BY fp) AS k FROM fpsd)
+         |  WHERE doc_id = k AND fp NOT IN (SELECT fp FROM cfps)),
+         | uall AS MATERIALIZED (SELECT doc_id, text FROM cleanc
+         |   UNION ALL SELECT doc_id, text FROM exactd),
+         | usized AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n
+         |  FROM (${shingleSql("uall")}) WHERE len(sh) > 0),
+         | uposts AS (SELECT doc_id, n, unnest(sh) AS s FROM usized),
+         | ucand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS inter
+         |   FROM uposts a JOIN uposts b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         | urawpairs AS (SELECT ia, ib FROM ucand
+         |  WHERE round(inter / (na + nb - inter), 6) >= 0.85 AND ib >= 250),
+         | upairs AS MATERIALIZED (SELECT ia, ib FROM urawpairs
+         |   JOIN uall ea ON ea.doc_id = ia JOIN uall eb ON eb.doc_id = ib
          |   WHERE levenshtein(ea.text, eb.text)::DOUBLE <=
          |     0.02 * greatest(length(ea.text), length(eb.text))::DOUBLE),
-         | edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
-         |   UNION SELECT ib, ia FROM pairs),
-         | reach(id, l) AS (SELECT src, src FROM edges
-         |   UNION SELECT e.src, r.l FROM edges e JOIN reach r ON r.id = e.dst),
-         | comp AS MATERIALIZED (SELECT id, min(l) AS component FROM reach GROUP BY id),
-         | neardup AS MATERIALIZED (SELECT e.doc_id, e.text FROM exact e
-         |   LEFT JOIN comp c ON e.doc_id = c.id
-         |   WHERE coalesce(c.component, e.doc_id) = e.doc_id),
-         | bsized AS MATERIALIZED (SELECT doc_id AS bench_id, sh, len(sh) AS nb
-         |  FROM (${shingleSql("bench")}) WHERE len(sh) > 0),
-         | cposts AS (SELECT doc_id, unnest(sh) AS s FROM (${shingleSql("neardup")}) WHERE len(sh) > 0),
-         | bposts AS (SELECT bench_id, nb, unnest(sh) AS s FROM bsized),
-         | cont AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+         | linked AS MATERIALIZED (SELECT DISTINCT ib AS doc_id FROM upairs WHERE ia < 250),
+         | ddedges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM upairs WHERE ia >= 250
+         |   UNION SELECT ib, ia FROM upairs WHERE ia >= 250),
+         | reachd(id, l) AS (SELECT src, src FROM ddedges
+         |   UNION SELECT e.src, r.l FROM ddedges e JOIN reachd r ON r.id = e.dst),
+         | compd AS MATERIALIZED (SELECT id, min(l) AS component FROM reachd GROUP BY id),
+         | neardupd AS MATERIALIZED (SELECT e.doc_id, e.text FROM exactd e
+         |   LEFT JOIN compd c ON e.doc_id = c.id
+         |   WHERE coalesce(c.component, e.doc_id) = e.doc_id
+         |     AND e.doc_id NOT IN (SELECT doc_id FROM linked)),
+         | cpostsd AS (SELECT doc_id, unnest(sh) AS s FROM (${shingleSql("neardupd")}) WHERE len(sh) > 0),
+         | contd AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
          |   SELECT c.doc_id, b.bench_id, b.nb, count(*) AS inter
-         |    FROM cposts c JOIN bposts b USING (s) GROUP BY 1, 2, 3)
+         |    FROM cpostsd c JOIN bposts b USING (s) GROUP BY 1, 2, 3)
          |  WHERE round(inter / nb, 6) >= 0.8),
-         | clean AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardup n
-         |   WHERE n.doc_id NOT IN (SELECT doc_id FROM cont)),
-         | su AS (SELECT doc_id, text, $hashFrac AS u FROM clean),
-         | split AS MATERIALIZED (SELECT doc_id, text,
+         | cleand AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardupd n
+         |   WHERE n.doc_id NOT IN (SELECT doc_id FROM contd)),
+         | sud AS (SELECT doc_id, text, $hashFrac AS u FROM cleand),
+         | splitd AS MATERIALIZED (SELECT doc_id, text,
          |   CASE WHEN u < 0.98 THEN 'train' WHEN u < 0.99 THEN 'val' ELSE 'test' END AS split
-         |  FROM su),
-         | tr AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM split WHERE split = 'train'),
-         | sharded AS (SELECT doc_id, n_tokens, floor($hashFrac * 64)::INT AS shard
-         |  FROM tr WHERE n_tokens > 0),
-         | cums AS (SELECT doc_id, shard, n_tokens,
-         |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM sharded),
-         | spans AS (SELECT doc_id, shard, cum, cum - n_tokens AS prev FROM cums),
-         | pieces AS MATERIALIZED (SELECT doc_id, shard, prev, cum,
+         |  FROM sud),
+         | trd AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM splitd WHERE split = 'train'),
+         | shardedd AS (SELECT doc_id, n_tokens, floor($hashFrac * 64)::INT AS shard
+         |  FROM trd WHERE n_tokens > 0),
+         | cumsd AS (SELECT s.doc_id, s.shard, s.n_tokens,
+         |   coalesce(o.offset_tokens, 0) +
+         |   sum(s.n_tokens) OVER (PARTITION BY s.shard ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM shardedd s LEFT JOIN offsets o USING (shard)),
+         | spansd AS (SELECT doc_id, shard, cum, cum - n_tokens AS prev FROM cumsd),
+         | piecesd AS MATERIALIZED (SELECT doc_id, shard, prev, cum,
          |   unnest(generate_series(floor(prev / 2048)::BIGINT, floor((cum - 1) / 2048)::BIGINT)) AS seq
-         |  FROM spans)
-         |SELECT '00_input' AS stage, count(*)::BIGINT AS n FROM corpus
-         |UNION ALL SELECT '01_quality', count(*) FROM quality
-         |UNION ALL SELECT '02_exact', count(*) FROM exact
-         |UNION ALL SELECT '03_neardup', count(*) FROM neardup
-         |UNION ALL SELECT '04_clean', count(*) FROM clean
-         |UNION ALL SELECT '05_split_' || split, count(*) FROM split GROUP BY split
-         |UNION ALL SELECT '06_pieces', count(*) FROM pieces
-         |UNION ALL SELECT '06_sequences', count(*) FROM (SELECT DISTINCT shard, seq FROM pieces)
-         |UNION ALL SELECT '06_packed_tokens',
-         |  sum(least(cum, (seq + 1) * 2048) - greatest(prev, seq * 2048))::BIGINT FROM pieces""".stripMargin)
+         |  FROM spansd)
+         |${countsSelect("d", "delta")}""".stripMargin)
 }

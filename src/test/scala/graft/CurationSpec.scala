@@ -68,4 +68,58 @@ class CurationSpec extends SparkSpec {
     val out2 = Curation.curate(corpus, benchmark, "doc_id", "text").documents
     assert(out1.except(out2).count() === 0 && out2.except(out1).count() === 0)
   }
+
+  // delta batch: every incremental stage exercised against the curated
+  // corpus state — ids deliberately ABOVE every corpus id (the ingest
+  // ordering the drop policy's min-id equivalence relies on)
+  private val delta = Seq(
+    (20L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of shipped 1
+    (21L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen seventeen"), // near dup of shipped 7
+    (22L, "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver gold"),
+    (23L, "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver bronze"), // near dup of 22
+    (24L, "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver gold"), // exact dup of 22
+    (25L, "this new document quotes alpha beta gamma delta epsilon verbatim and adds plenty of its own filler words"), // contaminated
+    (26L, "tiny doc"), // gated
+    (27L, "the committee approved seventeen separate budget proposals during the quarterly planning review session yesterday")
+  ).toDF("doc_id", "text")
+
+  test("curateDelta: each incremental stage drops its hazard; union-batch equivalence") {
+    // persist-at-arrow: the state frames are re-read many times below
+    // (and inside curateDelta); lazy mode re-executes the batch chain per
+    // action and turns this test into minutes
+    val batch = Curation.stages(corpus, benchmark, "doc_id", "text", persist = true)
+    val state = Curation.stateOf(batch, "doc_id", "text")
+    val inc = Curation.curateDelta(state, delta, benchmark, "doc_id", "text",
+      persist = true)
+    val kept = inc.split.select("doc_id").as[Long].collect().toSet
+    // 20 exact-vs-corpus, 21 near-vs-corpus, 23 near-in-delta (22 canonical),
+    // 24 exact-in-delta, 25 contaminated, 26 gated -- survivors 22, 27
+    assert(kept === Set(22L, 27L))
+    // batch-equivalence: curating corpus+delta together ships exactly the
+    // corpus survivors plus the incremental survivors (corpus ids precede
+    // delta ids, so min-id canonical decisions coincide; no near-dup chain
+    // here passes through a retired doc)
+    val unionKept = Curation.curate(corpus.unionByName(delta), benchmark, "doc_id", "text")
+      .documents.select("doc_id").as[Long].collect().toSet
+    val corpusKept = batch.split.select("doc_id").as[Long].collect().toSet
+    assert(unionKept === (corpusKept ++ kept))
+    // packing continues the corpus shards: total packed tokens across the
+    // two batches conserve train tokens of both, and no sequence position
+    // is written twice (piece spans are disjoint within every shard)
+    val allPieces = batch.packed.select("shard", "seq", "tok_len")
+      .unionByName(inc.packed.select("shard", "seq", "tok_len"))
+    val packed = allPieces.agg(sum("tok_len")).as[Long].head()
+    val trainTok = batch.split.unionByName(inc.split)
+      .filter($"split" === "train")
+      .select(graft.functions.TextFns.tokenCount($"text").cast("long")).as[Long]
+      .collect().sum
+    assert(packed === trainTok)
+    // every fully-interior sequence is exactly budget-sized; at most one
+    // partial (the last) per shard across the combined stream
+    val fills = allPieces.groupBy("shard", "seq").agg(sum("tok_len").as("fill"))
+    val partials = fills.join(
+        fills.groupBy("shard").agg(max("seq").as("last")), Seq("shard"))
+      .filter($"fill" =!= 2048L && $"seq" =!= $"last").count()
+    assert(partials === 0, "a non-final sequence is not exactly budget tokens")
+  }
 }

@@ -23,6 +23,32 @@ class PackSpec extends SparkSpec {
       (5L, 2L, 0L, 1L)))
   }
 
+  test("packSequences: shard offsets continue the stream — the last partial sequence tops up") {
+    // batch 1 in one shard, budget 10: d1[0,7) d2[7,13) — seq 1 is
+    // partially filled to position 13
+    val b1 = Pack.packSequences(Seq((1L, 7L), (2L, 6L)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", budget = 10, shards = 1)
+    val offs = Pack.shardOffsets(b1)
+    assert(offs.as[(Int, Long)].collect().toSeq === Seq((0, 13L)))
+    // batch 2 continues at 13: d3[13,18) lands entirely in seq 1 at
+    // offset 3 INSIDE the doc's own token stream? no — tok_start is
+    // doc-relative: greatest(13, 10) - 13 = 0, len = 18 - 13 = 5
+    val b2 = Pack.packSequences(Seq((3L, 5L)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", budget = 10, shards = 1, shardOffsets = Some(offs))
+    val got = b2.select("doc_id", "shard", "seq", "tok_start", "tok_len")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 0, 1L, 0L, 5L)))
+    // accumulated offsets: union of both batches' pieces
+    val offs2 = Pack.shardOffsets(b1.unionByName(b2))
+    assert(offs2.as[(Int, Long)].collect().toSeq === Seq((0, 18L)))
+    // a shard with no offset row starts at 0 (left-join coalesce)
+    val fresh = Pack.packSequences(Seq((4L, 4L)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", budget = 10, shards = 1,
+      shardOffsets = Some(Seq((99, 7L)).toDF("shard", "offset_tokens")))
+    assert(fresh.select("seq", "tok_start", "tok_len").as[(Long, Long, Long)]
+      .collect().toSeq === Seq((0L, 0L, 4L)))
+  }
+
   test("packSequences: invariants on the fixture — conservation, exact fills, stability") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
       .select(col("doc_id"), graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))

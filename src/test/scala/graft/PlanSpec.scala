@@ -201,12 +201,14 @@ class PlanSpec extends SparkSpec {
       s"quantized ANN left Catalyst:\n$p")
   }
 
-  test("composed curation (qc01): no product anywhere in the 8-stage plan") {
-    val p = plan(SparkEntry.queries("qc01_curation")(spark, sf))
-    assert(!p.contains("CartesianProduct"),
-      s"cartesian in the composed curation plan:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"nested-loop join in the composed curation plan:\n$p")
+  test("composed curation (qc01/qc02): no product anywhere in either 8-stage plan") {
+    for (q <- Seq("qc01_curation", "qc02_curation_delta")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in the composed curation plan ($q):\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in the composed curation plan ($q):\n$p")
+    }
   }
 
   test("composed pipeline: dims broadcast, facts never sort-merge, no cartesian") {
