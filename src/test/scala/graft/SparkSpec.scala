@@ -15,7 +15,21 @@ object TestSession {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite
+  with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSession.spark
   val sf: String = "/root/testdata/sf0.001"
+
+  /** One JVM hosts every suite: cached frames, persisted stage frames,
+    * and localCheckpoint blocks (curation state, component labels) would
+    * otherwise accumulate across suites until the shared heap fills —
+    * PlanSpec aborted mid-run once the curation suites started
+    * persisting their stage chains. Same discipline as Bench's
+    * inter-entry isolation.
+    */
+  override protected def afterAll(): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 }
