@@ -116,6 +116,45 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe qc02 [sfDir]`: per-stage wall-clock of the
+    * incremental curation entry (state build / delta construction / counts).
+    */
+  private def qc02Probe(sfDir: String): Unit = {
+    val spark = GraftSession.get()
+    def time[A](name: String)(act: => A): A = {
+      val t0 = System.nanoTime()
+      val r = act
+      println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val cfg = graft.queries.CurationQ.cfg
+    val (corpusRaw, bench, delta) = graft.queries.CurationQ.fixtureDelta(spark, sfDir)
+    val state = time("state_build")(graft.pipeline.Curation.stateOf(
+      graft.pipeline.Curation.stages(corpusRaw, bench, "doc_id", "text", cfg, persist = true),
+      "doc_id", "text"))
+    // delta sub-stages, timed independently of the composed construction
+    val canon = delta.select(col("doc_id"),
+      graft.functions.TextFns.scrubPii(
+        graft.functions.Expressions.normalizeText(col("text"), "NFC")).as("text"))
+    time("delta_gates")(canon
+      .filter(graft.functions.TextFns.tokenCount(col("text")) >= cfg.minTokens &&
+        graft.functions.TextFns.qualityScore(col("text")) >= cfg.minQuality).count())
+    val exactD = graft.operators.Dedup.dedupDelta(canon, state.fingerprints, "text", "doc_id")
+    time("delta_exact")(exactD.count())
+    time("delta_neardup_pairs")(graft.operators.Dedup.nearDupDelta(
+      state.docs, exactD, "doc_id", "text", cfg.ngramN, cfg.nearDupJaccard).count())
+    val st = time("construct_curate_delta_cc")(
+      graft.pipeline.Curation.curateDelta(state, delta, bench, "doc_id", "text",
+        cfg, persist = true))
+    time("count_quality")(st.quality.count())
+    time("count_exact")(st.exact.count())
+    time("count_deduped")(st.deduped.count())
+    time("count_clean")(st.clean.count())
+    time("count_split")(st.split.count())
+    time("count_packed")(st.packed.count())
+    spark.stop()
+  }
+
   /** `runMain graft.ScaleProbe curation [nDocs]`: headroom timings for the
     * curation-family operators on a deterministic synthetic corpus far
     * beyond fixture scale — the word-count-shaped reductions (vocab),
@@ -166,6 +205,8 @@ object ScaleProbe {
       return jaccardProbe(args.lift(1).map(_.toInt).getOrElse(4000))
     if (args.headOption.contains("qc01"))
       return qc01Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+    if (args.headOption.contains("qc02"))
+      return qc02Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("curation"))
       return curationProbe(args.lift(1).map(_.toInt).getOrElse(1000000))
     val n = args.headOption.map(_.toInt).getOrElse(100000)
