@@ -157,29 +157,18 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
-    * cells with a few Lloyd iterations of k-means (deterministic seeding:
-    * the vectors with the smallest hashed ids), then probe only the
-    * `nProbe` nearest cells per query and exact-rerank inside them.
-    *
-    * At 100 TB the corpus is partitioned by cell id (one shuffle at index
-    * build); each query touches nProbe/nlist of the data. Training runs on
-    * the corpus itself via posexplode→per-dim mean — all DataFrame ops, no
-    * driver-side vectors except the (nlist × dim) centroid table, which is
-    * broadcast.
+  /** The Lloyd training pass shared by [ivfTopK] and [ivfTopKInt8]: `c`
+    * must carry (corpus_id, cv). Returns the (nlist × dim) centroid
+    * table. Training re-scans its input 1 + lloydIters times (seed pick +
+    * one mean pass per iteration) — cached for the duration and released
+    * before returning. At 100 TB training runs on a SAMPLE:
+    * `trainFraction` takes a deterministic hash-slice of the corpus
+    * (k-means cells only need the density shape, not every vector;
+    * ScaleProbe shows the mean pass otherwise growing linearly with n).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              trainFraction: Double = 1.0,
-              oracleMode: Boolean = false): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    // Training re-scans its input 1 + lloydIters times (seed pick + one
-    // mean pass per iteration) — cache it for the duration of training and
-    // release before returning. At 100 TB training runs on a SAMPLE:
-    // `trainFraction` takes a deterministic hash-slice of the corpus
-    // (k-means cells only need the density shape, not every vector;
-    // ScaleProbe shows the mean pass otherwise growing linearly with n).
+  private def trainCentroids(c: DataFrame, nlist: Int, lloydIters: Int,
+                             trainFraction: Double,
+                             oracleMode: Boolean): Array[Array[Float]] = {
     val sampled =
       if (trainFraction >= 1.0) c
       else c.filter(remainderUnsignedCol(mix64Col(col("corpus_id").cast("long")), 1000000L) <
@@ -238,24 +227,45 @@ object Similarity {
         centroids = next
         iter += 1
       }
-      // Index + probe: the (nlist × dim) centroid table rides inside the
-      // scalar's closure (tiny, task-broadcast); corpus rows get exactly one
-      // home cell and each query probes nProbe distinct cells, so a
-      // (query, corpus) candidate materializes at most once — no dedup pass.
-      val indexed = c.withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
-        .withColumn("cn", norm(col("cv")))
-      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        norm(col(vecCol)).as("qn"))
-      val probes = q.withColumn("cell", explode(nearestCells(centroids, nProbe)(col("qv"))))
-      val scored = probes.join(indexed, Seq("cell"))
-        .filter(col("query_id") =!= col("corpus_id"))
-        .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("corpus_id").asc)
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+      centroids
     } finally train.unpersist()
+  }
+
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
+    * cells with a few Lloyd iterations of k-means (deterministic seeding:
+    * the vectors with the smallest hashed ids), then probe only the
+    * `nProbe` nearest cells per query and exact-rerank inside them.
+    *
+    * At 100 TB the corpus is partitioned by cell id (one shuffle at index
+    * build); each query touches nProbe/nlist of the data. Training runs on
+    * the corpus itself via posexplode→per-dim mean — all DataFrame ops, no
+    * driver-side vectors except the (nlist × dim) centroid table, which is
+    * broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainFraction: Double = 1.0,
+              oracleMode: Boolean = false): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = trainCentroids(c, nlist, lloydIters, trainFraction, oracleMode)
+    // Index + probe: the (nlist × dim) centroid table rides inside the
+    // scalar's closure (tiny, task-broadcast); corpus rows get exactly one
+    // home cell and each query probes nProbe distinct cells, so a
+    // (query, corpus) candidate materializes at most once — no dedup pass.
+    val indexed = c.withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val probes = q.withColumn("cell", explode(nearestCells(centroids, nProbe)(col("qv"))))
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
   }
 
   /** Cosine of a row vector against a driver-side centroid — primitive loop,
@@ -318,6 +328,48 @@ object Similarity {
   private def intNorm2(a: Column): Column =
     aggregate(transform(a, x => (x * x).cast("long")), lit(0L), (acc, v) => acc + v)
 
+  /** Quantized scoring frame: (prefix_qid, prefix q, prefix qn) — the int8
+    * store plus precomputed integer norms, shared by the quantized ANN
+    * paths (LSH and IVF).
+    */
+  private def quantFrames(df: DataFrame, prefix: String,
+                          idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol).as(s"${prefix}_qid"), col("quantized").as(s"${prefix}q"),
+        sqrt(intNorm2(col("quantized")).cast("double")).as(s"${prefix}qn"))
+
+  /** Int8 shortlist + float rerank over a (query_id, corpus_id) candidate
+    * frame — the scoring tail both quantized ANN paths share: quantized
+    * cosine (exact BIGINT dot over a double norm product — deterministic
+    * with corpus-id tiebreak), top-`rerank` cut, exact float32 cosine on
+    * the shortlist only.
+    */
+  private def int8RerankTail(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                             k: Int, rerank: Int,
+                             idCol: String, vecCol: String): DataFrame = {
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("corpus_id").asc)
+    val shortlist = cands
+      .join(quantFrames(queries, "q", idCol, vecCol), col("query_id") === col("q_qid"))
+      .join(quantFrames(corpus, "c", idCol, vecCol), col("corpus_id") === col("c_qid"))
+      .withColumn("qsim",
+        intDot(col("qq"), col("cq")).cast("double") / (col("qqn") * col("cqn")))
+      .withColumn("qrnk", row_number().over(shortW))
+      .filter(col("qrnk") <= rerank)
+      .select(col("query_id"), col("corpus_id"))
+    val cF = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val qF = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    shortlist.join(qF, "query_id").join(cF, "corpus_id")
+      .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+  }
+
   /** LSH ANN over the INT8-QUANTIZED store — the path that makes the 4×
     * memory cut of [quantizeInt8] real: candidate generation is the same
     * sign-LSH bucket join as [lshTopK] (buckets come from the float
@@ -351,31 +403,32 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("corpus_id"))
       .distinct()
-    def quant(df: DataFrame, prefix: String): DataFrame =
-      quantizeInt8(df, idCol, vecCol)
-        .select(col(idCol).as(s"${prefix}_qid"), col("quantized").as(s"${prefix}q"),
-          sqrt(intNorm2(col("quantized")).cast("double")).as(s"${prefix}qn"))
-    val shortW = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("corpus_id").asc)
-    val shortlist = cands
-      .join(quant(queries, "q"), col("query_id") === col("q_qid"))
-      .join(quant(corpus, "c"), col("corpus_id") === col("c_qid"))
-      .withColumn("qsim",
-        intDot(col("qq"), col("cq")).cast("double") / (col("qqn") * col("cqn")))
-      .withColumn("qrnk", row_number().over(shortW))
-      .filter(col("qrnk") <= rerank)
+    int8RerankTail(cands, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF ANN over the int8 store — [ivfTopK]'s candidate generation (same
+    * trained centroids, same cell probing) with [lshTopKInt8]'s scoring
+    * contract: candidates scored on quantized vectors, exact float rerank
+    * on the top-`rerank` shortlist only. Together the two quantized paths
+    * mean BOTH ANN index families can serve queries from a store a
+    * quarter the size, touching float32 only for rerank·queries rows.
+    */
+  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nlist: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+                  rerank: Int = 25,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  trainFraction: Double = 1.0,
+                  oracleMode: Boolean = false): DataFrame = {
+    require(rerank >= k, s"rerank shortlist ($rerank) must be at least k ($k)")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = trainCentroids(c, nlist, lloydIters, trainFraction, oracleMode)
+    val indexed = c.withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(nearestCells(centroids, nProbe)(col("qv"))))
+    val cands = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"))
-    val cF = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
-    val qF = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id").asc)
-    shortlist.join(qF, "query_id").join(cF, "corpus_id")
-      .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+    int8RerankTail(cands, corpus, queries, k, rerank, idCol, vecCol)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

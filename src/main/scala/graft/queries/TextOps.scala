@@ -565,6 +565,25 @@ object TextOps {
             probes = 4, rerank = 25))))
     }),
 
+    // The quantized IVF path — the SECOND index family served from the
+    // int8 store (qt22r covers LSH): identical trained centroids and
+    // probe set as qt10's operating point, candidates scored quantized,
+    // exact float rerank on the shortlist. rerank=0 is the all-float
+    // ivfTopK baseline. With both families recorded, the 4× memory cut
+    // is demonstrated wherever the index choice lands.
+    "qt25_ivf_int8_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
+        Seq("query_id", "corpus_id"), ("nlist", "n_probe", "rerank"),
+        Seq(((16, 4, 0), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
+            lloydIters = 1, oracleMode = true)),
+          ((16, 4, 10), Similarity.ivfTopKInt8(e, q, k = 5, nlist = 16, nProbe = 4,
+            lloydIters = 1, rerank = 10, oracleMode = true)),
+          ((16, 4, 25), Similarity.ivfTopKInt8(e, q, k = 5, nlist = 16, nProbe = 4,
+            lloydIters = 1, rerank = 25, oracleMode = true))))
+    }),
+
     // Embedding-cosine near-dup, exact all-pairs (quadratic baseline —
     // the oracle target; threshold 0.4 sits just under the fixture's max
     // pairwise cosine so the pair set is non-trivial at both SFs).
@@ -1215,6 +1234,62 @@ object TextOps {
          |SELECT 6 AS planes, 4 AS tables, 0 AS rerank, rec AS recall_vs_brute FROM rv1
          |UNION ALL SELECT 6, 4, 10, rec FROM rv2
          |UNION ALL SELECT 6, 4, 25, rec FROM rv3""".stripMargin
+    },
+
+    // Quantized-IVF recall: one shared Lloyd-trained candidate set
+    // (ivfCtes emits cndv1 alongside tkv1 — unreferenced CTEs cost
+    // nothing), one shared quantized scoring pass, two shortlist cuts.
+    "qt25_ivf_int8_recall" -> {
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | qzn AS (SELECT vec_id, qv,
+         |    sqrt(list_sum(list_transform(qv, x -> (x * x)::BIGINT))::DOUBLE) AS qn
+         |   FROM (SELECT vec_id,
+         |     CASE WHEN mab = 0 THEN list_transform(embedding, x -> 0)
+         |          ELSE list_transform(embedding,
+         |                 x -> floor(x::DOUBLE * 127.0 / mab + 0.5)::INTEGER) END AS qv
+         |    FROM (SELECT vec_id, embedding,
+         |      CASE WHEN len(embedding) = 0 THEN 0.0
+         |           ELSE list_max(list_transform(embedding, x -> abs(x::DOUBLE))) END AS mab
+         |     FROM embeddings WHERE embedding IS NOT NULL))),
+         | exact AS (SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |       round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |         i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |       (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |        sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+         |       c.vec_id ASC) AS rnk
+         |   FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         |${ivfCtes("v1", nlist = 16, nProbe = 4, k = 5)},
+         | qscv2 AS (SELECT query_id, corpus_id,
+         |     list_sum(list_transform(range(1, len(a.qv) + 1),
+         |       i -> (a.qv[i] * b.qv[i])::BIGINT))::DOUBLE / (a.qn * b.qn) AS qsim
+         |   FROM cndv1 JOIN qzn a ON a.vec_id = query_id
+         |     JOIN qzn b ON b.vec_id = corpus_id),
+         | slv2 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
+         |     FROM qscv2) WHERE qrnk <= 10),
+         | ${cosineTopkCtes("v2", "slv2", 5)},
+         | slv3 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
+         |     FROM qscv2) WHERE qrnk <= 25),
+         | ${cosineTopkCtes("v3", "slv3", 5)},
+         | rv1 AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+         |   FROM exact e LEFT JOIN tkv1 t
+         |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id),
+         | rv2 AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+         |   FROM exact e LEFT JOIN topkv2 t
+         |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id),
+         | rv3 AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+         |   FROM exact e LEFT JOIN topkv3 t
+         |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)
+         |SELECT 16 AS nlist, 4 AS n_probe, 0 AS rerank, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 16, 4, 10, rec FROM rv2
+         |UNION ALL SELECT 16, 4, 25, rec FROM rv3""".stripMargin
     },
 
     // Pair-set recall of the LSH-bucketed near-dup variants vs the exact

@@ -199,6 +199,12 @@ class PlanSpec extends SparkSpec {
       s"quantized ANN degenerated to a product:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
       s"quantized ANN left Catalyst:\n$p")
+    // the IVF twin: same scoring tail over the cell-probe candidates (the
+    // nearestCells scalar is the IVF family's declared, measured UDF)
+    val pi = plan(graft.operators.Similarity.ivfTopKInt8(e, e.filter($"vec_id" < 20),
+      k = 5, nlist = 16, nProbe = 4, lloydIters = 1, rerank = 25))
+    assert(!pi.contains("CartesianProduct") && !pi.contains("BroadcastNestedLoopJoin"),
+      s"quantized IVF degenerated to a product:\n$pi")
   }
 
   test("composed curation (qc01/qc02): no product anywhere in either 8-stage plan") {

@@ -131,6 +131,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hits(25) >= hits(5), "recall not monotone in the rerank budget")
   }
 
+  test("ivfTopKInt8: exhaustive rerank ≡ float ivfTopK (same centroids, same probes)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val float = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4, lloydIters = 1,
+        oracleMode = true)
+      .select("query_id", "corpus_id", "sim", "rnk").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    val int8Full = Similarity.ivfTopKInt8(e, q, k = 5, nlist = 16, nProbe = 4,
+        lloydIters = 1, rerank = 1000000, oracleMode = true)
+      .select("query_id", "corpus_id", "sim", "rnk").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(int8Full === float, "exhaustive-rerank int8 IVF diverged from the float path")
+  }
+
   test("quantizeInt8: |q| ≤ 127, known values, zero vector, dequant error ≤ scale/2") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),
