@@ -629,6 +629,56 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * k-means cluster blocking. Embeddings are clustered into `nlist` cells
+    * with the same deterministic Lloyd machinery as [[Similarity.ivfTopK]]
+    * (hash-chosen seeds, optional sampled training, oracle-mode
+    * order-deterministic means); cosine is compared only WITHIN a cell —
+    * the candidate join is equi-key on cell id, never all-pairs — and a
+    * document is dropped when a smaller-id semantic duplicate
+    * (round(cosine, 6) ≥ tau) exists in its cell. Returns one row per
+    * non-null input vector: (idCol, cell, kept).
+    *
+    * At 100 TB: one shuffle on cell id; pair volume is Σ|cell|², bounded by
+    * nlist sizing (the paper runs web-scale corpora at ~10k docs/cluster) —
+    * the same Σdf² economics as the posting-list dedup family. Recall vs
+    * exact all-pairs is < 1 by construction (near-dups straddling a cell
+    * boundary are never compared) — that loss is the price of
+    * linearization; [[embeddingNearDupPairsLsh]] is the recall-tunable
+    * multi-table alternative when boundary misses matter.
+    *
+    * Keep-rule determinism: "drop iff a smaller-id duplicate shares the
+    * cell" is order-free (no greedy scan), so the survivor set is a pure
+    * function of (centroids, tau) and DuckDB re-derives it bit-for-bit in
+    * oracle mode.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, tau: Double, lloydIters: Int = 2,
+               trainFraction: Double = 1.0,
+               oracleMode: Boolean = false): DataFrame = {
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val centroids = Similarity.trainCentroids(
+      v.select(col("__id").as("corpus_id"), col("__v").as("cv")),
+      nlist, lloydIters, trainFraction, oracleMode)
+    // home cell is a narrow per-row scalar (broadcast centroid closure);
+    // norms once per ROW before the pair join, dot once per within-cell pair
+    val assigned = v
+      .withColumn("cell", Similarity.nearestCells(centroids, 1)(col("__v")).getItem(0))
+      .withColumn("__n", Similarity.norm(col("__v")))
+    val dropped = assigned
+      .select(col("cell"), col("__id").as("id_a"), col("__v").as("v_a"), col("__n").as("n_a"))
+      .join(assigned.select(col("cell"), col("__id").as("id_b"),
+        col("__v").as("v_b"), col("__n").as("n_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dotProduct(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")), 6) >= tau)
+      .select(col("id_b").as("__id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(1)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cell"), col("__dup").isNull.as("kept"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-blocked
     * on 4 16-bit chunks (any pair within distance ≤3 shares ≥1 exact chunk —
     * pigeonhole), so the join is equi-key, not quadratic.

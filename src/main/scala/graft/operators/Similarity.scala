@@ -166,9 +166,9 @@ object Similarity {
     * (k-means cells only need the density shape, not every vector;
     * ScaleProbe shows the mean pass otherwise growing linearly with n).
     */
-  private def trainCentroids(c: DataFrame, nlist: Int, lloydIters: Int,
-                             trainFraction: Double,
-                             oracleMode: Boolean): Array[Array[Float]] = {
+  private[graft] def trainCentroids(c: DataFrame, nlist: Int, lloydIters: Int,
+                                    trainFraction: Double,
+                                    oracleMode: Boolean): Array[Array[Float]] = {
     val sampled =
       if (trainFraction >= 1.0) c
       else c.filter(remainderUnsignedCol(mix64Col(col("corpus_id").cast("long")), 1000000L) <
@@ -288,7 +288,7 @@ object Similarity {
     * where a Column formulation would compile nlist array-`aggregate`
     * expressions per row (the measured qt09/qt10 bench tail of round 1).
     */
-  private def nearestCells(centroids: Array[Array[Float]], take: Int) =
+  private[graft] def nearestCells(centroids: Array[Array[Float]], take: Int) =
     udf { (v: Seq[Float]) =>
       // null embedding → null cells → the row drops out of index and probes
       // (explode of null emits nothing; a null home cell joins nothing)

@@ -250,8 +250,13 @@ object TextOps {
     * mix64 of vec_id). Emits `tk$tag(query_id, corpus_id, sim, rnk)` with
     * rnk <= k applied.
     */
-  private def ivfCtes(tag: String, nlist: Int, nProbe: Int, k: Int,
-                      trainScaled: Long = 1000000L): String = {
+  /** Training + cell-assignment prefix of the IVF oracle (through
+    * `asg$tag`: per-vector cell ranks against the Lloyd-1 centroids) —
+    * shared by the top-k probing tail below and the SemDeDup oracle, which
+    * consumes only the crnk=1 home cells.
+    */
+  private def ivfAssignCtes(tag: String, nlist: Int,
+                            trainScaled: Long = 1000000L): String = {
     def dotSql(a: String, b: String): String =
       s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
     def nrmSql(a: String): String =
@@ -281,7 +286,16 @@ object TextOps {
        |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |       ${dotSql("e.embedding", "kc.centroid")} /
        |         (${nrmSql("e.embedding")} * ${nrmSql("kc.centroid")}) DESC, kc.cell ASC) AS crnk
-       |   FROM embeddings e CROSS JOIN cen$tag kc WHERE e.embedding IS NOT NULL),
+       |   FROM embeddings e CROSS JOIN cen$tag kc WHERE e.embedding IS NOT NULL)""".stripMargin
+  }
+
+  private def ivfCtes(tag: String, nlist: Int, nProbe: Int, k: Int,
+                      trainScaled: Long = 1000000L): String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    def nrmSql(a: String): String =
+      s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
+    s"""${ivfAssignCtes(tag, nlist, trainScaled)},
        | cnd$tag AS (SELECT p.query_id, h.corpus_id
        |   FROM (SELECT vec_id AS query_id, cell FROM asg$tag
        |          WHERE vec_id < 20 AND crnk <= $nProbe) p
@@ -613,6 +627,19 @@ object TextOps {
             planes = 6, tables = 4, probes = 6))))
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means cluster blocking + within-cell
+    // cosine, drop the larger id of every within-cell duplicate pair. The
+    // full survivor decision — Lloyd-1 centroids, home cells, pair
+    // thresholding, keep rule — is hash-checked (the oracle re-derives the
+    // centroids via the order-deterministic ivf machinery). tau matches
+    // qt12's 0.4 so the fixture yields a non-trivial dup set; nlist=16
+    // matches the IVF entries so the cell structure is the already-audited
+    // one.
+    "qt26_semdedup" -> ((s, d) =>
+      Dedup.semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 16, tau = 0.4, lloydIters = 1, oracleMode = true)
+        .withColumn("cell", col("cell").cast("long"))),
+
     // Unicode normalization differential: the fixture text is ASCII, so the
     // query MANUFACTURES the two canonical-equivalence hazards from it —
     // composed accents (translate a→á …) and decomposed ones (e + U+0301) —
@@ -912,6 +939,26 @@ object TextOps {
         |  FROM a JOIN b ON id_a < id_b)
         |SELECT id_a, id_b, round(dot/(na*nb), 6) AS cos_sim FROM p
         |WHERE round(dot/(na*nb), 6) >= 0.4""".stripMargin,
+
+    // SemDeDup: re-derive the Lloyd-1 centroids + home cells with the IVF
+    // assignment CTEs (order-deterministic means — bit-equal to Spark's
+    // oracleMode), then the within-cell pair set and the min-id keep rule.
+    "qt26_semdedup" ->
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | ${ivfAssignCtes("a", nlist = 16)},
+         | home AS (SELECT vec_id, cell FROM asga WHERE crnk = 1),
+         | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |   list_sum(list_transform(range(1, len(ea.embedding) + 1),
+         |     i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) AS dot,
+         |   sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         |   sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nb
+         |  FROM home a JOIN home b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         | dropped AS (SELECT DISTINCT id_b FROM p WHERE round(dot/(na*nb), 6) >= 0.4)
+         |SELECT h.vec_id, h.cell, (d.id_b IS NULL) AS kept
+         |FROM home h LEFT JOIN dropped d ON h.vec_id = d.id_b""".stripMargin,
     // Two independent Unicode stacks (java.text.Normalizer vs utf8proc)
     // must produce byte-identical NFC/strip-accents output on the
     // manufactured composed/decomposed text.

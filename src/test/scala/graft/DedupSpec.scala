@@ -146,6 +146,32 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.3, s"pair recall $recall (|exact|=${exact.size})")
   }
 
+  test("semDedup: drop rule ≡ within-cell exact pairs; tau boundary; modes agree") {
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val out = Dedup.semDedup(e, "vec_id", "embedding", nlist = 16, tau = 0.4,
+      lloydIters = 1, oracleMode = true)
+    val rows = out.as[(Long, Int, Boolean)].collect()
+    assert(rows.length.toLong === e.filter($"embedding".isNotNull).count(),
+      "one row per non-null vector")
+    // recompute the drop decision independently: the exact all-pairs dup set
+    // restricted to the operator's own cells must lose exactly its larger ids
+    val cells = rows.map(r => r._1 -> r._2).toMap
+    val exactPairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val withinCell = exactPairs.filter { case (a, b) => cells.get(a) == cells.get(b) }
+    assert(withinCell.nonEmpty, "fixture should yield within-cell dups at tau=0.4")
+    assert(rows.filter(!_._3).map(_._1).toSet === withinCell.map(_._2).toSet)
+    // a tau above every pairwise cosine keeps everything
+    val allKept = Dedup.semDedup(e, "vec_id", "embedding", nlist = 16, tau = 0.999,
+      lloydIters = 1, oracleMode = true)
+    assert(allKept.filter(!$"kept").count() === 0L)
+    // production (combinable avg) vs oracle-mode (ordered fold) centroids:
+    // same cells and survivors on the fixture — the SimilaritySpec discipline
+    val prod = Dedup.semDedup(e, "vec_id", "embedding", nlist = 16, tau = 0.4,
+      lloydIters = 1).as[(Long, Int, Boolean)].collect().toSet
+    assert(prod === rows.toSet)
+  }
+
   test("connectedComponents: chains merge transitively, separate clusters stay apart") {
     // 1-2-3 chained (1-3 NOT directly paired), 7-8 separate
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
