@@ -168,7 +168,8 @@ object Similarity {
     */
   private[graft] def trainCentroids(c: DataFrame, nlist: Int, lloydIters: Int,
                                     trainFraction: Double,
-                                    oracleMode: Boolean): Array[Array[Float]] = {
+                                    oracleMode: Boolean,
+                                    metric: String = "cosine"): Array[Array[Float]] = {
     val sampled =
       if (trainFraction >= 1.0) c
       else c.filter(remainderUnsignedCol(mix64Col(col("corpus_id").cast("long")), 1000000L) <
@@ -214,7 +215,7 @@ object Similarity {
         // assignment is a narrow per-row scalar (no crossJoin + window
         // shuffle per pass); the only shuffle is the per-dim mean aggregate
         val means = train
-          .withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
+          .withColumn("cell", nearestCells(centroids, 1, metric)(col("cv")).getItem(0))
           .select(col("corpus_id"), col("cell"), posexplode(col("cv")))
           .groupBy(col("cell"), col("pos"))
           .agg(meanAgg)
@@ -282,21 +283,42 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Scalar returning the `take` nearest cell ids (cosine desc, cell asc
-    * tiebreak) for a vector against the captured centroid array. A scalar
-    * UDF on purpose: the per-row work is an nlist×dim primitive float loop,
-    * where a Column formulation would compile nlist array-`aggregate`
-    * expressions per row (the measured qt09/qt10 bench tail of round 1).
+  /** Squared L2 distance of a row vector to a driver-side centroid —
+    * primitive loop, differences squared and summed left-to-right (the
+    * order the SQL oracle's `list_sum(list_transform(...))` replays).
     */
-  private[graft] def nearestCells(centroids: Array[Array[Float]], take: Int) =
+  private def l2ToCentroid(a: Seq[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val diff = a(i).toDouble - b(i).toDouble
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Scalar returning the `take` nearest cell ids (cosine desc — or
+    * squared-L2 asc under `metric = "l2"`, the PQ reconstruction metric —
+    * cell asc tiebreak) for a vector against the captured centroid array.
+    * A scalar UDF on purpose: the per-row work is an nlist×dim primitive
+    * float loop, where a Column formulation would compile nlist
+    * array-`aggregate` expressions per row (the measured qt09/qt10 bench
+    * tail of round 1).
+    */
+  private[graft] def nearestCells(centroids: Array[Array[Float]], take: Int,
+                                  metric: String = "cosine") =
     udf { (v: Seq[Float]) =>
       // null embedding → null cells → the row drops out of index and probes
       // (explode of null emits nothing; a null home cell joins nothing)
       if (v == null) null
       else {
-        val sims = Array.tabulate(centroids.length)(i => cosineToCentroid(v, centroids(i)))
+        val key: Int => Double =
+          if (metric == "l2") i => l2ToCentroid(v, centroids(i))
+          else i => -cosineToCentroid(v, centroids(i))
+        val ks = Array.tabulate(centroids.length)(key)
         Array.tabulate(centroids.length)(identity)
-          .sortBy(i => (-sims(i), i))
+          .sortBy(i => (ks(i), i))
           .take(take)
       }
     }
@@ -456,5 +478,158 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+  }
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid — "Product
+    * quantization for nearest neighbor search", TPAMI 2011; the IndexPQ
+    * scheme of Johnson et al. 2017): the vector is split into `m`
+    * contiguous subvectors of dim/m; each subspace trains its own
+    * `ksub`-centroid codebook with the shared Lloyd machinery (hash-chosen
+    * seeds — the SAME seed ids in every subspace — optional sampled
+    * training, oracle-mode ordered means) under squared-L2, the
+    * reconstruction metric PQ minimizes (unlike the cosine cells of the
+    * IVF coarse quantizer). Returns m × ksub × (dim/m) floats — tiny, and
+    * broadcast inside closures by the consumers below.
+    */
+  private[graft] def trainPq(c: DataFrame, m: Int, ksub: Int, lloydIters: Int,
+                             trainFraction: Double,
+                             oracleMode: Boolean): Array[Array[Array[Float]]] = {
+    val head = c.filter(col("cv").isNotNull).select(col("cv")).head()
+    val dim = head.getSeq[Float](0).length
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      trainCentroids(
+        c.select(col("corpus_id"), slice(col("cv"), j * dsub + 1, dsub).as("cv")),
+        ksub, lloydIters, trainFraction, oracleMode, metric = "l2")
+    }
+  }
+
+  /** PQ-encode a vector column: per subspace, the index of the L2-nearest
+    * codebook centroid (strict-less keeps the smallest cell on ties — the
+    * `ORDER BY dist ASC, cell ASC` the oracle replays). m codes of
+    * ⌈log2 ksub⌉ bits replace dim floats — at m=8, ksub=16 a 64-dim
+    * float32 vector (256 B) becomes 8 codes + one stored float norm, a
+    * ~32× cut in what the scoring scan must read. A scalar UDF on purpose
+    * (the nearestCells justification): m×ksub×dsub primitive float loops
+    * per row. Output: (idCol, codes array, vnorm — the exact float norm,
+    * kept so quantized cosines can be normalized without touching floats).
+    */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val enc = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val m = codebooks.length
+        val dsub = codebooks(0)(0).length
+        Array.tabulate(m) { j =>
+          var best = 0; var bestD = Double.MaxValue
+          var cIdx = 0
+          while (cIdx < codebooks(j).length) {
+            val cb = codebooks(j)(cIdx)
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val diff = v(j * dsub + i).toDouble - cb(i).toDouble
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = cIdx }
+            cIdx += 1
+          }
+          best
+        }
+      }
+    }
+    df.select(col(idCol), enc(col(vecCol)).as("codes"),
+      norm(col(vecCol)).as("vnorm"))
+  }
+
+  /** Per-query ADC lookup table (asymmetric distance computation): tab[j ·
+    * ksub + c] = ⟨query subvector j, codebook[j][c]⟩, doubles accumulated
+    * left-to-right. m·ksub entries per QUERY — after this one scalar per
+    * query, scoring a corpus code costs m array lookups and m-1 adds, no
+    * float arithmetic over the corpus at all.
+    */
+  private def adcTable(codebooks: Array[Array[Array[Float]]]) =
+    udf { (q: Seq[Float]) =>
+      if (q == null) null
+      else {
+        val m = codebooks.length
+        val ksub = codebooks(0).length
+        val dsub = codebooks(0)(0).length
+        val tab = new Array[Double](m * ksub)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < ksub) {
+            val cb = codebooks(j)(c)
+            var d = 0.0; var i = 0
+            while (i < dsub) { d += q(j * dsub + i).toDouble * cb(i).toDouble; i += 1 }
+            tab(j * ksub + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        tab
+      }
+    }
+
+  /** PQ top-k by asymmetric distance: the corpus is scanned as CODES —
+    * dot(q, x) ≈ Σⱼ tab[j·ksub + codeⱼ], m table lookups per pair via a
+    * codegen'd `element_at` chain (no UDF in the per-pair hot path) —
+    * normalized by the stored exact norms, then the top-`rerank` shortlist
+    * per query is re-scored exactly on float32 (`rerank <= 0` returns the
+    * pure-ADC ranking). The [bruteForceTopK] contract applies: queries are
+    * the broadcast side, the corpus streams exactly once — but streaming
+    * CODES, not floats: at m=8 the scan reads ~1/30th the bytes, which is
+    * the difference between a 100 TB and a 3 TB scoring store. Shortlist
+    * ranking uses UNROUNDED doubles (fixed accumulation order on both
+    * engines) with corpus-id tiebreak, so the result is bit-reproducible
+    * and SQL-oracle-checkable end to end; recall vs the float exact scan is
+    * recorded per round (qt27r).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 16, lloydIters: Int = 1, rerank: Int = 25,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             trainFraction: Double = 1.0,
+             oracleMode: Boolean = false): DataFrame = {
+    require(rerank <= 0 || rerank >= k,
+      s"rerank shortlist ($rerank) must be at least k ($k), or <= 0 for pure ADC")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val cb = trainPq(c, m, ksub, lloydIters, trainFraction, oracleMode)
+    val enc = pqEncode(corpus, cb, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("codes"), col("vnorm").as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("tab", adcTable(cb)(col("qv")))
+      .select("query_id", "qn", "tab")
+    val adc = (0 until m).map(j =>
+        element_at(col("tab"), col("codes").getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("qsim", adc / (col("qn") * col("cn")))
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("corpus_id").asc)
+    if (rerank <= 0) {
+      scored.withColumn("rnk", row_number().over(shortW))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("qsim"), 6).as("sim"), col("rnk"))
+    } else {
+      val shortlist = scored.withColumn("qrnk", row_number().over(shortW))
+        .filter(col("qrnk") <= rerank)
+        .select(col("query_id"), col("corpus_id"))
+      val cF = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      val qF = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("corpus_id").asc)
+      shortlist.join(qF, "query_id").join(cF, "corpus_id")
+        .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
+    }
   }
 }

@@ -311,6 +311,81 @@ object TextOps {
        |   FROM sct$tag QUALIFY rnk <= $k)""".stripMargin
   }
 
+  /** CTE chain re-deriving PQ codebooks + codes for one (m, ksub)
+    * configuration of oracle-mode `Similarity.trainPq`/`pqEncode` in
+    * DuckDB, namespaced by `tag`: per subspace j, seeds = the SAME
+    * hash-chosen ksub ids in every subspace (sliced), seed assignment
+    * under raw-double squared L2 (diff·diff summed left-to-right, cell-asc
+    * tiebreak), Lloyd-1 ordered-fold means cast to FLOAT (empty cells keep
+    * their seed slice), full-corpus assignment → `code$tag$j(vec_id,
+    * code)`; plus the per-query ADC tables `tab$tag$j(query_id, cell, tv)`
+    * for vec_id < 20. Requires the shared `hh` CTE. Multi-referenced CTEs
+    * are MATERIALIZED (DuckDB re-inlines CTE chains per reference —
+    * exponential in stage depth otherwise).
+    */
+  private def pqCtes(tag: String, m: Int, ksub: Int): String = {
+    def l2Sql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))"
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    val seeds =
+      s"""sd$tag AS (SELECT vec_id,
+         |     row_number() OVER (ORDER BY ${HashSql.toSigned("m")} ASC, vec_id ASC) - 1 AS cell
+         |   FROM hh QUALIFY cell < $ksub)""".stripMargin
+    val blocks = (0 until m).map { j =>
+      val t = s"$tag$j"
+      s"""sub$t AS MATERIALIZED (SELECT vec_id,
+         |     embedding[(1 + $j * (len(embedding) // $m)):(($j + 1) * (len(embedding) // $m))] AS sv
+         |   FROM hh),
+         | ss$t AS (SELECT d.cell, u.sv FROM sd$tag d JOIN sub$t u USING (vec_id)),
+         | ta$t AS (SELECT t.vec_id, s.cell,
+         |     row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |       ${l2Sql("t.sv", "s.sv")} ASC, s.cell ASC) AS crnk
+         |   FROM sub$t t CROSS JOIN ss$t s),
+         | mx$t AS (SELECT a.cell, u.i AS pos, t.vec_id, t.sv[u.i]::DOUBLE AS v
+         |   FROM (SELECT vec_id, cell FROM ta$t WHERE crnk = 1) a
+         |     JOIN sub$t t USING (vec_id),
+         |     unnest(range(1, len(t.sv) + 1)) AS u(i)),
+         | mn$t AS (SELECT cell, pos, list_sum(list(v ORDER BY vec_id)) / count(*) AS mv
+         |   FROM mx$t GROUP BY cell, pos),
+         | cbk$t AS (SELECT cell, list(mv::FLOAT ORDER BY pos) AS cent FROM mn$t GROUP BY cell),
+         | cc$t AS MATERIALIZED (SELECT s.cell, coalesce(c.cent, s.sv) AS cent
+         |   FROM ss$t s LEFT JOIN cbk$t c USING (cell)),
+         | asg$t AS (SELECT e.vec_id, kc.cell,
+         |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |       ${l2Sql("e.sv", "kc.cent")} ASC, kc.cell ASC) AS crnk
+         |   FROM sub$t e CROSS JOIN cc$t kc),
+         | code$t AS MATERIALIZED (SELECT vec_id, cell AS code FROM asg$t WHERE crnk = 1),
+         | tab$t AS MATERIALIZED (SELECT q.vec_id AS query_id, kc.cell,
+         |     ${dotSql("q.sv", "kc.cent")} AS tv
+         |   FROM (SELECT vec_id, sv FROM sub$t WHERE vec_id < 20) q CROSS JOIN cc$t kc)""".stripMargin
+    }
+    (seeds +: blocks).mkString(",\n ")
+  }
+
+  /** ADC scoring CTE `qsc$vtag(query_id, corpus_id, qsim)` over the
+    * `code`/`tab` CTEs of [pqCtes] tag `cbTag`: per pair, m table lookups
+    * summed LEFT-TO-RIGHT (the same fold Spark's `element_at` chain
+    * evaluates), normalized by the shared `nrm` CTE's exact norms —
+    * unrounded doubles, so the shortlist ranking is bit-equal across
+    * engines.
+    */
+  private def pqScoreCtes(vtag: String, cbTag: String, m: Int): String = {
+    val joins = (0 until m).map(j =>
+      s"""JOIN code$cbTag$j c$j ON c$j.vec_id = p.corpus_id
+         |   JOIN tab$cbTag$j t$j ON t$j.query_id = p.query_id AND t$j.cell = c$j.code""".stripMargin)
+      .mkString("\n   ")
+    val sum = (0 until m).map(j => s"t$j.tv").mkString(" + ")
+    s"""qsc$vtag AS (SELECT p.query_id, p.corpus_id,
+       |     ($sum) / (qn.nv * cn.nv) AS qsim
+       |   FROM (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+       |      FROM hh q JOIN hh c ON q.vec_id < 20 AND q.vec_id != c.vec_id) p
+       |   $joins
+       |   JOIN nrm qn ON qn.vec_id = p.query_id
+       |   JOIN nrm cn ON cn.vec_id = p.corpus_id)""".stripMargin
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -595,6 +670,41 @@ object TextOps {
           ((16, 4, 10), Similarity.ivfTopKInt8(e, q, k = 5, nlist = 16, nProbe = 4,
             lloydIters = 1, rerank = 10, oracleMode = true)),
           ((16, 4, 25), Similarity.ivfTopKInt8(e, q, k = 5, nlist = 16, nProbe = 4,
+            lloydIters = 1, rerank = 25, oracleMode = true))))
+    }),
+
+    // Product quantization (Jégou et al. 2011): the full trained artifact —
+    // per-subspace L2 codebooks + every vector's m codes — hash-checked
+    // against a DuckDB re-derivation. This oracles PQ TRAINING + ENCODING
+    // end to end (seeds, Lloyd-1 subspace means, L2 assignment with
+    // smallest-cell tiebreak); qt27r below oracles the ADC scoring built
+    // on these codes.
+    "qt27_pq_encode" -> ((s, d) => {
+      val e = T(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val cb = Similarity.trainPq(
+        e.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
+        m = 4, ksub = 16, lloydIters = 1, trainFraction = 1.0, oracleMode = true)
+      Similarity.pqEncode(e, cb)
+        .select(col("vec_id"), col("codes").cast("array<long>").as("codes"))
+    }),
+
+    // PQ ADC recall vs the brute-force float scan, hash-verified per
+    // operating point: pure-ADC ranking at m=4 (the corpus is scored as 4
+    // codes + a stored norm — ~16× less scan I/O than float32), the same
+    // codes with an exact float rerank of the top-25 shortlist, and the
+    // finer m=8 codebook with rerank. Each point trains inside its own
+    // pqTopK call (the m=4 training runs twice; it is a ksub×dsub collect,
+    // negligible next to the scan).
+    "qt27r_pq_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
+        Seq("query_id", "corpus_id"), ("m", "ksub", "rerank"),
+        Seq(((4, 16, 0), Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16,
+            lloydIters = 1, rerank = 0, oracleMode = true)),
+          ((4, 16, 25), Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16,
+            lloydIters = 1, rerank = 25, oracleMode = true)),
+          ((8, 16, 25), Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 16,
             lloydIters = 1, rerank = 25, oracleMode = true))))
     }),
 
@@ -1337,6 +1447,67 @@ object TextOps {
          |SELECT 16 AS nlist, 4 AS n_probe, 0 AS rerank, rec AS recall_vs_brute FROM rv1
          |UNION ALL SELECT 16, 4, 10, rec FROM rv2
          |UNION ALL SELECT 16, 4, 25, rec FROM rv3""".stripMargin
+    },
+
+    // PQ training + encoding re-derived in SQL: same seeds, same Lloyd-1
+    // subspace means (ordered fold, FLOAT cast), same L2 assignment and
+    // tiebreak — the code lists must hash-match bit-for-bit.
+    "qt27_pq_encode" -> {
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | ${pqCtes("p", m = 4, ksub = 16)}
+         |SELECT h.vec_id, [c0.code, c1.code, c2.code, c3.code] AS codes
+         |FROM hh h JOIN codep0 c0 USING (vec_id) JOIN codep1 c1 USING (vec_id)
+         |  JOIN codep2 c2 USING (vec_id) JOIN codep3 c3 USING (vec_id)""".stripMargin
+    },
+
+    // PQ ADC recall operating points vs the brute-force baseline — codes,
+    // lookup tables, left-to-right ADC sums, shortlists, and exact reranks
+    // all re-derived in SQL so the recall VALUES are hash-verified.
+    "qt27r_pq_recall" -> {
+      def recallCte(rtag: String, src: String): String =
+        s"""r$rtag AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exact e LEFT JOIN $src t
+           |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)""".stripMargin
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | nrm AS MATERIALIZED (SELECT vec_id,
+         |     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+         |   FROM hh),
+         | exact AS (SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |       round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |         i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |       (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |        sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+         |       c.vec_id ASC) AS rnk
+         |   FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         | ${pqCtes("a", m = 4, ksub = 16)},
+         | ${pqScoreCtes("4", "a", m = 4)},
+         | tkv1 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS rnk
+         |     FROM qsc4) WHERE rnk <= 5),
+         | slv2 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
+         |     FROM qsc4) WHERE qrnk <= 25),
+         | ${cosineTopkCtes("v2", "slv2", 5)},
+         | ${pqCtes("b", m = 8, ksub = 16)},
+         | ${pqScoreCtes("8", "b", m = 8)},
+         | slv3 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
+         |     FROM qsc8) WHERE qrnk <= 25),
+         | ${cosineTopkCtes("v3", "slv3", 5)},
+         | ${recallCte("v1", "tkv1")},
+         | ${recallCte("v2", "topkv2")},
+         | ${recallCte("v3", "topkv3")}
+         |SELECT 4 AS m, 16 AS ksub, 0 AS rerank, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 4, 16, 25, rec FROM rv2
+         |UNION ALL SELECT 8, 16, 25, rec FROM rv3""".stripMargin
     },
 
     // Pair-set recall of the LSH-bucketed near-dup variants vs the exact

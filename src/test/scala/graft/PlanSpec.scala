@@ -72,6 +72,24 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled before the join:\n$p")
   }
 
+  test("pqTopK: queries broadcast, corpus codes stream unshuffled, ADC lookups UDF-free") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.pqTopK(e, e.filter(col("vec_id") < 5), k = 3,
+      m = 4, ksub = 16, lloydIters = 1, rerank = 0, oracleMode = true)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the bruteForceTopK contract, but over the code store: BNLJ with the
+    // query/tab side broadcast, corpus reaching the join with no Exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the join:\n$p")
+    // the per-PAIR scoring is the element_at chain — the only UDFs in the
+    // plan are the per-ROW encode and per-QUERY table builders, which sit
+    // below the join, never applied to joined pairs
+    val pairSide = p.substring(0, joinIdx)
+    assert(!pairSide.contains("BatchEvalPython"), s"python in plan:\n$p")
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.overwrite(Tables.table(spark, sf, "customer"), dir, partitionBy = Seq("c_mktsegment"))

@@ -145,6 +145,50 @@ class SimilaritySpec extends SparkSpec {
     assert(int8Full === float, "exhaustive-rerank int8 IVF diverged from the float path")
   }
 
+  test("pqEncode: m codes per vector, each within its codebook; encode is deterministic") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val c = e.filter($"embedding".isNotNull)
+      .select($"vec_id".as("corpus_id"), $"embedding".as("cv"))
+    val cb = Similarity.trainPq(c, m = 4, ksub = 16, lloydIters = 1,
+      trainFraction = 1.0, oracleMode = true)
+    assert(cb.length === 4 && cb.forall(_.length === 16))
+    val dsub = cb(0)(0).length
+    assert(cb.forall(_.forall(_.length === dsub)))
+    val codes = Similarity.pqEncode(e, cb).select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length.toLong === e.filter($"embedding".isNotNull).count())
+    assert(codes.forall { case (_, cs) => cs.length == 4 && cs.forall(x => x >= 0 && x < 16) })
+    val again = Similarity.pqEncode(e, cb).select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.toSet === again.toSet)
+  }
+
+  test("pqTopK: exhaustive rerank ≡ bruteForceTopK; rerank recall ≥ pure ADC") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "corpus_id", "sim", "rnk").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    // PQ generates no candidates — it's a full scan over codes — so a
+    // shortlist wider than the corpus makes the exact rerank see every
+    // pair: the result must be IDENTICAL to brute force
+    val full = Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16, lloydIters = 1,
+        rerank = 1000000, oracleMode = true)
+      .select("query_id", "corpus_id", "sim", "rnk").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(full === exact, "exhaustive-rerank PQ diverged from brute force")
+    val exactIds = exact.map(t => (t._1, t._2))
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+        .intersect(exactIds).size
+    val adcOnly = hits(Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16,
+      lloydIters = 1, rerank = 0, oracleMode = true))
+    val reranked = hits(Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16,
+      lloydIters = 1, rerank = 25, oracleMode = true))
+    assert(reranked >= adcOnly, "exact rerank of a wider shortlist lost recall vs pure ADC")
+    assert(adcOnly > 0, "pure-ADC ranking found nothing — scoring is broken")
+  }
+
   test("quantizeInt8: |q| ≤ 127, known values, zero vector, dequant error ≤ scale/2") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),
