@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked text retrieval over the corpus — the query-side complement of
+  * the dedup/vocab family: BM25 scoring against an inverted index built
+  * with one word-count-shaped aggregation pass.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k (Robertson et al., TREC-3; the Lucene-default
+    * `(k1+1)` numerator formulation): rank `docs` against each query by
+    *
+    *   Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * over the DISTINCT query terms t (whitespace tokens — the vocabulary
+    * family's tokenizer).
+    *
+    * Plan shape at 100 TB: postings (doc, term, tf), doc lengths, and
+    * document frequencies are word-count aggregations — map-side
+    * combinable, shuffling one row per distinct key. Scoring is an
+    * EQUI-join of query terms against the postings on term (the inverted
+    * index — candidate docs are those sharing ≥1 term, never a product),
+    * then a per-(query, doc) reduction. Corpus stats ride a broadcast
+    * one-row frame.
+    *
+    * Determinism: N, tf, df, dl are integer-valued doubles (exact in fp;
+    * their sums/avg are order-free), so every per-term contribution is
+    * bit-reproducible; the per-document score SUM is made order-
+    * deterministic by folding contributions sorted by term (the buffer is
+    * one row per matched query term — bounded by query length, not corpus
+    * size), then rounded to 6 decimals — which also absorbs the ≤1-ulp
+    * `ln` variation across engines. Ties rank by doc id.
+    *
+    * Output: (query_id, doc_id, score, rnk), rnk ≤ k.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               qidCol: String = "query_id", qtextCol: String = "qtext"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val tok = docs.select(col(idCol).as("__doc"),
+      explode(graft.functions.Expressions.ngrams(col(textCol), 1)).as("term"))
+    val post = tok.groupBy(col("__doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = tok.groupBy(col("__doc")).agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val qterms = queries.select(col(qidCol).as("__query"),
+        explode(graft.functions.Expressions.ngrams(col(qtextCol), 1)).as("term"))
+      .distinct()
+    // same operation order as the SQL oracle — left-associative throughout
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = (idf * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("c")
+    val matched = qterms
+      .join(post, "term")
+      .join(dfreq, "term")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(stats))
+      .select(col("__query"), col("__doc"), col("term"), contrib)
+    val score = matched
+      .groupBy(col("__query"), col("__doc"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("c")))),
+          x => x.getField("c")),
+        lit(0.0), (acc, v) => acc + v), 6).as("score"))
+    val w = Window.partitionBy(col("__query"))
+      .orderBy(col("score").desc, col("__doc").asc)
+    score.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("__query").as(qidCol), col("__doc").as(idCol),
+        col("score"), col("rnk"))
+  }
+}

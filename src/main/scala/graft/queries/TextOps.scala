@@ -850,6 +850,16 @@ object TextOps {
       graft.operators.Vocab.topNgrams(T(s, d, "documents"), "text",
         n = 2, k = 10, blockCols = Seq("lang"))),
 
+    // BM25 ranked retrieval (query-by-document: the first 10 docs play the
+    // queries): inverted-index equi-join scoring, ordered-fold score sum,
+    // the whole ranking hash-checked against DuckDB.
+    "qt28_bm25" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val q = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      graft.operators.Retrieval.bm25TopK(docs, q, k = 10)
+    }),
+
     // Incremental dedup: docs < 250 play the already-ingested corpus
     // (fingerprint index only); the delta is the remaining docs plus 100
     // re-submitted copies of corpus docs under new ids. The re-submissions
@@ -1161,6 +1171,34 @@ object TextOps {
          |  FROM c)
          |SELECT lang, gram, occurrences::BIGINT AS occurrences, rank::INT AS rank
          |FROM ranked WHERE rank <= 10""".stripMargin
+    },
+    // BM25: integer-valued stats are fp-exact (order-free), the per-doc
+    // score is a term-ordered left fold rounded at 6 (absorbing ≤1-ulp ln
+    // differences), operation order mirrors the Scala expression exactly.
+    "qt28_bm25" -> {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, t.term
+         |   FROM (SELECT doc_id, $toks AS ts FROM documents), unnest(ts) AS t(term)),
+         | post AS MATERIALIZED (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |   FROM tok GROUP BY doc_id, term),
+         | dl AS MATERIALIZED (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         | st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         | dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+         | qt AS (SELECT DISTINCT doc_id AS query_id, t.term
+         |   FROM (SELECT doc_id, $toks AS ts FROM documents WHERE doc_id < 10),
+         |     unnest(ts) AS t(term)),
+         | contrib AS (SELECT q.query_id, p.doc_id, p.term,
+         |     ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * 2.2 /
+         |       (p.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS c
+         |   FROM qt q JOIN post p USING (term) JOIN dfreq f USING (term)
+         |     JOIN dl d ON d.doc_id = p.doc_id CROSS JOIN st),
+         | sc AS (SELECT query_id, doc_id,
+         |     round(list_sum(list(c ORDER BY term)), 6) AS score
+         |   FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rnk::INT AS rnk FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         |  FROM sc) WHERE rnk <= 10""".stripMargin
     },
     "qt21_dedup_delta" ->
       """WITH corpus AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

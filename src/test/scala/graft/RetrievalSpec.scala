@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "spark shuffle partitions tuning guide"),
+    (1L, "spark spark spark everywhere spark"),
+    (2L, "cooking pasta with garlic and olive oil"),
+    (3L, "zebra migration patterns in the serengeti"),
+    (4L, "spark catalyst optimizer internals deep dive"),
+    (5L, "garlic bread recipe with olive oil and parmesan cheese today")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: rare terms dominate, tf saturates, k bound and ordering hold") {
+    val q = Seq((100L, "zebra serengeti"), (101L, "spark optimizer")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopK(corpus, q, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // the zebra query matches only doc 3 — both terms rare, nothing else scores
+    assert(got(100L).map(_._2).toSeq === Seq(3L))
+    // doc 4 matches both query terms (incl. rare "optimizer"); docs 0/1
+    // match only the common "spark" — idf must put doc 4 first
+    val sparkQ = got(101L)
+    assert(sparkQ.head._2 === 4L, s"expected doc 4 first: $sparkQ")
+    assert(sparkQ.forall(_._4 <= 3) && sparkQ.map(_._4).toSeq === (1 to sparkQ.length))
+    // scores are non-increasing in rank
+    assert(sparkQ.map(_._3).toSeq === sparkQ.map(_._3).sortBy(-_).toSeq)
+    // tf saturation: doc 1 repeats "spark" 4x but cannot out-rank the
+    // two-term match — and still scores ABOVE the single-mention docs
+    val byDoc = sparkQ.map(t => t._2 -> t._3).toMap
+    assert(byDoc.contains(1L) && byDoc(1L) < byDoc(4L))
+  }
+
+  test("bm25TopK: deterministic across runs; empty-match queries return no rows") {
+    val q = Seq((7L, "garlic oil"), (8L, "quantum chromodynamics")).toDF("query_id", "qtext")
+    val a = Retrieval.bm25TopK(corpus, q, k = 5).as[(Long, Long, Double, Int)].collect().toSet
+    val b = Retrieval.bm25TopK(corpus, q, k = 5).as[(Long, Long, Double, Int)].collect().toSet
+    assert(a === b)
+    // no shared term → the inverted-index join yields nothing (no padding)
+    assert(!a.exists(_._1 == 8L))
+    // both garlic docs retrieved for the garlic query
+    assert(a.filter(_._1 == 7L).map(_._2) === Set(2L, 5L))
+  }
+}
