@@ -141,8 +141,29 @@ object ScaleProbe {
         graft.functions.TextFns.qualityScore(col("text")) >= cfg.minQuality).count())
     val exactD = graft.operators.Dedup.dedupDelta(canon, state.fingerprints, "text", "doc_id")
     time("delta_exact")(exactD.count())
-    time("delta_neardup_pairs")(graft.operators.Dedup.nearDupDelta(
-      state.docs, exactD, "doc_id", "text", cfg.ngramN, cfg.nearDupJaccard).count())
+    val rawPairs = graft.operators.Dedup.nearDupDelta(
+      state.docs, exactD, "doc_id", "text", cfg.ngramN, cfg.nearDupJaccard)
+    time("delta_neardup_pairs")(rawPairs.count())
+    // the edit-distance verify the composed path adds on top of rawPairs
+    val verified = cfg.maxEditRatio.map { maxRatio =>
+      val texts = state.docs.unionByName(exactD.select(col("doc_id"), col("text")))
+      val ta = texts.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      val tb = texts.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+      val bound = ceil(lit(maxRatio) *
+        greatest(length(col("__ta")), length(col("__tb"))).cast("double")).cast("int")
+      val dist = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Levenshtein(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("__ta")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("__tb")),
+          Some(org.apache.spark.sql.graftbridge.Bridge.expression(bound))))
+      rawPairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(dist >= 0)
+        .select("id_a", "id_b")
+    }.getOrElse(rawPairs.select("id_a", "id_b"))
+    time("delta_pairs_verified")(verified.count())
+    val frozen = verified.localCheckpoint(true)
+    time("cc_only_on_frozen_pairs")(
+      graft.operators.Dedup.connectedComponents(frozen).count())
     val st = time("construct_curate_delta_cc")(
       graft.pipeline.Curation.curateDelta(state, delta, bench, "doc_id", "text",
         cfg, persist = true))

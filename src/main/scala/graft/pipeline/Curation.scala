@@ -227,6 +227,18 @@ object Curation {
                   idCol: String, textCol: String,
                   cfg: Config = Config(), persist: Boolean = false): Stages = {
     def mark(df: DataFrame): DataFrame = if (persist) df.persist() else df
+    // Eager one-shot materialization for the verified pair frame: it fans
+    // out FIVE ways (the connected-components edge union reads it twice,
+    // corpusLinked twice, deltaPairs once) and its first consumer is CC's
+    // eager edge checkpoint, so an unpersisted chain re-runs posting-join
+    // pair generation + the edit-distance verify per reference (qc02
+    // benched 42.2 s). localCheckpoint rather than persist: the checkpoint
+    // job runs the chain once UNDER AQE and downstream consumers read
+    // stored blocks, whereas .persist() compiles the cached subtree
+    // without AQE's runtime re-planning — measured 57.1 s, WORSE than no
+    // caching at all (and the round's earlier 3-consumer persist attempt
+    // measured the same effect, 44.8 vs 37.7 s).
+    def lineageCut(df: DataFrame): DataFrame = if (persist) df.localCheckpoint(true) else df
     val id = col(idCol)
 
     // 1-2. canonicalize + row-local gates: identical to the batch stages
@@ -247,7 +259,7 @@ object Curation {
     // 4. near-dup against corpus + within delta, optional edit verify
     val rawPairs = Dedup.nearDupDelta(state.docs, exact, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.nearDupJaccard)
-    val pairs = cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
+    val pairs = lineageCut(cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
       val texts = state.docs.unionByName(exact.select(id, col(textCol)))
       val ta = texts.select(id.as("id_a"), col(textCol).as("__ta"))
       val tb = texts.select(id.as("id_b"), col(textCol).as("__tb"))
@@ -262,7 +274,7 @@ object Curation {
         .filter(dist >= 0 && dist.cast("double") <=
           lit(maxRatio) * greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
         .select(col("id_a"), col("id_b"), col("jaccard"))
-    }
+    })
     // delta docs linked to a corpus doc drop outright; delta-only pairs
     // cluster and keep the min-id canonical, as the batch stage does
     val corpusIds = state.docs.select(id.as("__cid"))
