@@ -83,6 +83,9 @@ object Curation {
   def stages(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), persist: Boolean = false): Stages = {
     def mark(df: DataFrame): DataFrame = if (persist) df.persist() else df
+    // see curateDelta's lineageCut: eager one-shot materialization (under
+    // AQE) for the pair frame connectedComponents' edge union reads twice
+    def lineageCut(df: DataFrame): DataFrame = if (persist) df.localCheckpoint(true) else df
     val id = col(idCol)
 
     // 1. canonicalize: one byte representation (NFC) with PII gone, BEFORE
@@ -117,7 +120,7 @@ object Curation {
     // (normalized by the longer text) before they merge clusters
     val rawPairs = Dedup.ngramJaccardPairsPrefix(exact, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.nearDupJaccard)
-    val pairs = cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
+    val pairs = lineageCut(cfg.maxEditRatio.fold(rawPairs) { maxRatio =>
       val ta = exact.select(id.as("id_a"), col(textCol).as("__ta"))
       val tb = exact.select(id.as("id_b"), col(textCol).as("__tb"))
       // BOUNDED Levenshtein: the DP early-exits (and returns -1) once the
@@ -136,7 +139,7 @@ object Curation {
         .filter(dist >= 0 && dist.cast("double") <=
           lit(maxRatio) * greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
         .select(col("id_a"), col("id_b"), col("jaccard"))
-    }
+    })
     val canonical = Dedup.nearDupClusters(exact, idCol, pairs)
       .filter(col("is_canonical")).select(id)
     val deduped = mark(exact.join(canonical, Seq(idCol), "left_semi"))
