@@ -494,15 +494,89 @@ object Similarity {
   private[graft] def trainPq(c: DataFrame, m: Int, ksub: Int, lloydIters: Int,
                              trainFraction: Double,
                              oracleMode: Boolean): Array[Array[Array[Float]]] = {
-    val head = c.filter(col("cv").isNotNull).select(col("cv")).head()
+    val cc = c.filter(col("cv").isNotNull)
+    val head = cc.select(col("cv")).head()
     val dim = head.getSeq[Float](0).length
     require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m subspaces")
     val dsub = dim / m
-    Array.tabulate(m) { j =>
-      trainCentroids(
-        c.select(col("corpus_id"), slice(col("cv"), j * dsub + 1, dsub).as("cv")),
-        ksub, lloydIters, trainFraction, oracleMode, metric = "l2")
-    }
+    // All m subspaces train in ONE pass over the sample — the per-subspace
+    // formulation (m trainCentroids calls) ran 2 + lloydIters jobs per
+    // subspace and job-scheduling overhead dominated the actual work (the
+    // qt27r bench tail). Arithmetic is unchanged: the same hash-chosen
+    // seed ids sliced per subspace, the same strict-less L2 argmin with
+    // smallest-cell ties, the same per-(subspace, cell, dim) means
+    // (ordered fold under oracleMode) cast to float, empty cells keeping
+    // their seed — the SQL oracle and the per-subspace form reproduce it
+    // bit-for-bit (SimilaritySpec pins encode determinism; qt27 hashes it).
+    val sampled =
+      if (trainFraction >= 1.0) cc
+      else cc.filter(remainderUnsignedCol(mix64Col(col("corpus_id").cast("long")), 1000000L) <
+        lit((trainFraction * 1000000).toLong))
+    val train = sampled.persist()
+    try {
+      val seedVecs = train.withColumn("__h", mix64Col(col("corpus_id").cast("long")))
+        .orderBy(col("__h"), col("corpus_id")).limit(ksub)
+        .select(col("cv")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(seedVecs.nonEmpty,
+        s"PQ training sample is empty (trainFraction=$trainFraction over this " +
+          "corpus) — raise trainFraction or use a larger corpus")
+      var books: Array[Array[Array[Float]]] = Array.tabulate(m)(j =>
+        seedVecs.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+      val meanAgg =
+        if (oracleMode)
+          (aggregate(
+            transform(
+              array_sort(collect_list(struct(col("corpus_id").as("id"),
+                col("col").cast("double").as("v")))),
+              x => x.getField("v")),
+            lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("mv")
+        else avg(col("col").cast("double")).as("mv")
+      var iter = 0
+      while (iter < lloydIters) {
+        val bk = books
+        val assign = udf { (v: Seq[Float]) =>
+          Array.tabulate(m) { j =>
+            var best = 0; var bestD = Double.MaxValue
+            var cIdx = 0
+            while (cIdx < bk(j).length) {
+              val cb = bk(j)(cIdx)
+              var d = 0.0; var i = 0
+              while (i < dsub) {
+                val diff = v(j * dsub + i).toDouble - cb(i).toDouble
+                d += diff * diff
+                i += 1
+              }
+              if (d < bestD) { bestD = d; best = cIdx }
+              cIdx += 1
+            }
+            best
+          }
+        }
+        // one wide pass: subspace j = pos / dsub, in-subspace dim = pos %
+        // dsub, cell = this row's code for j; the groups are exactly the
+        // per-subspace formulation's (cell, pos) groups
+        val means = train
+          .withColumn("codes", assign(col("cv")))
+          .select(col("corpus_id"), col("codes"), posexplode(col("cv")))
+          .select(col("corpus_id"), col("codes"), col("col"),
+            (col("pos") / lit(dsub)).cast("int").as("j"),
+            (col("pos") % lit(dsub)).as("p"))
+          .withColumn("cell", element_at(col("codes"), col("j") + 1))
+          .groupBy(col("j"), col("cell"), col("p"))
+          .agg(meanAgg)
+          .collect()
+        val next = books.map(_.clone())
+        means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, cell), rows) =>
+          val cent = new Array[Float](dsub)
+          rows.foreach(r => cent(r.getInt(2)) = r.getDouble(3).toFloat)
+          next(j)(cell) = cent
+        }
+        books = next
+        iter += 1
+      }
+      books
+    } finally train.unpersist()
   }
 
   /** PQ-encode a vector column: per subspace, the index of the L2-nearest
