@@ -652,32 +652,61 @@ object Dedup {
     * function of (centroids, tau) and DuckDB re-derives it bit-for-bit in
     * oracle mode.
     */
-  def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               nlist: Int, tau: Double, lloydIters: Int = 2,
-               trainFraction: Double = 1.0,
-               oracleMode: Boolean = false): DataFrame = {
+  /** Cluster assignment shared by [semDedup] and [semDedupPairs]:
+    * (\_\_id, \_\_v, cell, \_\_n). Home cell is a narrow per-row scalar
+    * (broadcast centroid closure); norms once per ROW before any pair
+    * join.
+    */
+  private def semAssign(df: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, lloydIters: Int,
+                        trainFraction: Double, oracleMode: Boolean): DataFrame = {
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val centroids = Similarity.trainCentroids(
       v.select(col("__id").as("corpus_id"), col("__v").as("cv")),
       nlist, lloydIters, trainFraction, oracleMode)
-    // home cell is a narrow per-row scalar (broadcast centroid closure);
-    // norms once per ROW before the pair join, dot once per within-cell pair
-    val assigned = v
-      .withColumn("cell", Similarity.nearestCells(centroids, 1)(col("__v")).getItem(0))
+    v.withColumn("cell", Similarity.nearestCells(centroids, 1)(col("__v")).getItem(0))
       .withColumn("__n", Similarity.norm(col("__v")))
-    val dropped = assigned
+  }
+
+  /** Within-cell duplicate pairs from an assignment frame: equi-join on
+    * cell id, dot once per within-cell pair.
+    */
+  private def semPairs(assigned: DataFrame, tau: Double): DataFrame =
+    assigned
       .select(col("cell"), col("__id").as("id_a"), col("__v").as("v_a"), col("__n").as("n_a"))
       .join(assigned.select(col("cell"), col("__id").as("id_b"),
         col("__v").as("v_b"), col("__n").as("n_b")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(Similarity.dotProduct(col("v_a"), col("v_b")) /
         (col("n_a") * col("n_b")), 6) >= tau)
+      .select(col("id_a"), col("id_b"), col("cell"))
+
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, tau: Double, lloydIters: Int = 2,
+               trainFraction: Double = 1.0,
+               oracleMode: Boolean = false): DataFrame = {
+    val assigned = semAssign(df, idCol, vecCol, nlist, lloydIters, trainFraction, oracleMode)
+    val dropped = semPairs(assigned, tau)
       .select(col("id_b").as("__id")).distinct()
     assigned
       .join(dropped.withColumn("__dup", lit(1)), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("cell"), col("__dup").isNull.as("kept"))
   }
+
+  /** The duplicate PAIRS SemDeDup's cluster blocking finds — the measurable
+    * face of its recall loss: a near-dup pair straddling a cell boundary is
+    * never compared, so the pair set shrinks as `nlist` grows (and with it
+    * the per-cell join cost Σ|cell|²). Recorded per round against the
+    * exact all-pairs set (qt26r), the same honest-floor discipline as the
+    * LSH/IVF recall entries.
+    */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, tau: Double, lloydIters: Int = 2,
+                    trainFraction: Double = 1.0,
+                    oracleMode: Boolean = false): DataFrame =
+    semPairs(semAssign(df, idCol, vecCol, nlist, lloydIters, trainFraction, oracleMode), tau)
+      .select(col("id_a"), col("id_b"))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-blocked
     * on 4 16-bit chunks (any pair within distance ≤3 shares ≥1 exact chunk —

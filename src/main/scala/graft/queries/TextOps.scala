@@ -750,6 +750,23 @@ object TextOps {
         nlist = 16, tau = 0.4, lloydIters = 1, oracleMode = true)
         .withColumn("cell", col("cell").cast("long"))),
 
+    // SemDeDup's recall floor, recorded per round: the fraction of the
+    // exact all-pairs dup set that cluster blocking still compares, per
+    // nlist. Finer clustering (bigger nlist) cuts the Σ|cell|² join cost
+    // but loses more boundary-straddling pairs — the tradeoff the paper
+    // accepts, here hash-verified instead of assumed.
+    "qt26r_semdedup_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      recallQuery(exact, Seq("id_a", "id_b"), ("nlist", "lloyd_iters", "tau_pct"),
+        Seq(((4, 1, 40), Dedup.semDedupPairs(e, "vec_id", "embedding",
+            nlist = 4, tau = 0.4, lloydIters = 1, oracleMode = true)),
+          ((16, 1, 40), Dedup.semDedupPairs(e, "vec_id", "embedding",
+            nlist = 16, tau = 0.4, lloydIters = 1, oracleMode = true)),
+          ((64, 1, 40), Dedup.semDedupPairs(e, "vec_id", "embedding",
+            nlist = 64, tau = 0.4, lloydIters = 1, oracleMode = true))))
+    }),
+
     // Unicode normalization differential: the fixture text is ASCII, so the
     // query MANUFACTURES the two canonical-equivalence hazards from it —
     // composed accents (translate a→á …) and decomposed ones (e + U+0301) —
@@ -1079,6 +1096,41 @@ object TextOps {
          | dropped AS (SELECT DISTINCT id_b FROM p WHERE round(dot/(na*nb), 6) >= 0.4)
          |SELECT h.vec_id, h.cell, (d.id_b IS NULL) AS kept
          |FROM home h LEFT JOIN dropped d ON h.vec_id = d.id_b""".stripMargin,
+
+    // SemDeDup recall per nlist: three cluster-blocked pair sets (the IVF
+    // assignment CTEs at nlist 4/16/64) measured against the exact
+    // all-pairs dup set — recall VALUES hash-verified.
+    "qt26r_semdedup_recall" -> {
+      def pairCtes(tag: String): String =
+        s"""home$tag AS (SELECT vec_id, cell FROM asg$tag WHERE crnk = 1),
+           | pr$tag AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM home$tag a JOIN home$tag b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |  WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+           |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+           |    (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+           |     sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4),
+           | r$tag AS (SELECT round(avg(CASE WHEN p.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exactp e LEFT JOIN pr$tag p ON p.id_a = e.id_a AND p.id_b = e.id_b)""".stripMargin
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | exactp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4),
+         | ${ivfAssignCtes("sa", nlist = 4)},
+         | ${pairCtes("sa")},
+         | ${ivfAssignCtes("sb", nlist = 16)},
+         | ${pairCtes("sb")},
+         | ${ivfAssignCtes("sc", nlist = 64)},
+         | ${pairCtes("sc")}
+         |SELECT 4 AS nlist, 1 AS lloyd_iters, 40 AS tau_pct, rec AS recall_vs_brute FROM rsa
+         |UNION ALL SELECT 16, 1, 40, rec FROM rsb
+         |UNION ALL SELECT 64, 1, 40, rec FROM rsc""".stripMargin
+    },
     // Two independent Unicode stacks (java.text.Normalizer vs utf8proc)
     // must produce byte-identical NFC/strip-accents output on the
     // manufactured composed/decomposed text.
