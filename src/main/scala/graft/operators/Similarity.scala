@@ -662,17 +662,46 @@ object Similarity {
     * and SQL-oracle-checkable end to end; recall vs the float exact scan is
     * recorded per round (qt27r).
     */
+  /** A built PQ index: the trained codebooks plus the encoded corpus
+    * (corpus_id, codes, cn — the exact float norm). In production this is
+    * the one-off artifact you persist and amortize over every query batch
+    * (the ScaleProbe `pq` decomposition charges build and scan
+    * separately); `codes` is ~m bytes + one float per vector — the store
+    * that must stay resident at 100 TB.
+    */
+  case class PqIndex(codebooks: Array[Array[Array[Float]]], codes: DataFrame)
+
+  /** Train + encode — the index-build half of [pqTopK]. */
+  def pqIndex(corpus: DataFrame,
+              m: Int = 4, ksub: Int = 16, lloydIters: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainFraction: Double = 1.0,
+              oracleMode: Boolean = false): PqIndex = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val cb = trainPq(c, m, ksub, lloydIters, trainFraction, oracleMode)
+    PqIndex(cb, pqEncode(corpus, cb, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("codes"), col("vnorm").as("cn")))
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 16, lloydIters: Int = 1, rerank: Int = 25,
              idCol: String = "vec_id", vecCol: String = "embedding",
              trainFraction: Double = 1.0,
-             oracleMode: Boolean = false): DataFrame = {
+             oracleMode: Boolean = false): DataFrame =
+    pqTopKIndexed(
+      pqIndex(corpus, m, ksub, lloydIters, idCol, vecCol, trainFraction, oracleMode),
+      corpus, queries, k, rerank, idCol, vecCol)
+
+  /** The query half of [pqTopK], against a prebuilt [PqIndex]. */
+  def pqTopKIndexed(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+                    k: Int, rerank: Int = 25,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerank <= 0 || rerank >= k,
       s"rerank shortlist ($rerank) must be at least k ($k), or <= 0 for pure ADC")
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val cb = trainPq(c, m, ksub, lloydIters, trainFraction, oracleMode)
-    val enc = pqEncode(corpus, cb, idCol, vecCol)
-      .select(col(idCol).as("corpus_id"), col("codes"), col("vnorm").as("cn"))
+    val cb = index.codebooks
+    val m = cb.length
+    val ksub = cb(0).length
+    val enc = index.codes
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
       .withColumn("tab", adcTable(cb)(col("qv")))
