@@ -210,6 +210,39 @@ object ExprImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** fnv1a64 of every w-token window string, one primitive pass: equals
+    * fnv1a64(tokens[i] + " " + … + tokens[i+w−1]) at each position without
+    * materializing the window strings (the chars stream straight through
+    * the hash, separator included) — and, as one expression, immune to the
+    * CollapseProject re-evaluation hazard a transform/slice/concat_ws
+    * composition over an aliased token array hits (see `ngrams`).
+    */
+  def windowHashes(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ts = s.toString.split("\\s+").filter(_.nonEmpty)
+    if (ts.length < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](ts.length - w + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < w) {
+        if (j > 0) { h ^= ' '; h *= 0x100000001b3L }
+        val t = ts(i + j)
+        var c = 0
+        while (c < t.length) {
+          h ^= t.charAt(c)
+          h *= 0x100000001b3L
+          c += 1
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val normForms = Array(java.text.Normalizer.Form.NFC,
     java.text.Normalizer.Form.NFD, java.text.Normalizer.Form.NFKC,
     java.text.Normalizer.Form.NFKD)

@@ -189,6 +189,22 @@ object Expressions {
     override def prettyName: String = "graft_ngrams"
   }
 
+  /** window_hashes(string, w) → array<long>: fnv1a64 of each w-token
+    * window string (1 hash per token position; < w tokens → empty). The
+    * duplicate-span detector's map pass — one primitive sweep per row, no
+    * window-string materialization (see ExprImpl.windowHashes).
+    */
+  case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1, s"w must be >= 1: $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.windowHashes(v.asInstanceOf[UTF8String], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.windowHashes($c, $w)")
+    override protected def withNewChildInternal(c: Expression): WindowHashes = copy(child = c)
+    override def prettyName: String = "graft_window_hashes"
+  }
+
   /** normalize_text(string, form) → string: Unicode normalization with the
     * form (NFC/NFD/NFKC/NFKD) fixed at plan time. Spark itself ships no
     * normalization function, yet corpus dedup NEEDS one — the same visible
@@ -264,6 +280,7 @@ object Expressions {
   def dotF32(a: Column, b: Column): Column = wrap(DotF32(unwrap(a), unwrap(b)))
   def shingleSet(c: Column, n: Int): Column = wrap(ShingleSet(unwrap(c), n))
   def ngrams(c: Column, n: Int): Column = wrap(Ngrams(unwrap(c), n))
+  def windowHashes(c: Column, w: Int): Column = wrap(WindowHashes(unwrap(c), w))
   def normalizeText(c: Column, form: String = "NFC"): Column =
     wrap(NormalizeText(unwrap(c), form))
   def stripAccents(c: Column): Column = wrap(StripAccents(unwrap(c)))

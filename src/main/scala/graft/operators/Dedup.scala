@@ -708,6 +708,88 @@ object Dedup {
     semPairs(semAssign(df, idCol, vecCol, nlist, lloydIters, trainFraction, oracleMode), tau)
       .select(col("id_a"), col("id_b"))
 
+  /** Cross-document duplicate SPAN detection — the window-granular, Spark-
+    * native analog of suffix-array exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": verbatim
+    * boilerplate repeats at SUBSTRING granularity, which document-level
+    * Jaccard/MinHash never sees once the surrounding text differs). A
+    * suffix array is a global sorted structure that doesn't shard; the
+    * scalable reformulation is fixed-width token windows: every run of
+    * duplicated text ≥ w tokens long is caught exactly (a run of length
+    * L ≥ w duplicates all its L−w+1 windows), shorter runs are below the
+    * detection width by design.
+    *
+    * Plan shape at 100 TB: one map pass emits (doc, pos, fnv1a64(window))
+    * per token position — O(tokens) rows of fixed width, never text; the
+    * duplicated-hash table is two map-combinable aggregations (per-doc
+    * occurrence count, then distinct-doc/total counts per hash); the span
+    * frame is one equi-join of windows against that table on the hash.
+    * Nothing is quadratic; the shuffle carries 8-byte hashes.
+    *
+    * A window is "duplicated" iff it occurs in ≥ `minDocs` DISTINCT
+    * documents (cross-doc duplication, the dedup target; within-doc
+    * repetition is `Repetition`'s beat). Identity is the 64-bit window
+    * hash — same 2^-64 collision contract as the fingerprint/MinHash
+    * family (the oracle groups by the window STRING, so a collision would
+    * surface as a hash mismatch).
+    *
+    * Output: one row per duplicated-window OCCURRENCE —
+    * (id, pos [1-based token position], n_docs, n_occ), where n_docs /
+    * n_occ are the window's corpus-wide distinct-doc / total counts.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int, minDocs: Int = 2): DataFrame = {
+    require(w >= 1, s"window width must be >= 1: $w")
+    require(minDocs >= 1, s"minDocs must be >= 1: $minDocs")
+    import graft.functions.Expressions
+    val wins = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(Expressions.windowHashes(col(textCol), w)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("col").as("__h"))
+    val perDoc = wins.groupBy(col("__h"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    val dups = perDoc.groupBy(col("__h"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__occ")).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+    wins.join(dups, "__h")
+      .select(col(idCol), col("pos"), col("n_docs"), col("n_occ"))
+  }
+
+  /** Per-document duplication profile over `duplicateSpans`: how much of
+    * each document is covered by cross-document duplicated windows — the
+    * per-doc signal a curation gate thresholds on ("drop docs that are
+    * > x% boilerplate"). Overlapping spans are interval-merged per
+    * document (a run of L ≥ w duplicated tokens contributes L covered
+    * tokens, not (L−w+1)·w), via one per-doc window pass: a span starting
+    * at p covers [p, p+w−1]; its NEW coverage is the part past both its
+    * own start and the running max end of earlier spans.
+    *
+    * Output: (id, n_tokens, n_dup_windows, covered_tokens, dup_frac) for
+    * every non-null-text document — zeros when nothing duplicated.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   w: Int, minDocs: Int = 2): DataFrame = {
+    import graft.functions.Expressions
+    val spans = duplicateSpans(df, idCol, textCol, w, minDocs)
+    val prevEnd = max(col("pos") + (w - 1)).over(
+      Window.partitionBy(col(idCol)).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val newCov = greatest(lit(0L),
+      (col("pos") + (w - 1)) - greatest(col("pos") - 1, coalesce(prevEnd, lit(0L))))
+    val cov = spans
+      .withColumn("__new", newCov)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("__new")).as("covered_tokens"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(Expressions.ngrams(col(textCol), 1)).cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("covered_tokens"), lit(0L)) /
+            col("n_tokens"), 6)).as("dup_frac"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-blocked
     * on 4 16-bit chunks (any pair within distance ≤3 shares ≥1 exact chunk —
     * pigeonhole), so the join is equi-key, not quadratic.

@@ -907,6 +907,20 @@ object TextOps {
       Dedup.nearDupDelta(corpus, delta, "doc_id", "text", n = 3, threshold = 0.7)
     }),
 
+    // Duplicate SPANS — substring-granular exact dedup (the signal document-
+    // level Jaccard/MinHash can't see): every duplicated 8-token window
+    // across documents, via the one-pass window-hash map + two combinable
+    // aggregates + one hash equi-join. Identity is the 64-bit window hash;
+    // the oracle groups by the window STRING, so the entry also certifies
+    // collision-freedom on the fixture.
+    "qt29_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(T(s, d, "documents"), "doc_id", "text", w = 8)),
+
+    // Per-doc duplication profile: interval-merged coverage of the spans
+    // above — the "drop docs > x% boilerplate" curation signal.
+    "qt29s_dup_span_stats" -> ((s, d) =>
+      Dedup.dupSpanStats(T(s, d, "documents"), "doc_id", "text", w = 8)),
+
     // Multimodal plumbing over deterministic synthetic assets (no fixture
     // table exists for binary payloads). The generator's size/modality/
     // duration contract is pure arithmetic, so BOTH queries carry a DuckDB
@@ -1700,5 +1714,43 @@ object TextOps {
           | list_sum(quant)::BIGINT AS q_sum,
           | list_min(quant)::BIGINT AS q_min,
           | list_max(quant)::BIGINT AS q_max
-          |FROM q""".stripMargin)
+          |FROM q""".stripMargin) +
+      // Duplicate spans: the oracle groups by the window STRING where the
+      // engine groups by its fnv1a64 — a hash collision would merge two
+      // distinct windows and hash-mismatch here (same certificate shape as
+      // the fingerprint family). Shared CTE chain; MATERIALIZED on the
+      // twice-referenced frames (DuckDB re-inlines CTEs per reference).
+      ("qt29_dup_spans" ->
+        s"""$dupSpanCtes
+           |SELECT s.doc_id, s.pos::BIGINT AS pos,
+           | d.n_docs::BIGINT AS n_docs, d.n_occ::BIGINT AS n_occ
+           |FROM wstr s JOIN dups d USING (w)""".stripMargin) +
+      ("qt29s_dup_span_stats" ->
+        s"""$dupSpanCtes,
+           | spans AS (SELECT s.doc_id, s.pos FROM wstr s JOIN dups d USING (w)),
+           | merged AS (SELECT doc_id, pos,
+           |    greatest(0, pos + 7 - greatest(pos - 1,
+           |      coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS newcov
+           |   FROM spans),
+           | cov AS (SELECT doc_id, count(*) AS ndw, sum(newcov) AS covered
+           |   FROM merged GROUP BY 1)
+           |SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+           | coalesce(c.ndw, 0)::BIGINT AS n_dup_windows,
+           | coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+           | CASE WHEN len(t.ts) = 0 THEN 0.0
+           |      ELSE round(coalesce(c.covered, 0)::DOUBLE / len(t.ts), 6) END AS dup_frac
+           |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin)
+
+  /** Shared window/duplicate CTE chain for the qt29 pair (w = 8). */
+  private def dupSpanCtes: String =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tokensSql AS ts
+       |   FROM documents WHERE text IS NOT NULL),
+       | wins AS (SELECT doc_id, unnest(range(1, len(ts) - 6)) AS pos, ts
+       |   FROM toks WHERE len(ts) >= 8),
+       | wstr AS MATERIALIZED (SELECT doc_id, pos,
+       |   array_to_string(ts[pos:pos+7], ' ') AS w FROM wins),
+       | perdoc AS (SELECT w, doc_id, count(*) AS occ FROM wstr GROUP BY 1, 2),
+       | dups AS (SELECT w, count(*) AS n_docs, sum(occ) AS n_occ FROM perdoc
+       |   GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
 }

@@ -264,6 +264,62 @@ class DedupSpec extends SparkSpec {
     assert(Set((0L, 10L, 1.0), (0L, 11L, 1.0), (1L, 10L, 1.0), (10L, 11L, 1.0)).subsetOf(at09))
   }
 
+  test("duplicateSpans: planted shared run is found at window granularity, exactly") {
+    // docs 0/1 identical (14 tokens): every 6-token window duplicated.
+    // doc 2 shares the leading 13 tokens with doc 0 → windows 1..8 of 9.
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", w = 6)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(r => (r._2, r._3, r._4)).toSet }
+    // 14 tokens, w=6 → 9 windows; docs 0,1,2 share windows at pos 1..8
+    // (the run "the quick … bank", 13 tokens) in 3 docs; pos 9 (ends
+    // "today") only in 0,1.
+    val shared = (1L to 8L).map(p => (p, 3L, 3L)).toSet + ((9L, 2L, 2L))
+    assert(spans(0L) === shared)
+    assert(spans(1L) === shared)
+    assert(spans(2L) === (1L to 8L).map(p => (p, 3L, 3L)).toSet)
+    assert(!spans.contains(3L) && !spans.contains(4L))
+  }
+
+  test("duplicateSpans: within-doc repetition alone stays below the minDocs bar") {
+    val rep = Seq(
+      (0L, "alpha beta gamma delta alpha beta gamma delta"), // self-repeat only
+      (1L, "zeta eta theta iota kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(rep, "doc_id", "text", w = 4).count() === 0)
+    // at minDocs=1 the self-repeated window surfaces with n_occ=2
+    val self = Dedup.duplicateSpans(rep, "doc_id", "text", w = 4, minDocs = 1)
+      .filter($"n_occ" > 1).as[(Long, Long, Long, Long)].collect().toSet
+    assert(self === Set((0L, 1L, 1L, 2L), (0L, 5L, 1L, 2L)))
+  }
+
+  test("dupSpanStats: interval merge counts covered tokens once; short/clean docs zero") {
+    val stats = Dedup.dupSpanStats(docs, "doc_id", "text", w = 6)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 0: windows at pos 1..9 merge to [1,14] → all 14 tokens covered
+    assert(stats(0L) === ((14L, 9L, 14L, 1.0)))
+    assert(stats(1L) === ((14L, 9L, 14L, 1.0)))
+    // doc 2: pos 1..8 merge to [1,13] of 14 tokens
+    assert(stats(2L) === ((14L, 8L, 13L, 0.928571)))
+    assert(stats(3L) === ((10L, 0L, 0L, 0.0)))
+    assert(stats(4L) === ((9L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicateSpans: windowHashes equals fnv1a64 of the joined window string") {
+    val txt = "one two\tthree  four\nfive six seven"
+    val toks = txt.split("\\s+").filter(_.nonEmpty)
+    val expect = toks.sliding(3).map(ws => Dedup.fnv1a64(ws.mkString(" "))).toSeq
+    val got = Seq(Tuple1(txt)).toDF("t")
+      .select(graft.functions.Expressions.windowHashes($"t", 3).as("h"))
+      .as[Seq[Long]].head()
+    assert(got === expect)
+    // fewer tokens than w → empty, not a whole-text collapse
+    val short = Seq(Tuple1("just two")).toDF("t")
+      .select(graft.functions.Expressions.windowHashes($"t", 3).as("h"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("simhash: identical text → distance 0; near dup within 3 bits of original") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()

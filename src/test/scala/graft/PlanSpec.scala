@@ -252,4 +252,18 @@ class PlanSpec extends SparkSpec {
         s"unexpected nested-loop join (not the zones pair): $l\n$p")
     }
   }
+
+  test("duplicate spans: hash equi-join over combinable aggregates, no product, no UDF") {
+    for (q <- Seq("qt29_dup_spans", "qt29s_dup_span_stats")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q span detection degenerated to a product:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"$q left Catalyst:\n$p")
+      // the dup-hash aggregate must partial-aggregate before the shuffle
+      // (map-side combine on the window-hash key)
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"$q lost map-side combine:\n$p")
+    }
+  }
 }
