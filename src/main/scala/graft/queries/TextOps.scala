@@ -678,14 +678,17 @@ object TextOps {
     // against a DuckDB re-derivation. This oracles PQ TRAINING + ENCODING
     // end to end (seeds, Lloyd-1 subspace means, L2 assignment with
     // smallest-cell tiebreak); qt27r below oracles the ADC scoring built
-    // on these codes.
+    // on these codes. Codes are serialized to a '-'-joined string: the
+    // harness canonicalizer sorts raw output columns and cannot order
+    // array values, so every catalog entry must emit scalars only.
     "qt27_pq_encode" -> ((s, d) => {
       val e = T(s, d, "embeddings").filter(col("embedding").isNotNull)
       val cb = Similarity.trainPq(
         e.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
         m = 4, ksub = 16, lloydIters = 1, trainFraction = 1.0, oracleMode = true)
       Similarity.pqEncode(e, cb)
-        .select(col("vec_id"), col("codes").cast("array<long>").as("codes"))
+        .select(col("vec_id"),
+          concat_ws("-", col("codes").cast("array<string>")).as("codes"))
     }),
 
     // PQ ADC recall vs the brute-force float scan, hash-verified per
@@ -1555,12 +1558,14 @@ object TextOps {
 
     // PQ training + encoding re-derived in SQL: same seeds, same Lloyd-1
     // subspace means (ordered fold, FLOAT cast), same L2 assignment and
-    // tiebreak — the code lists must hash-match bit-for-bit.
+    // tiebreak — the code strings must hash-match bit-for-bit ('-'-joined
+    // scalar on both sides; the harness cannot sort array columns).
     "qt27_pq_encode" -> {
       s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
          |   FROM embeddings WHERE embedding IS NOT NULL),
          | ${pqCtes("p", m = 4, ksub = 16)}
-         |SELECT h.vec_id, [c0.code, c1.code, c2.code, c3.code] AS codes
+         |SELECT h.vec_id,
+         |  array_to_string([c0.code, c1.code, c2.code, c3.code], '-') AS codes
          |FROM hh h JOIN codep0 c0 USING (vec_id) JOIN codep1 c1 USING (vec_id)
          |  JOIN codep2 c2 USING (vec_id) JOIN codep3 c3 USING (vec_id)""".stripMargin
     },

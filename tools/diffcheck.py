@@ -20,6 +20,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            # The DRIVER's canonicalizer sorts the raw frame and dies on
+            # list/array cells (unhashable ndarray). Fail loudly here so an
+            # array-typed output column can never pass locally (qt27 r6).
+            vals = df[c].dropna()
+            if len(vals):
+                v = vals.iloc[0]
+                if isinstance(v, (list, tuple, dict)) or getattr(v, "ndim", 0) > 0:
+                    raise TypeError(
+                        f"column '{c}' is array-typed — the driver cannot sort it; "
+                        "serialize to a scalar (concat_ws / array_to_string)")
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
@@ -38,7 +48,10 @@ for name, sql in sorted(oracle.items()):
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
     except Exception as e:
         print(f"FAIL {name}: spark output missing: {e}"); fails += 1; continue
-    exp, got = canon(exp), canon(got)
+    try:
+        exp, got = canon(exp), canon(got)
+    except TypeError as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
     if list(exp.columns) != list(got.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}"); fails += 1; continue
     if len(exp) != len(got):
