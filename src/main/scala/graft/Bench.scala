@@ -34,13 +34,17 @@ object Bench {
     // local-iteration filter (mirrors Verify); unset for the driver's run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Inter-query isolation: queries that checkpoint/persist internally
-    // (connected components' final labels frame, IVF training caches on a
-    // failure path) can leak storage blocks into the shared JVM; 75 queries
-    // × runs of accumulated blocks = the GC/page-pressure ordering noise
-    // that swung identical code ±3-4× between rounds. Drop every persistent
-    // RDD and collect garbage BETWEEN entries so each query starts from the
-    // same memory state its isolated run would see.
+    // Run isolation: queries that checkpoint/persist internally (composed
+    // curation's stage frames, connected components' labels, IVF training
+    // caches) leak storage blocks into the shared JVM; 92 queries × runs of
+    // accumulated blocks = the GC/page-pressure ordering noise that swung
+    // identical code ±3-4× between rounds. Called before EVERY run (warmup
+    // and timed), not just between entries: an entry whose each run persists
+    // fresh blocks (plans differ per run via checkpoint RDD ids) otherwise
+    // accumulates ~4× its working set within its own timed window — r6
+    // measured qc01/qc02 at 37/32 s in the full catalog vs 15.3/14.3 s
+    // isolated, with the between-entries-only cleanup. The cleanup runs
+    // outside the timed window, so it costs wall-clock, not measured time.
     def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
@@ -67,6 +71,11 @@ object Bench {
       }
       var i = 0
       while (i < runs && !failed) {
+        isolate() // drop the previous run's persisted/checkpointed blocks
+        // absorb any post-GC scheduler hiccup OUTSIDE the timed window —
+        // without this a sub-second entry occasionally eats a multi-second
+        // stall on its first job and reads as a 5× spread
+        spark.range(1).count()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>
