@@ -35,10 +35,24 @@ object Retrieval {
     * size), then rounded to 6 decimals — which also absorbs the ≤1-ulp
     * `ln` variation across engines. Ties rank by doc id.
     *
+    * `maxDf` is the hot-term prune: query terms whose document frequency
+    * exceeds the cap are dropped BEFORE the postings join. Unbounded, a
+    * stopword query term candidates its entire posting list — correct
+    * (its idf contribution is near zero) but a full-corpus shuffle per
+    * hot term at 100 TB; the cap is the standard df-based stopword
+    * definition (e.g. 0.5·N = "in more than half the corpus"), trading
+    * those near-zero contributions for candidate generation bounded by
+    * the RARE terms' posting lists — the same accuracy-for-scan-cost
+    * knob as the n-gram family's `maxShingleDf` (qt05c). The filter runs
+    * on the query×dfreq join (rows = query length), never on postings.
+    * Capped scoring is a different ranking function (missing low-idf
+    * terms); its oracle must apply the identical cap.
+    *
     * Output: (query_id, doc_id, score, rnk), rnk ≤ k.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Option[Double] = None,
                idCol: String = "doc_id", textCol: String = "text",
                qidCol: String = "query_id", qtextCol: String = "qtext"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -56,9 +70,12 @@ object Retrieval {
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = (idf * col("tf") * lit(k1 + 1) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("c")
-    val matched = qterms
+    // df attaches to the query terms FIRST (rows = query length), so the
+    // optional cap prunes hot terms before their posting lists ever join
+    val qdf = qterms.join(dfreq, "term")
+    val qkept = maxDf.fold(qdf)(cap => qdf.filter(col("df") <= cap))
+    val matched = qkept
       .join(post, "term")
-      .join(dfreq, "term")
       .join(dl, "__doc")
       .crossJoin(broadcast(stats))
       .select(col("__query"), col("__doc"), col("term"), contrib)

@@ -880,6 +880,22 @@ object TextOps {
       graft.operators.Retrieval.bm25TopK(docs, q, k = 10)
     }),
 
+    // The hot-term-pruned twin (qt05c precedent): maxDf = 0.5·N — the
+    // stopword definition — drops every query term in more than half the
+    // corpus BEFORE the postings join. On this fixture the cut is extreme
+    // and the point: 30 of the 31 vocabulary terms are stopwords by that
+    // test, so candidate generation collapses from ~88k posting rows to
+    // the rare terms' lists (25 rows at sf0.01) and only queries carrying
+    // a rare term rank anything. The capped ranking is hash-checked
+    // against a DuckDB twin applying the identical cap.
+    "qt28c_bm25_capped" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val q = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      graft.operators.Retrieval.bm25TopK(docs, q, k = 10,
+        maxDf = Some(scala.math.floor(0.5 * docs.count()).max(1)))
+    }),
+
     // Incremental dedup: docs < 250 play the already-ingested corpus
     // (fingerprint index only); the delta is the remaining docs plus 100
     // re-submitted copies of corpus docs under new ids. The re-submissions
@@ -1244,6 +1260,35 @@ object TextOps {
     // BM25: integer-valued stats are fp-exact (order-free), the per-doc
     // score is a term-ordered left fold rounded at 6 (absorbing ≤1-ulp ln
     // differences), operation order mirrors the Scala expression exactly.
+    // The capped twin adds the identical df <= floor(0.5·N) prune to the
+    // query-term side before postings join.
+    "qt28c_bm25_capped" -> {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, t.term
+         |   FROM (SELECT doc_id, $toks AS ts FROM documents), unnest(ts) AS t(term)),
+         | post AS MATERIALIZED (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |   FROM tok GROUP BY doc_id, term),
+         | dl AS MATERIALIZED (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         | st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         | dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+         | qt AS (SELECT DISTINCT doc_id AS query_id, t.term
+         |   FROM (SELECT doc_id, $toks AS ts FROM documents WHERE doc_id < 10),
+         |     unnest(ts) AS t(term)),
+         | qkept AS (SELECT q.query_id, q.term, f.df FROM qt q JOIN dfreq f USING (term)
+         |   WHERE f.df <= greatest(floor(0.5 * (SELECT count(*) FROM documents)), 1)),
+         | contrib AS (SELECT q.query_id, p.doc_id, p.term,
+         |     ln(1 + (st.n - q.df + 0.5) / (q.df + 0.5)) * p.tf * 2.2 /
+         |       (p.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS c
+         |   FROM qkept q JOIN post p USING (term)
+         |     JOIN dl d ON d.doc_id = p.doc_id CROSS JOIN st),
+         | sc AS (SELECT query_id, doc_id,
+         |     round(list_sum(list(c ORDER BY term)), 6) AS score
+         |   FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rnk::INT AS rnk FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         |  FROM sc) WHERE rnk <= 10""".stripMargin
+    },
     "qt28_bm25" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH tok AS MATERIALIZED (SELECT doc_id, t.term
