@@ -27,6 +27,13 @@ object GraftSession {
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as long nanos and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Plan strings nest every InMemoryRelation's cached subtree per
+      // REFERENCE — a persist-at-every-arrow pipeline with multi-consumer
+      // stages prints k^depth subtree copies, and the default unbounded
+      // length OOMs the driver on an 8-stage chain (observed: PlanSpec
+      // heap death in toString). 8 MB keeps any plan a human (or a gate)
+      // reads intact and bounds the pathological case.
+      .config("spark.sql.maxPlanStringLength", (8 << 20).toString)
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -108,6 +108,7 @@ object ScaleProbe {
       graft.pipeline.Curation.stages(corpus, bench, "doc_id", "text",
         cfg, persist = true))
     time("count_quality")(st.quality.count())
+    time("count_spans")(st.spanGated.count())
     time("count_exact")(st.exact.count())
     time("count_deduped")(st.deduped.count())
     time("count_clean")(st.clean.count())
@@ -127,7 +128,7 @@ object ScaleProbe {
       println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       r
     }
-    val cfg = graft.queries.CurationQ.cfg
+    val cfg = graft.queries.CurationQ.cfgDelta
     val (corpusRaw, bench, delta) = graft.queries.CurationQ.fixtureDelta(spark, sfDir)
     val state = time("state_build")(graft.pipeline.Curation.stateOf(
       graft.pipeline.Curation.stages(corpusRaw, bench, "doc_id", "text", cfg, persist = true),

@@ -38,6 +38,19 @@ object Curation {
       // of the longer text are rejected as shingle-coincidence false
       // positives. Runs on candidates only — never n².
       maxEditRatio: Option[Double] = None,
+      // when set, docs whose cross-document duplicated-window coverage
+      // (Dedup.dupSpanStats at width dupSpanWidth, windows appearing in
+      // >= dupSpanMinDocs distinct docs) exceeds this fraction are dropped
+      // BEFORE the pairwise dedup stages — the substring-granular
+      // boilerplate gate of Lee et al. 2021 ("drop docs that are > x%
+      // verbatim-repeated text"), which document-level Jaccard never sees
+      // once the surrounding text differs. minDocs >= 3 keeps the gate
+      // orthogonal to exact dedup: a single re-submitted copy (2 docs)
+      // stays the exact stage's kill, while template boilerplate repeated
+      // across >= 3 docs dies here.
+      maxDupSpanFrac: Option[Double] = None,
+      dupSpanWidth: Int = 8,
+      dupSpanMinDocs: Int = 3,
       contaminationMax: Double = 0.8,
       splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
       trainSplit: String = "train",
@@ -60,9 +73,9 @@ object Curation {
     * counting all of them is one job per frame over a common lineage, not
     * a re-run per stage.
     */
-  case class Stages(input: DataFrame, quality: DataFrame, exact: DataFrame,
-                    deduped: DataFrame, clean: DataFrame, split: DataFrame,
-                    packed: DataFrame)
+  case class Stages(input: DataFrame, quality: DataFrame, spanGated: DataFrame,
+                    exact: DataFrame, deduped: DataFrame, clean: DataFrame,
+                    split: DataFrame, packed: DataFrame)
 
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Curated = {
@@ -104,10 +117,22 @@ object Curation {
       .select(id)
     val quality = mark(gated.join(rep, Seq(idCol), "left_semi"))
 
+    // 2b. optional boilerplate gate: drop docs mostly covered by windows
+    // duplicated across >= dupSpanMinDocs documents (substring-granular —
+    // the signal the document-level stages below can't see). One window-
+    // hash map pass + two combinable aggregates + one 8-byte-hash join
+    // over the quality survivors; a no-op frame when disabled.
+    val spanGated = cfg.maxDupSpanFrac.fold(quality) { maxFrac =>
+      val keep = Dedup.dupSpanStats(quality, idCol, textCol,
+          cfg.dupSpanWidth, cfg.dupSpanMinDocs)
+        .filter(col("dup_frac") <= maxFrac).select(id)
+      mark(quality.join(keep, Seq(idCol), "left_semi"))
+    }
+
     // 3. exact dedup (fingerprint aggregate), keep the min-id copy
-    val exactKeep = Dedup.exactByFingerprint(quality, textCol, idCol)
+    val exactKeep = Dedup.exactByFingerprint(spanGated, textCol, idCol)
       .select(col("keep_id").as(idCol))
-    val exact = mark(quality.join(exactKeep, Seq(idCol), "left_semi"))
+    val exact = mark(spanGated.join(exactKeep, Seq(idCol), "left_semi"))
 
     // 4. near-dup clusters over the survivors, keep canonical members.
     // Prefix-filtered pair generation (exact — identical output to the
@@ -163,7 +188,7 @@ object Curation {
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val packed = mark(Pack.packSequences(trainTokens, idCol, "n_tokens",
       cfg.seqBudget, cfg.packShards))
-    Stages(canon, quality, exact, deduped, clean, split, packed)
+    Stages(canon, quality, spanGated, exact, deduped, clean, split, packed)
   }
 
   /** The persisted state an incremental run needs from the batch that
@@ -256,8 +281,25 @@ object Curation {
       .select(id)
     val quality = mark(gated.join(rep, Seq(idCol), "left_semi"))
 
+    // 2b. optional boilerplate gate, the incremental analog: a delta doc's
+    // windows are counted against corpus ∪ delta (boilerplate shared with
+    // already-shipped docs must count — the batch gate would have seen
+    // it), then only delta docs are gated; shipped corpus docs are never
+    // re-judged. Reads the corpus text like nearDupDelta does; a
+    // production run would persist the corpus window-hash table as state
+    // instead of recomputing it (same class of trade as the near-dup
+    // index, see stateOf).
+    val spanGated = cfg.maxDupSpanFrac.fold(quality) { maxFrac =>
+      val all = state.docs.select(id, col(textCol))
+        .unionByName(quality.select(id, col(textCol)))
+      val keep = Dedup.dupSpanStats(all, idCol, textCol,
+          cfg.dupSpanWidth, cfg.dupSpanMinDocs)
+        .filter(col("dup_frac") <= maxFrac).select(id)
+      mark(quality.join(keep, Seq(idCol), "left_semi"))
+    }
+
     // 3. exact dedup against the corpus fingerprint index
-    val exact = mark(Dedup.dedupDelta(quality, state.fingerprints, textCol, idCol))
+    val exact = mark(Dedup.dedupDelta(spanGated, state.fingerprints, textCol, idCol))
 
     // 4. near-dup against corpus + within delta, optional edit verify
     val rawPairs = Dedup.nearDupDelta(state.docs, exact, idCol, textCol,
@@ -312,6 +354,6 @@ object Curation {
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val packed = mark(Pack.packSequences(trainTokens, idCol, "n_tokens",
       cfg.seqBudget, cfg.packShards, shardOffsets = Some(state.shardOffsets)))
-    Stages(canon, quality, exact, deduped, clean, split, packed)
+    Stages(canon, quality, spanGated, exact, deduped, clean, split, packed)
   }
 }

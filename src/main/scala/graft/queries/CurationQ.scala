@@ -51,8 +51,23 @@ object CurationQ {
     maxDupLineFrac = 0.5, maxTopBigramFrac = 0.12,
     ngramN = 3, nearDupJaccard = 0.85,
     maxEditRatio = Some(0.02), contaminationMax = 0.8,
+    // boilerplate gate: at w=8/minDocs=3 the fixture's template docs sit
+    // at dup_frac >= 0.7 and everything else at 0, so 0.5 discriminates;
+    // minDocs=3 keeps the re-submitted exact copies (2 docs) for the
+    // exact-dedup stage — the gate and the dedup stages drop DIFFERENT
+    // rows, so the composed oracle pins both
+    maxDupSpanFrac = Some(0.5), dupSpanWidth = 8, dupSpanMinDocs = 3,
     splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
     trainSplit = "train", seqBudget = 2048, packShards = 64)
+
+  /** The qc02 configuration: the same gates with the boilerplate gate OFF —
+    * the incremental entry oracles the gate-disabled path (its spanGated
+    * frame must equal quality bit-for-bit), while the delta-side gate
+    * semantics (windows counted over corpus ∪ delta) is CurationSpec's
+    * planted case. One knob's difference, explicit here so the entry, its
+    * oracle, and ScaleProbe's qc02 decomposition stay in lockstep.
+    */
+  val cfgDelta: Curation.Config = cfg.copy(maxDupSpanFrac = None)
 
   /** The qc01 fixture — ONE definition (ScaleProbe's qc01 decomposition
     * probe reuses it, so what the probe times is by construction the
@@ -98,7 +113,10 @@ object CurationQ {
   }
 
   /** Per-stage survivor counts + packed-sequence stats of one Stages run —
-    * the 11-row frame both composed entries hash against their oracles.
+    * the 12-row frame both composed entries hash against their oracles
+    * (the 01_spans row equals 01_quality when the boilerplate gate is off,
+    * as in qc02 — still emitted, so a gate that silently activated or
+    * deactivated flips the hash).
     */
   private def stageCounts(st: Curation.Stages): DataFrame = {
     def cnt(stage: String, df: DataFrame): DataFrame =
@@ -106,6 +124,7 @@ object CurationQ {
         .select(lit(stage).as("stage"), col("n"))
     cnt("00_input", st.input)
       .unionByName(cnt("01_quality", st.quality))
+      .unionByName(cnt("01_spans", st.spanGated))
       .unionByName(cnt("02_exact", st.exact))
       .unionByName(cnt("03_neardup", st.deduped))
       .unionByName(cnt("04_clean", st.clean))
@@ -141,7 +160,7 @@ object CurationQ {
     "qc02_curation_delta" -> ((s, d) => {
       val (_, bench, delta) = fixtureDelta(s, d)
       stageCounts(Curation.curateDelta(deltaState(s, d), delta, bench,
-        "doc_id", "text", cfg, persist = true))
+        "doc_id", "text", cfgDelta, persist = true))
     }))
 
   /** The qc02 corpus state, built ONCE per fixture dir and memoized as
@@ -164,7 +183,7 @@ object CurationQ {
     val (docs, fps, offs) = stateMemo.getOrElseUpdate(d, {
       val (corpusRaw, bench, _) = fixtureDelta(s, d)
       val st = Curation.stateOf(
-        Curation.stages(corpusRaw, bench, "doc_id", "text", cfg, persist = true),
+        Curation.stages(corpusRaw, bench, "doc_id", "text", cfgDelta, persist = true),
         "doc_id", "text")
       def grab(df: DataFrame) = LocalFrame(df.schema, df.collect())
       (grab(st.docs), grab(st.fingerprints), grab(st.shardOffsets))
@@ -224,10 +243,35 @@ object CurationQ {
        |   LEFT JOIN lstat$x USING (doc_id) LEFT JOIN bgs$x USING (doc_id)
        |   WHERE coalesce(dlf, 0.0) <= 0.5 AND coalesce(tbf, 0.0) <= 0.12)""".stripMargin
 
-  /** exact dedup (min-id per fingerprint): emits `exact$x` from `quality$x`. */
-  private def exactMinCtes(x: String): String =
+  /** boilerplate span gate (Lee et al. 2021, the qt29s chain over the
+    * quality survivors): emits `spang$x(doc_id, text)` — docs whose
+    * interval-merged coverage by windows duplicated across >= minDocs
+    * documents stays <= maxFrac. Same w-token windows, same merged
+    * coverage, same round-to-6 dup_frac as the Spark gate.
+    */
+  private def spanGateCtes(x: String, w: Int, minDocs: Int, maxFrac: Double): String = {
+    val wm1 = w - 1
+    s"""wtk$x AS MATERIALIZED (SELECT doc_id, text, $toks AS ts FROM quality$x),
+       | wst$x AS MATERIALIZED (SELECT doc_id, pos, array_to_string(ts[pos:pos+$wm1], ' ') AS w
+       |  FROM (SELECT doc_id, unnest(range(1, len(ts) - ${w - 2})) AS pos, ts
+       |        FROM wtk$x WHERE len(ts) >= $w)),
+       | wdp$x AS (SELECT w FROM (SELECT w, doc_id FROM wst$x GROUP BY 1, 2)
+       |   GROUP BY w HAVING count(*) >= $minDocs),
+       | wmg$x AS (SELECT doc_id, greatest(0, pos + $wm1 - greatest(pos - 1,
+       |     coalesce(max(pos + $wm1) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS newcov
+       |   FROM (SELECT s.doc_id, s.pos FROM wst$x s JOIN wdp$x d USING (w))),
+       | wcv$x AS (SELECT doc_id, sum(newcov) AS covered FROM wmg$x GROUP BY 1),
+       | spang$x AS MATERIALIZED (SELECT t.doc_id, t.text FROM wtk$x t
+       |   LEFT JOIN wcv$x c USING (doc_id)
+       |   WHERE len(t.ts) = 0
+       |      OR round(coalesce(c.covered, 0)::DOUBLE / len(t.ts), 6) <= $maxFrac)""".stripMargin
+  }
+
+  /** exact dedup (min-id per fingerprint): emits `exact$x` from `$src`. */
+  private def exactMinCtes(x: String, src: String): String =
     s"""fps$x AS (SELECT doc_id, text,
-       |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM quality$x),
+       |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM $src),
        | exact$x AS MATERIALIZED (SELECT doc_id, text FROM
        |   (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS k FROM fps$x)
        |  WHERE doc_id = k)""".stripMargin
@@ -286,10 +330,14 @@ object CurationQ {
        |  FROM (${shingleSql("bench")}) WHERE len(sh) > 0),
        | bposts AS (SELECT bench_id, nb, unnest(sh) AS s FROM bsized)""".stripMargin
 
-  /** the 11 stage-count rows over suffix-`$x` frames, input CTE `$input`. */
-  private def countsSelect(x: String, input: String): String =
+  /** the 12 stage-count rows over suffix-`$x` frames, input CTE `$input`;
+    * `spansSrc` is the post-boilerplate-gate frame (= the quality frame
+    * when the gate is off, as in qc02).
+    */
+  private def countsSelect(x: String, input: String, spansSrc: String): String =
     s"""SELECT '00_input' AS stage, count(*)::BIGINT AS n FROM $input
        |UNION ALL SELECT '01_quality', count(*) FROM quality$x
+       |UNION ALL SELECT '01_spans', count(*) FROM $spansSrc
        |UNION ALL SELECT '02_exact', count(*) FROM exact$x
        |UNION ALL SELECT '03_neardup', count(*) FROM neardup$x
        |UNION ALL SELECT '04_clean', count(*) FROM clean$x
@@ -308,9 +356,10 @@ object CurationQ {
          | bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
          | $benchCtes,
          | ${gatesCtes("", "corpus")},
-         | ${exactMinCtes("")},
+         | ${spanGateCtes("", w = 8, minDocs = 3, maxFrac = 0.5)},
+         | ${exactMinCtes("", "spang")},
          | ${batchTailCtes("")}
-         |${countsSelect("", "corpus")}""".stripMargin,
+         |${countsSelect("", "corpus", "spang")}""".stripMargin,
 
     // The incremental twin: the BATCH chain over the corpus slice
     // (suffix c) is re-derived first — its clean set, fingerprint index,
@@ -333,7 +382,7 @@ object CurationQ {
          |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200 AND doc_id % 17 != 0),
          | $benchCtes,
          | ${gatesCtes("c", "corpusraw")},
-         | ${exactMinCtes("c")},
+         | ${exactMinCtes("c", "qualityc")},
          | ${batchTailCtes("c")},
          | cfps AS MATERIALIZED (SELECT DISTINCT
          |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM cleanc),
@@ -391,5 +440,5 @@ object CurationQ {
          | piecesd AS MATERIALIZED (SELECT doc_id, shard, prev, cum,
          |   unnest(generate_series(floor(prev / 2048)::BIGINT, floor((cum - 1) / 2048)::BIGINT)) AS seq
          |  FROM spansd)
-         |${countsSelect("d", "delta")}""".stripMargin)
+         |${countsSelect("d", "delta", "qualityd")}""".stripMargin)
 }

@@ -122,4 +122,64 @@ class CurationSpec extends SparkSpec {
       .filter($"fill" =!= 2048L && $"seq" =!= $"last").count()
     assert(partials === 0, "a non-final sequence is not exactly budget tokens")
   }
+
+  // --- boilerplate span gate (Lee et al. 2021) ---
+  // a 10-token template shared verbatim across docs whose SURROUNDING text
+  // differs — document-level Jaccard at 0.85 never pairs them (J ≈ 0.2-0.6
+  // here), which is exactly the signal the substring-granular gate exists for
+  private val boiler =
+    "subscribe to our newsletter today for updates about new products"
+  private val longTail = "granite meadow copper lantern violet harbor sierra " +
+    "walnut ember prairie falcon marble cedar canyon russet willow quartz " +
+    "juniper cobalt summit"                                     // 20 distinct tokens
+  private val spanCfg = Curation.Config(
+    maxDupSpanFrac = Some(0.5), dupSpanWidth = 5, dupSpanMinDocs = 3)
+
+  test("curate: span gate drops template-heavy docs Jaccard can't see; off by default") {
+    val corpus = Seq(
+      (31L, s"$boiler plus alpha ending"),   // 13 tokens, 10 covered → 0.77
+      (32L, s"$boiler plus bravo ending"),
+      (33L, s"opening words here $boiler"),  // template at the tail — position-free
+      (34L, s"$boiler $longTail"),           // 30 tokens, 10 covered → 0.33 ships
+      (35L, "entirely original sentence with plenty of ordinary words to pass the gates")
+    ).toDF("doc_id", "text")
+    // gate off (default config): none of the planted docs pair at J >= 0.85,
+    // so every one ships — the document-level stages are blind to the template
+    val off = Curation.curate(corpus, benchmark, "doc_id", "text")
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(off === Set(31L, 32L, 33L, 34L, 35L))
+    // gate on: the three >50%-template docs die at the span stage; the doc
+    // where the same template is a minority span ships
+    val on = Curation.curate(corpus, benchmark, "doc_id", "text", spanCfg)
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(on === Set(34L, 35L))
+  }
+
+  test("curateDelta: span gate counts windows over corpus ∪ delta, judges delta only") {
+    // two SHIPPED docs carry the template: below minDocs=3 at batch time,
+    // so the batch gate keeps both (windows in 2 docs only)
+    val corpus = Seq(
+      (41L, s"$boiler $longTail"),
+      (42L, s"$boiler elm oak fir ash yew pine birch maple aspen spruce " +
+        "hazel rowan alder beech larch hornbeam poplar sycamore chestnut lime"),
+      (43L, "a plain corpus document with enough ordinary words to clear every gate")
+    ).toDF("doc_id", "text")
+    val batch = Curation.stages(corpus, benchmark, "doc_id", "text", spanCfg,
+      persist = true)
+    assert(batch.split.select("doc_id").as[Long].collect().toSet ===
+      Set(41L, 42L, 43L))
+    val state = Curation.stateOf(batch, "doc_id", "text")
+    // the arriving template copy makes 3 distinct docs corpus-wide — the
+    // DELTA doc gates out (0.83 > 0.5) even though within the delta alone
+    // its windows are unique; the unrelated arrival ships
+    val delta = Seq(
+      (51L, s"$boiler closing words"),
+      (52L, "fresh unrelated sentence with sufficient ordinary words to pass cleanly")
+    ).toDF("doc_id", "text")
+    val inc = Curation.curateDelta(state, delta, benchmark, "doc_id", "text",
+      spanCfg, persist = true)
+    assert(inc.split.select("doc_id").as[Long].collect().toSet === Set(52L))
+    // shipped corpus docs are never re-judged: the state is untouched input
+    assert(state.docs.count() === 3)
+  }
 }

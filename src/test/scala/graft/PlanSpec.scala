@@ -225,14 +225,34 @@ class PlanSpec extends SparkSpec {
       s"quantized IVF degenerated to a product:\n$pi")
   }
 
-  test("composed curation (qc01/qc02): no product anywhere in either 8-stage plan") {
-    for (q <- Seq("qc01_curation", "qc02_curation_delta")) {
-      val p = plan(SparkEntry.queries(q)(spark, sf))
-      assert(!p.contains("CartesianProduct"),
-        s"cartesian in the composed curation plan ($q):\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"nested-loop join in the composed curation plan ($q):\n$p")
-    }
+  test("composed curation (qc01/qc02): no product in any stage frame's plan") {
+    // Per-STAGE gates rather than one plan string over the 12-branch count
+    // union: each stage frame's own operators sit at the top of its plan
+    // (upstream stages appear only as InMemoryTableScan leaves), so a
+    // product introduced by any single transition is caught in full — and
+    // the k^depth nested-cached-subtree blowup of the one-giant-string
+    // formulation (which OOM'd at 8 stages) never materializes past the
+    // session's maxPlanStringLength cap.
+    def gateStages(tag: String, st: graft.pipeline.Curation.Stages): Unit =
+      for ((name, f) <- Seq("quality" -> st.quality, "spanGated" -> st.spanGated,
+          "exact" -> st.exact, "deduped" -> st.deduped, "clean" -> st.clean,
+          "split" -> st.split, "packed" -> st.packed)) {
+        val p = plan(f)
+        assert(!p.contains("CartesianProduct"),
+          s"cartesian in composed curation ($tag/$name):\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"nested-loop join in composed curation ($tag/$name):\n$p")
+      }
+    val (corpus, bench) = graft.queries.CurationQ.fixture(spark, sf)
+    val batch = graft.pipeline.Curation.stages(corpus, bench, "doc_id", "text",
+      graft.queries.CurationQ.cfg, persist = true)
+    gateStages("qc01", batch)
+    val (corpusRaw, benchD, delta) = graft.queries.CurationQ.fixtureDelta(spark, sf)
+    val state = graft.pipeline.Curation.stateOf(
+      graft.pipeline.Curation.stages(corpusRaw, benchD, "doc_id", "text",
+        graft.queries.CurationQ.cfgDelta, persist = true), "doc_id", "text")
+    gateStages("qc02", graft.pipeline.Curation.curateDelta(state, delta, benchD,
+      "doc_id", "text", graft.queries.CurationQ.cfgDelta, persist = true))
   }
 
   test("composed pipeline: dims broadcast, facts never sort-merge, no cartesian") {
