@@ -168,8 +168,7 @@ object Similarity {
     */
   private[graft] def trainCentroids(c: DataFrame, nlist: Int, lloydIters: Int,
                                     trainFraction: Double,
-                                    oracleMode: Boolean,
-                                    metric: String = "cosine"): Array[Array[Float]] = {
+                                    oracleMode: Boolean): Array[Array[Float]] = {
     val sampled =
       if (trainFraction >= 1.0) c
       else c.filter(remainderUnsignedCol(mix64Col(col("corpus_id").cast("long")), 1000000L) <
@@ -215,7 +214,7 @@ object Similarity {
         // assignment is a narrow per-row scalar (no crossJoin + window
         // shuffle per pass); the only shuffle is the per-dim mean aggregate
         val means = train
-          .withColumn("cell", nearestCells(centroids, 1, metric)(col("cv")).getItem(0))
+          .withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
           .select(col("corpus_id"), col("cell"), posexplode(col("cv")))
           .groupBy(col("cell"), col("pos"))
           .agg(meanAgg)
@@ -250,6 +249,19 @@ object Similarity {
               oracleMode: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = trainCentroids(c, nlist, lloydIters, trainFraction, oracleMode)
+    ivfTopKCentroids(centroids, corpus, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** The serve half of [ivfTopK], against already-trained centroids —
+    * in-session or reloaded by [loadCentroids]. Build-once/query-many:
+    * training is the expensive corpus pass; serving a query batch against
+    * a persisted centroid table touches nProbe/nlist of the corpus.
+    */
+  def ivfTopKCentroids(centroids: Array[Array[Float]],
+                       corpus: DataFrame, queries: DataFrame, k: Int,
+                       nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     // Index + probe: the (nlist × dim) centroid table rides inside the
     // scalar's closure (tiny, task-broadcast); corpus rows get exactly one
     // home cell and each query probes nProbe distinct cells, so a
@@ -269,6 +281,26 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
   }
 
+  /** Persist trained IVF centroids as a parquet table (cell, centroid).
+    * Floats round-trip parquet bit-exactly, so rankings served from a
+    * reloaded table are bit-identical to the in-session index
+    * (SimilaritySpec round-trip).
+    */
+  def saveCentroids(centroids: Array[Array[Float]], dir: String,
+                    spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (cent, cell) => (cell, cent.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .repartition(1) // nlist × dim floats — one small file
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload [saveCentroids] output; cell ids index the returned array. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Array[Array[Float]] =
+    spark.read.parquet(dir).orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+
   /** Cosine of a row vector against a driver-side centroid — primitive loop,
     * same left-to-right accumulation order as the `cosine` Column form.
     */
@@ -283,40 +315,22 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Squared L2 distance of a row vector to a driver-side centroid —
-    * primitive loop, differences squared and summed left-to-right (the
-    * order the SQL oracle's `list_sum(list_transform(...))` replays).
-    */
-  private def l2ToCentroid(a: Seq[Float], b: Array[Float]): Double = {
-    var d = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val diff = a(i).toDouble - b(i).toDouble
-      d += diff * diff
-      i += 1
-    }
-    d
-  }
-
-  /** Scalar returning the `take` nearest cell ids (cosine desc — or
-    * squared-L2 asc under `metric = "l2"`, the PQ reconstruction metric —
-    * cell asc tiebreak) for a vector against the captured centroid array.
-    * A scalar UDF on purpose: the per-row work is an nlist×dim primitive
-    * float loop, where a Column formulation would compile nlist
+  /** Scalar returning the `take` nearest cell ids (cosine desc, cell asc
+    * tiebreak) for a vector against the captured centroid array. A scalar
+    * UDF on purpose: the per-row work is an nlist×dim primitive float
+    * loop, where a Column formulation would compile nlist
     * array-`aggregate` expressions per row (the measured qt09/qt10 bench
-    * tail of round 1).
+    * tail of round 1). PQ's squared-L2 subspace assignment lives in its
+    * own inline scalar (trainPq/pqEncode — it slices subvectors, which
+    * this whole-vector scalar cannot express).
     */
-  private[graft] def nearestCells(centroids: Array[Array[Float]], take: Int,
-                                  metric: String = "cosine") =
+  private[graft] def nearestCells(centroids: Array[Array[Float]], take: Int) =
     udf { (v: Seq[Float]) =>
       // null embedding → null cells → the row drops out of index and probes
       // (explode of null emits nothing; a null home cell joins nothing)
       if (v == null) null
       else {
-        val key: Int => Double =
-          if (metric == "l2") i => l2ToCentroid(v, centroids(i))
-          else i => -cosineToCentroid(v, centroids(i))
-        val ks = Array.tabulate(centroids.length)(key)
+        val ks = Array.tabulate(centroids.length)(i => -cosineToCentroid(v, centroids(i)))
         Array.tabulate(centroids.length)(identity)
           .sortBy(i => (ks(i), i))
           .take(take)
@@ -495,8 +509,10 @@ object Similarity {
                              trainFraction: Double,
                              oracleMode: Boolean): Array[Array[Array[Float]]] = {
     val cc = c.filter(col("cv").isNotNull)
-    val head = cc.select(col("cv")).head()
-    val dim = head.getSeq[Float](0).length
+    val first = cc.select(col("cv")).limit(1).collect()
+    require(first.nonEmpty,
+      "PQ training corpus is empty (no non-null vectors) — nothing to train on")
+    val dim = first(0).getSeq[Float](0).length
     require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m subspaces")
     val dsub = dim / m
     // All m subspaces train in ONE pass over the sample — the per-subspace
@@ -679,8 +695,45 @@ object Similarity {
               oracleMode: Boolean = false): PqIndex = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val cb = trainPq(c, m, ksub, lloydIters, trainFraction, oracleMode)
-    PqIndex(cb, pqEncode(corpus, cb, idCol, vecCol)
+    // null-embedding rows encode to null codes; excluded from the store so
+    // the pure-ADC branch can't rank them (the LSH/IVF paths drop null
+    // vectors at candidate generation — same null contract)
+    PqIndex(cb, pqEncode(corpus.filter(col(vecCol).isNotNull), cb, idCol, vecCol)
       .select(col(idCol).as("corpus_id"), col("codes"), col("vnorm").as("cn")))
+  }
+
+  /** Persist a [PqIndex] under `dir`: `codes/` — the (corpus_id, codes,
+    * cn) scoring store, the thing that must stay resident at 100 TB — and
+    * `codebooks/` — the m × ksub × dsub centroid table (tiny). This is
+    * the production shape: build once (trainPq + pqEncode are the corpus
+    * pass), persist, then serve every query batch from the reloaded
+    * artifact — [SimilaritySpec] pins that the served ranking is
+    * bit-identical to the in-session index (floats round-trip parquet
+    * exactly; the ADC scan reads the same codes).
+    */
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, cell) => (j, cell, cent.toSeq) }
+    }.toSeq.toDF("j", "cell", "centroid")
+      .repartition(1) // m × ksub × dsub floats — one small file
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Reload [savePqIndex] output. The codes frame stays a lazy parquet
+    * scan (the 100 TB store is served, never collected); only the
+    * codebook table is collected, in (j, cell) order.
+    */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .orderBy(col("j"), col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2))
+      .toArray
+    PqIndex(books, spark.read.parquet(s"$dir/codes"))
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,

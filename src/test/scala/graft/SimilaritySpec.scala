@@ -189,6 +189,77 @@ class SimilaritySpec extends SparkSpec {
     assert(adcOnly > 0, "pure-ADC ranking found nothing — scoring is broken")
   }
 
+  test("PQ index round-trip: persisted codes+codebooks serve a bit-identical ranking") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val built = Similarity.pqIndex(e, m = 4, ksub = 16, lloydIters = 1,
+      oracleMode = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.savePqIndex(built, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    // codebooks round-trip float-exact, codes row-for-row
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(loaded.codes.count() === built.codes.count())
+    // both the pure-ADC branch and the reranked branch serve the same
+    // ranking from the reloaded artifact as from the in-session index
+    for (rerank <- Seq(0, 25)) {
+      val mem = Similarity.pqTopKIndexed(built, e, q, k = 5, rerank = rerank)
+        .select("query_id", "corpus_id", "sim", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val disk = Similarity.pqTopKIndexed(loaded, e, q, k = 5, rerank = rerank)
+        .select("query_id", "corpus_id", "sim", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(disk === mem, s"persisted PQ index diverged at rerank=$rerank")
+    }
+  }
+
+  test("IVF centroid round-trip: persisted centroids serve a bit-identical ranking") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    val c = e.select($"vec_id".as("corpus_id"), $"embedding".as("cv"))
+    val cents = Similarity.trainCentroids(c, nlist = 16, lloydIters = 1,
+      trainFraction = 1.0, oracleMode = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cent").toString
+    Similarity.saveCentroids(cents, dir, spark)
+    val loaded = Similarity.loadCentroids(spark, dir)
+    assert(loaded.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    val mem = Similarity.ivfTopKCentroids(cents, e, q, k = 5, nProbe = 4)
+      .select("query_id", "corpus_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val disk = Similarity.ivfTopKCentroids(loaded, e, q, k = 5, nProbe = 4)
+      .select("query_id", "corpus_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(disk === mem, "persisted IVF centroids diverged from in-session")
+  }
+
+  test("trainPq / pqIndex: empty or all-null corpus fails fast with a clear message") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqIndex(empty, m = 2, ksub = 2, lloydIters = 0)
+    }
+    assert(err.getMessage.contains("PQ training corpus is empty"))
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.pqIndex(allNull, m = 2, ksub = 2, lloydIters = 0)
+    }
+    assert(err2.getMessage.contains("PQ training corpus is empty"))
+  }
+
+  test("pqTopKIndexed: null-embedding corpus rows never rank (pure-ADC branch)") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((10L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val idx = Similarity.pqIndex(corpus, m = 2, ksub = 2, lloydIters = 1)
+    val got = Similarity.pqTopKIndexed(idx, corpus, q, k = 4, rerank = 0)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(!got.contains(3L), "null-embedding row ranked in the pure-ADC branch")
+    assert(got === Set(1L, 2L, 4L))
+  }
+
   test("quantizeInt8: |q| ≤ 127, known values, zero vector, dequant error ≤ scale/2") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),
