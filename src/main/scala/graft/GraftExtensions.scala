@@ -100,6 +100,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         Expressions.NormalizeText(args.head, form)
       }))
+    e.injectFunction((FunctionIdentifier("graft_window_hashes"),
+      info("graft_window_hashes",
+        "graft_window_hashes(text, w) - fnv1a64 of every w-token window (the duplicate-span " +
+          "map pass, Dedup.duplicateSpans); w must be an integer literal. The full span " +
+          "detector is this + two GROUP BYs + one hash equi-join in plain SQL."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_window_hashes takes 2 arguments (text, w), got ${args.length}")
+        Expressions.WindowHashes(args.head, intLit("graft_window_hashes", "w")(args(1)))
+      }))
     e.injectFunction((FunctionIdentifier("graft_strip_accents"),
       info("graft_strip_accents",
         "graft_strip_accents(str) - NFD decomposition + combining-mark removal."),

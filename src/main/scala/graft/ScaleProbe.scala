@@ -221,7 +221,49 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe semdedup [n]`: SemDeDup recall on a
+    * CLUSTERED embedding fixture — the regime the operator exists for
+    * (qt26r's near-random fixture is the adversarial floor: no real
+    * cluster structure, so cell blocking can only lose). Deterministic
+    * synthetic corpus: `k` true clusters, member = cluster center +
+    * small hash-derived perturbation; within-cluster cosine ≈ 1, across
+    * ≈ random. Recall of `semDedupPairs` vs the exact all-pairs set,
+    * per nlist. Measured (n=4000, k=8): recall 1.0 / 0.94 / 0.69 / 0.14
+    * at nlist 4 / 8 / 16 / 64 — nlist <= k merges true clusters (full
+    * recall, higher Σ|cell|² cost), nlist ≈ k recovers the structure
+    * (~0.94 vs 0.24 on the near-random fixture), and oversharding past k
+    * splits true clusters and sheds their pairs. The operating rule at
+    * 100 TB: size nlist to the expected duplicate-cluster granularity,
+    * not to the join budget alone.
+    */
+  private def semDedupProbe(n: Int): Unit = {
+    val spark = GraftSession.get()
+    val k = 8; val dim = 32; val eps = 0.05; val tau = 0.9
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((pmod(xxhash64(col("id") % k, j), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          + (pmod(xxhash64(col("id"), j, lit(777)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+            * eps).cast("float")).as("embedding"))
+      .persist()
+    emb.count()
+    val exact = graft.operators.Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", threshold = tau).select("id_a", "id_b").persist()
+    val nExact = exact.count()
+    for (nlist <- Seq(4, 8, 16, 64)) {
+      val t0 = System.nanoTime()
+      val hit = graft.operators.Dedup.semDedupPairs(emb, "vec_id", "embedding",
+          nlist = nlist, tau = tau, lloydIters = 2)
+        .join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      println(f"""{"probe":"semdedup_clustered","nlist":$nlist,"n":$n,"true_clusters":$k,""" +
+        f""""recall":${if (nExact == 0) 0.0 else hit.toDouble / nExact}%.4f,""" +
+        f""""exact_pairs":$nExact,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("semdedup"))
+      return semDedupProbe(args.lift(1).map(_.toInt).getOrElse(4000))
     if (args.headOption.contains("shingle")) return shingleProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("jaccard"))
       return jaccardProbe(args.lift(1).map(_.toInt).getOrElse(4000))

@@ -28,4 +28,34 @@ class SqlSurfaceSpec extends SparkSpec {
         |FROM documents""".stripMargin).as[(Long, Long)].head()
     assert(dup._1 > 0 && dup._1 <= dup._2)
   }
+
+  test("duplicate-span detection is expressible in plain SQL via graft_window_hashes") {
+    Tables.registerAll(spark, sf)
+    // the full Dedup.duplicateSpans shape — map pass, per-doc occurrence
+    // count, distinct-doc filter, hash equi-join — as ad-hoc SQL; results
+    // must agree with the operator row-for-row
+    val sqlSpans = spark.sql(
+      """WITH wins AS (
+        |  SELECT doc_id, t.p + 1 AS pos, t.h
+        |  FROM documents
+        |  LATERAL VIEW posexplode(graft_window_hashes(text, 8)) t AS p, h
+        |  WHERE text IS NOT NULL),
+        | dups AS (
+        |  SELECT h, count(*) AS n_docs, sum(occ) AS n_occ FROM (
+        |    SELECT h, doc_id, count(*) AS occ FROM wins GROUP BY h, doc_id)
+        |  GROUP BY h HAVING count(*) >= 2)
+        |SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos, d.n_docs, d.n_occ
+        |FROM wins w JOIN dups d USING (h)""".stripMargin)
+    val op = graft.operators.Dedup.duplicateSpans(
+      Tables.table(spark, sf, "documents"), "doc_id", "text", w = 8)
+    assert(sqlSpans.exceptAll(op).isEmpty && op.exceptAll(sqlSpans).isEmpty,
+      "SQL-surface span detection diverged from the operator")
+    // BM25 needs no dedicated function: every building block (tokenize via
+    // graft_ngrams(text, 1), the count aggregates, the term equi-join, ln)
+    // is standard SQL — pinned by the qt28 DuckDB oracle's pure-SQL twin
+    val terms = spark.sql(
+      "SELECT count(*) AS n FROM (SELECT explode(graft_ngrams(text, 1)) FROM documents)")
+      .as[Long].head()
+    assert(terms > 0)
+  }
 }
