@@ -95,7 +95,15 @@ object Curation {
     */
   def stages(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), persist: Boolean = false): Stages = {
-    def mark(df: DataFrame): DataFrame = if (persist) df.persist() else df
+    // persist mode materializes each stage EAGERLY (count after persist):
+    // a lazily-persisted stage is cold when the first multi-branch action
+    // runs, and concurrent branches race-recompute the shared upstream
+    // chain instead of reading cache — adding the span-gate stage (one
+    // more multi-reference layer) took the 12-branch qc01 entry from
+    // 26 s to 93 s at sf0.1 under lazy persist; eager per-arrow
+    // materialization runs every chain exactly once (measured 30 s)
+    def mark(df: DataFrame): DataFrame =
+      if (persist) { val p = df.persist(); p.count(); p } else df
     // see curateDelta's lineageCut: eager one-shot materialization (under
     // AQE) for the pair frame connectedComponents' edge union reads twice
     def lineageCut(df: DataFrame): DataFrame = if (persist) df.localCheckpoint(true) else df
@@ -254,7 +262,9 @@ object Curation {
   def curateDelta(state: CorpusState, delta: DataFrame, benchmark: DataFrame,
                   idCol: String, textCol: String,
                   cfg: Config = Config(), persist: Boolean = false): Stages = {
-    def mark(df: DataFrame): DataFrame = if (persist) df.persist() else df
+    // eager per-arrow materialization in persist mode — see stages()
+    def mark(df: DataFrame): DataFrame =
+      if (persist) { val p = df.persist(); p.count(); p } else df
     // Eager one-shot materialization for the verified pair frame: it fans
     // out FIVE ways (the connected-components edge union reads it twice,
     // corpusLinked twice, deltaPairs once) and its first consumer is CC's

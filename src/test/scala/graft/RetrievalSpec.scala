@@ -45,4 +45,24 @@ class RetrievalSpec extends SparkSpec {
     // both garlic docs retrieved for the garlic query
     assert(a.filter(_._1 == 7L).map(_._2) === Set(2L, 5L))
   }
+
+  test("bm25TopK maxDf: hot query terms pruned before the postings join") {
+    // "spark" is in 3 of 6 docs (df=3); "optimizer" in 1. A cap of 2 must
+    // drop the hot term: docs matching ONLY "spark" (0, 1) disappear and
+    // the ranking equals a query for the rare term alone
+    val q = Seq((101L, "spark optimizer")).toDF("query_id", "qtext")
+    val capped = Retrieval.bm25TopK(corpus, q, k = 5, maxDf = Some(2.0))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(capped.map(_._2) === Set(4L), s"cap should leave only the rare-term match: $capped")
+    val rareOnly = Retrieval.bm25TopK(corpus,
+        Seq((101L, "optimizer")).toDF("query_id", "qtext"), k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(capped === rareOnly, "capped two-term ranking must equal the rare-term-only ranking")
+    // a generous cap is a no-op
+    val uncapped = Retrieval.bm25TopK(corpus, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val generous = Retrieval.bm25TopK(corpus, q, k = 5, maxDf = Some(1e9))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(generous === uncapped)
+  }
 }
