@@ -21,13 +21,28 @@ object Verify {
     // driver's invocation) dumps everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A broken entry must be LOUD, never absent: r7 lost five queries
+        // from CORRECTNESS because a thrown analysis error left no artifact
+        // for the driver to diff. Write a _FAILED marker in the query's own
+        // output dir (so any globber sees a red row, not a missing one) and
+        // collect into errors.json.
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+        // clear any stale parquet from a previous green run of this name —
+        // a leftover success artifact would mask the failure
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && (f.getName.endsWith(".parquet") || f.getName.startsWith("_SUCCESS") || f.getName.startsWith(".")))
+          .foreach(_.delete())
+        Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +60,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty {} when clean) so "no errors.json" is itself a
+    // detectable anomaly, distinct from "no failures"
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

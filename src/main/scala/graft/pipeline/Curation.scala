@@ -75,7 +75,19 @@ object Curation {
     */
   case class Stages(input: DataFrame, quality: DataFrame, spanGated: DataFrame,
                     exact: DataFrame, deduped: DataFrame, clean: DataFrame,
-                    split: DataFrame, packed: DataFrame)
+                    split: DataFrame, packed: DataFrame,
+                    /** Audit counts captured BY the persist-mode
+                      * materialization itself (`mark`'s count, the per-split
+                      * histogram, the packed-stats single agg) — a stage-count
+                      * observer reads these instead of re-running an action
+                      * per stage, halving the actions of a counted run. Keys:
+                      * input quality spans exact neardup clean split_<name>
+                      * pieces sequences; packed_tokens is ABSENT when the
+                      * packed frame is empty (sum-of-nothing is SQL NULL, and
+                      * the observer must reproduce that). Empty map when
+                      * persist = false (nothing was materialized to count).
+                      */
+                    counts: Map[String, Long] = Map.empty)
 
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Curated = {
@@ -101,18 +113,24 @@ object Curation {
     // chain instead of reading cache — adding the span-gate stage (one
     // more multi-reference layer) took the 12-branch qc01 entry from
     // 26 s to 93 s at sf0.1 under lazy persist; eager per-arrow
-    // materialization runs every chain exactly once (measured 30 s)
-    def mark(df: DataFrame): DataFrame =
-      if (persist) { val p = df.persist(); p.count(); p } else df
+    // materialization runs every chain exactly once. The count each mark
+    // performs is CAPTURED (Stages.counts) so observers never pay a
+    // second action per stage.
+    val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def mark(name: String, df: DataFrame): DataFrame =
+      if (persist) { val p = df.persist(); audit(name) = p.count(); p } else df
     // see curateDelta's lineageCut: eager one-shot materialization (under
     // AQE) for the pair frame connectedComponents' edge union reads twice
     def lineageCut(df: DataFrame): DataFrame = if (persist) df.localCheckpoint(true) else df
     val id = col(idCol)
 
     // 1. canonicalize: one byte representation (NFC) with PII gone, BEFORE
-    // any hash sees the text
-    val canon = docs.select(id,
-      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+    // any hash sees the text. Persisted in persist mode: the quality stage
+    // reads it twice (gate filter + repetition signals), and NFC+PII regex
+    // scrubbing is the most expensive row-local pass in the pipeline —
+    // without the cache it runs once per consumer.
+    val canon = mark("input", docs.select(id,
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol)))
 
     // 2. row-local quality gates (narrow, no shuffle), then the doc-keyed
     // repetition signals — cheap filters shrink every pairwise stage after
@@ -123,7 +141,7 @@ object Curation {
       .filter(col("dup_line_frac") <= cfg.maxDupLineFrac &&
         col("top_bigram_frac") <= cfg.maxTopBigramFrac)
       .select(id)
-    val quality = mark(gated.join(rep, Seq(idCol), "left_semi"))
+    val quality = mark("quality", gated.join(rep, Seq(idCol), "left_semi"))
 
     // 2b. optional boilerplate gate: drop docs mostly covered by windows
     // duplicated across >= dupSpanMinDocs documents (substring-granular —
@@ -134,13 +152,16 @@ object Curation {
       val keep = Dedup.dupSpanStats(quality, idCol, textCol,
           cfg.dupSpanWidth, cfg.dupSpanMinDocs)
         .filter(col("dup_frac") <= maxFrac).select(id)
-      mark(quality.join(keep, Seq(idCol), "left_semi"))
+      mark("spans", quality.join(keep, Seq(idCol), "left_semi"))
     }
+    // gate off → the spans frame IS the quality frame; the audit row still
+    // exists so a silently (de)activated gate flips the observer's hash
+    if (persist && !audit.contains("spans")) audit("spans") = audit("quality")
 
     // 3. exact dedup (fingerprint aggregate), keep the min-id copy
     val exactKeep = Dedup.exactByFingerprint(spanGated, textCol, idCol)
       .select(col("keep_id").as(idCol))
-    val exact = mark(spanGated.join(exactKeep, Seq(idCol), "left_semi"))
+    val exact = mark("exact", spanGated.join(exactKeep, Seq(idCol), "left_semi"))
 
     // 4. near-dup clusters over the survivors, keep canonical members.
     // Prefix-filtered pair generation (exact — identical output to the
@@ -175,7 +196,7 @@ object Curation {
     })
     val canonical = Dedup.nearDupClusters(exact, idCol, pairs)
       .filter(col("is_canonical")).select(id)
-    val deduped = mark(exact.join(canonical, Seq(idCol), "left_semi"))
+    val deduped = mark("neardup", exact.join(canonical, Seq(idCol), "left_semi"))
 
     // 5. decontaminate against the benchmark (containment, not Jaccard).
     // The benchmark goes through the SAME canonicalization as stage 1 —
@@ -188,16 +209,50 @@ object Curation {
     val contaminated = Dedup.ngramContainmentPairs(deduped, benchCanon, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.contaminationMax)
       .select(col("doc_id").as(idCol)).distinct()
-    val clean = mark(deduped.join(contaminated, Seq(idCol), "left_anti"))
+    val clean = mark("clean", deduped.join(contaminated, Seq(idCol), "left_anti"))
 
     // 6. deterministic split, 7. pack the configured train split
-    val split = mark(Split.assignSplit(clean, id, cfg.splits))
+    val split = markSplit(Split.assignSplit(clean, id, cfg.splits), persist, audit)
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val packed = mark(Pack.packSequences(trainTokens, idCol, "n_tokens",
-      cfg.seqBudget, cfg.packShards))
-    Stages(canon, quality, spanGated, exact, deduped, clean, split, packed)
+    val packed = markPacked(Pack.packSequences(trainTokens, idCol, "n_tokens",
+      cfg.seqBudget, cfg.packShards), persist, audit)
+    Stages(canon, quality, spanGated, exact, deduped, clean, split, packed,
+      counts = audit.toMap)
   }
+
+  /** Persist-mode materialization of the split frame whose eager action is
+    * the per-split histogram (one job) rather than a bare count — the
+    * observer's `05_split_*` rows ride the materialization for free.
+    */
+  private def markSplit(df: DataFrame, persist: Boolean,
+                        audit: scala.collection.mutable.Map[String, Long]): DataFrame =
+    if (!persist) df else {
+      val p = df.persist()
+      p.groupBy(col("split")).count().collect()
+        .foreach(r => audit("split_" + r.getString(0)) = r.getLong(1))
+      p
+    }
+
+  /** Persist-mode materialization of the packed frame whose eager action is
+    * the three packed stats in ONE agg job (piece count, distinct
+    * (shard,seq) sequences, total tokens) instead of three observer
+    * actions. `packed_tokens` is recorded only when pieces exist: an empty
+    * pack's token sum is SQL NULL and the observer reproduces that by the
+    * key's absence.
+    */
+  private def markPacked(df: DataFrame, persist: Boolean,
+                         audit: scala.collection.mutable.Map[String, Long]): DataFrame =
+    if (!persist) df else {
+      val p = df.persist()
+      val r = p.agg(count(lit(1)).as("pieces"),
+        countDistinct(col("shard"), col("seq")).as("sequences"),
+        sum(col("tok_len")).cast("long").as("tokens")).collect()(0)
+      audit("pieces") = r.getLong(0)
+      audit("sequences") = r.getLong(1)
+      if (!r.isNullAt(2)) audit("packed_tokens") = r.getLong(2)
+      p
+    }
 
   /** The persisted state an incremental run needs from the batch that
     * shipped: the curated corpus documents (id + CANONICAL text — the
@@ -262,9 +317,11 @@ object Curation {
   def curateDelta(state: CorpusState, delta: DataFrame, benchmark: DataFrame,
                   idCol: String, textCol: String,
                   cfg: Config = Config(), persist: Boolean = false): Stages = {
-    // eager per-arrow materialization in persist mode — see stages()
-    def mark(df: DataFrame): DataFrame =
-      if (persist) { val p = df.persist(); p.count(); p } else df
+    // eager per-arrow materialization in persist mode, count captured —
+    // see stages()
+    val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def mark(name: String, df: DataFrame): DataFrame =
+      if (persist) { val p = df.persist(); audit(name) = p.count(); p } else df
     // Eager one-shot materialization for the verified pair frame: it fans
     // out FIVE ways (the connected-components edge union reads it twice,
     // corpusLinked twice, deltaPairs once) and its first consumer is CC's
@@ -280,8 +337,9 @@ object Curation {
     val id = col(idCol)
 
     // 1-2. canonicalize + row-local gates: identical to the batch stages
-    val canon = delta.select(id,
-      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+    // (canon persisted for the same double-read reason)
+    val canon = mark("input", delta.select(id,
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol)))
     val gated = canon
       .filter(TextFns.tokenCount(col(textCol)) >= cfg.minTokens &&
         TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
@@ -289,7 +347,7 @@ object Curation {
       .filter(col("dup_line_frac") <= cfg.maxDupLineFrac &&
         col("top_bigram_frac") <= cfg.maxTopBigramFrac)
       .select(id)
-    val quality = mark(gated.join(rep, Seq(idCol), "left_semi"))
+    val quality = mark("quality", gated.join(rep, Seq(idCol), "left_semi"))
 
     // 2b. optional boilerplate gate, the incremental analog: a delta doc's
     // windows are counted against corpus ∪ delta (boilerplate shared with
@@ -305,11 +363,12 @@ object Curation {
       val keep = Dedup.dupSpanStats(all, idCol, textCol,
           cfg.dupSpanWidth, cfg.dupSpanMinDocs)
         .filter(col("dup_frac") <= maxFrac).select(id)
-      mark(quality.join(keep, Seq(idCol), "left_semi"))
+      mark("spans", quality.join(keep, Seq(idCol), "left_semi"))
     }
+    if (persist && !audit.contains("spans")) audit("spans") = audit("quality")
 
     // 3. exact dedup against the corpus fingerprint index
-    val exact = mark(Dedup.dedupDelta(spanGated, state.fingerprints, textCol, idCol))
+    val exact = mark("exact", Dedup.dedupDelta(spanGated, state.fingerprints, textCol, idCol))
 
     // 4. near-dup against corpus + within delta, optional edit verify
     val rawPairs = Dedup.nearDupDelta(state.docs, exact, idCol, textCol,
@@ -346,7 +405,7 @@ object Curation {
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val canonical = Dedup.nearDupClusters(exact, idCol, deltaPairs)
       .filter(col("is_canonical")).select(id)
-    val deduped = mark(exact
+    val deduped = mark("neardup", exact
       .join(corpusLinked, Seq(idCol), "left_anti")
       .join(canonical, Seq(idCol), "left_semi"))
 
@@ -356,14 +415,15 @@ object Curation {
     val contaminated = Dedup.ngramContainmentPairs(deduped, benchCanon, idCol, textCol,
       n = cfg.ngramN, threshold = cfg.contaminationMax)
       .select(col("doc_id").as(idCol)).distinct()
-    val clean = mark(deduped.join(contaminated, Seq(idCol), "left_anti"))
+    val clean = mark("clean", deduped.join(contaminated, Seq(idCol), "left_anti"))
 
     // 6-7. per-row split; pack CONTINUES the corpus's shard streams
-    val split = mark(Split.assignSplit(clean, id, cfg.splits))
+    val split = markSplit(Split.assignSplit(clean, id, cfg.splits), persist, audit)
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val packed = mark(Pack.packSequences(trainTokens, idCol, "n_tokens",
-      cfg.seqBudget, cfg.packShards, shardOffsets = Some(state.shardOffsets)))
-    Stages(canon, quality, spanGated, exact, deduped, clean, split, packed)
+    val packed = markPacked(Pack.packSequences(trainTokens, idCol, "n_tokens",
+      cfg.seqBudget, cfg.packShards, shardOffsets = Some(state.shardOffsets)), persist, audit)
+    Stages(canon, quality, spanGated, exact, deduped, clean, split, packed,
+      counts = audit.toMap)
   }
 }

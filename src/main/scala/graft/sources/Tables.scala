@@ -20,16 +20,30 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with its INT64-nanos `ts` normalized: requires
-    * spark.sql.legacy.parquet.nanosAsLong=true (set by all graft entry
-    * points), then truncates to microsecond TimestampType as `ts`, keeping
-    * the raw nanos in `ts_ns` for sub-µs ordering when needed.
+  /** `events` normalized to two columns regardless of the fixture's physical
+    * encoding of `ts` — the driver has shipped it both as INT64
+    * TIMESTAMP(NANOS) (read as long via
+    * spark.sql.legacy.parquet.nanosAsLong=true) and as TIMESTAMP(MICROS)
+    * (read as TimestampType/TimestampNTZType). Consumers always get:
+    *   - `ts`    microsecond TimestampType (session TZ is UTC everywhere),
+    *   - `ts_ns` epoch-nanos LongType for sub-µs ordering.
+    * Schema-on-read adaptivity mirrors the reference, which parses time
+    * from whatever the source carries (silver/mitma/mitma_od.py:41) rather
+    * than assuming a physical encoding.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer `div`, not `/`: ns epochs (~1.7e18) overflow double precision
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          // integer `div`, not `/`: ns epochs (~1.7e18) overflow double precision
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TimestampType or TimestampNTZType, already µs precision
+        // NTZ→TZ cast is value-preserving under the UTC session timezone
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
 
   /** Register every fixture table of a scale-factor dir as a temp view, so
     * raw `spark.sql` works against the same names the DuckDB oracle uses
