@@ -261,7 +261,40 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe bm25 [sfDir]`: build-vs-serve split of the
+    * BM25 family against the documents fixture — the cost a production
+    * deployment amortizes (index built once, persisted, every query batch
+    * served from the reload) vs what qt28 charges per run (build+serve
+    * fused). Serve is timed against the RELOADED parquet index.
+    */
+  private def bm25Probe(sfDir: String): Unit = {
+    val spark = GraftSession.get()
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 60).as("qtext"))
+    def time[A](name: String)(act: => A): A = {
+      val t0 = System.nanoTime()
+      val r = act
+      println(f"""{"probe":"bm25_$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_probe").toString
+    val built = graft.operators.Retrieval.bm25Index(docs)
+    time("build_persist")(graft.operators.Retrieval.saveBm25Index(built, dir))
+    val idx = graft.operators.Retrieval.loadBm25Index(spark, dir)
+    time("serve_cold")(
+      graft.operators.Retrieval.bm25TopKIndexed(idx, queries, k = 10).count())
+    time("serve_warm")(
+      graft.operators.Retrieval.bm25TopKIndexed(idx, queries, k = 10).count())
+    time("fused_build_serve")(
+      graft.operators.Retrieval.bm25TopK(docs, queries, k = 10).count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bm25"))
+      return bm25Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("semdedup"))
       return semDedupProbe(args.lift(1).map(_.toInt).getOrElse(4000))
     if (args.headOption.contains("shingle")) return shingleProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))

@@ -54,8 +54,27 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75,
                maxDf: Option[Double] = None,
                idCol: String = "doc_id", textCol: String = "text",
-               qidCol: String = "query_id", qtextCol: String = "qtext"): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
+               qidCol: String = "query_id", qtextCol: String = "qtext"): DataFrame =
+    bm25TopKIndexed(bm25Index(docs, idCol, textCol), queries, k, k1, b, maxDf,
+      idCol, qidCol, qtextCol)
+
+  /** The BM25 inverted index — the build-once state the serve half scores
+    * against: `postings` (doc, term, tf) and `docLens` (doc, dl) are
+    * corpus-sized (the things that stay resident at 100 TB); `dfreq`
+    * (term, df) is vocabulary-sized; `stats` is ONE row (n, avgdl). All
+    * four are word-count-shaped aggregations — map-side combinable, one
+    * shuffled row per distinct key.
+    */
+  case class Bm25Index(postings: DataFrame, docLens: DataFrame,
+                       dfreq: DataFrame, stats: DataFrame)
+
+  /** Build the [Bm25Index] of a corpus — the single expensive corpus
+    * pass; serve every query batch against it with [bm25TopKIndexed]
+    * (in-session, or persisted via [saveBm25Index]/[loadBm25Index] the
+    * way a production index lives between query batches).
+    */
+  def bm25Index(docs: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
     val tok = docs.select(col(idCol).as("__doc"),
       explode(graft.functions.Expressions.ngrams(col(textCol), 1)).as("term"))
     val post = tok.groupBy(col("__doc"), col("term"))
@@ -63,6 +82,45 @@ object Retrieval {
     val dl = tok.groupBy(col("__doc")).agg(count(lit(1)).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    Bm25Index(post, dl, dfreq, stats)
+  }
+
+  /** Persist a [Bm25Index] under `dir` (postings/ doclens/ dfreq/ stats/).
+    * tf/df/dl/n/avgdl are integer-valued doubles except avgdl — doubles
+    * round-trip parquet bit-exactly, so a reloaded index serves rankings
+    * bit-identical to the in-session one (RetrievalSpec round-trip).
+    * Postings are written bucket-free and lazy-scanned on reload; at
+    * cluster scale you'd additionally bucket postings/ BY term so the
+    * serve join co-locates without a shuffle of the index side.
+    */
+  def saveBm25Index(index: Bm25Index, dir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+    index.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+    index.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Reload [saveBm25Index] output — every frame stays a lazy parquet
+    * scan (nothing collects to the driver; the one-row stats frame is
+    * broadcast by the serve plan exactly like the in-session build).
+    */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclens"),
+      spark.read.parquet(s"$dir/dfreq"),
+      spark.read.parquet(s"$dir/stats"))
+
+  /** The serve half of [bm25TopK], against a prebuilt [Bm25Index]. */
+  def bm25TopKIndexed(index: Bm25Index, queries: DataFrame, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxDf: Option[Double] = None,
+                      idCol: String = "doc_id",
+                      qidCol: String = "query_id", qtextCol: String = "qtext"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val post = index.postings
+    val dl = index.docLens
+    val stats = index.stats
+    val dfreq = index.dfreq
     val qterms = queries.select(col(qidCol).as("__query"),
         explode(graft.functions.Expressions.ngrams(col(qtextCol), 1)).as("term"))
       .distinct()

@@ -44,4 +44,37 @@ object Skew {
       explode(array((0 until salt).map(lit(_)): _*)))
     saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
   }
+
+  /** [saltedJoin] restricted to the LISTED hot keys — the production shape
+    * when the right side is too large to replicate ×salt wholesale
+    * (replicating the whole right side is only cheap for dims). Rows whose
+    * first key column is in `hotKeys` take the salted path; everything
+    * else takes a plain equi-join with NO explode — the cold path's
+    * shuffle volume is untouched. Row-identical to `left.join(right,
+    * keys)` (inner): the two paths partition the left side by key
+    * membership, so their union covers each joined row exactly once.
+    *
+    * The hot list is typically tiny (the heavy-hitter keys a
+    * count-min/groupBy-topN pass surfaces — at 100 TB you know your
+    * pathological keys); it broadcasts as two `isin` literals, adding no
+    * shuffle. AQE's skew handling remains the first resort; this is for
+    * the keys whose single value exceeds what one task can hold even
+    * after AQE splitting.
+    */
+  def saltedJoinHot(left: DataFrame, right: DataFrame, keys: Seq[String], salt: Int,
+                    hotKeys: Seq[Any], discriminator: Option[String] = None): DataFrame = {
+    require(hotKeys.nonEmpty, "empty hotKeys — use a plain join")
+    val k = col(keys.head)
+    // null-safe complement: a null key never equals a hot key, but
+    // !isin(nulls) evaluates NULL and would silently drop the row from
+    // BOTH paths — inner-join semantics keep null-keyed rows out of the
+    // result only via the join itself, never via the split
+    def isHot(df: DataFrame) = df.filter(df(keys.head).isin(hotKeys: _*))
+    def isCold(df: DataFrame) =
+      df.filter(!df(keys.head).isin(hotKeys: _*) || df(keys.head).isNull)
+    val hot = saltedJoin(isHot(left), isHot(right), keys, salt, discriminator)
+    val cold = isCold(left).join(isCold(right), keys)
+    // unionByName: saltedJoin's drop can reorder columns vs the plain join
+    hot.unionByName(cold)
+  }
 }

@@ -283,6 +283,30 @@ object Curation {
         .localCheckpoint(true),
       shardOffsets = Pack.shardOffsets(st.packed).localCheckpoint(true))
 
+  /** Persist a [CorpusState] under `dir` (docs/ fingerprints/
+    * shard_offsets/) — the artifact a batch run leaves behind and the next
+    * day's [curateDelta] resumes from. This is the REAL storage round-trip
+    * [stateOf]'s localCheckpoint stands in for: docs and fingerprints are
+    * corpus-sized distributed tables (never driver-resident), shard
+    * offsets are `packShards` rows. At cluster scale you'd bucket docs/ BY
+    * id so nearDupDelta's corpus-side reads co-locate.
+    */
+  def saveState(state: CorpusState, dir: String): Unit = {
+    state.docs.write.mode("overwrite").parquet(s"$dir/docs")
+    state.fingerprints.write.mode("overwrite").parquet(s"$dir/fingerprints")
+    state.shardOffsets.coalesce(1).write.mode("overwrite").parquet(s"$dir/shard_offsets")
+  }
+
+  /** Reload [saveState] output — every frame a lazy parquet scan; the
+    * delta pipeline's multiple references re-read storage rather than
+    * holding the corpus resident, exactly as a production resume would.
+    */
+  def loadState(spark: org.apache.spark.sql.SparkSession, dir: String): CorpusState =
+    CorpusState(
+      docs = spark.read.parquet(s"$dir/docs"),
+      fingerprints = spark.read.parquet(s"$dir/fingerprints"),
+      shardOffsets = spark.read.parquet(s"$dir/shard_offsets"))
+
   /** INCREMENTAL curation: one day's `delta` batch through the same
     * stages as [curate], against an already-curated corpus — without
     * ever reprocessing the corpus. The per-stage substitutions are the

@@ -191,34 +191,31 @@ object CurationQ {
         "doc_id", "text", cfgDelta, persist = true))
     }))
 
-  /** The qc02 corpus state, built ONCE per fixture dir and memoized as
-    * plain collected rows (small: the shipped docs + 16-byte fingerprints
-    * + 64 shard offsets). A production delta run READS state persisted by
-    * the previous batch — re-deriving it inside every timed run would
-    * charge the incremental entry for the batch pipeline the bench
-    * already tracks as qc01. Collected rows (not cached frames) so the
-    * memo survives Bench's inter-entry cache isolation and the test
-    * harness's per-suite cleanup; correctness is unaffected — the same
-    * state values feed curateDelta either way, as the oracle (which
-    * re-derives state in SQL) hash-confirms.
+  /** The qc02 corpus state, built ONCE per fixture dir and PERSISTED to a
+    * temp directory via [Curation.saveState] — each run then
+    * [Curation.loadState]s it as lazy parquet scans. A production delta
+    * run READS state persisted by the previous batch — re-deriving it
+    * inside every timed run would charge the incremental entry for the
+    * batch pipeline the bench already tracks as qc01. The filesystem memo
+    * survives Bench's inter-entry cache isolation and the test harness's
+    * per-suite cleanup, and (unlike r7's driver-collected row memo) keeps
+    * the corpus distributed — the exact artifact shape a big-corpus
+    * resume uses, at any scale. Correctness is unaffected: the same state
+    * values feed curateDelta, as the oracle (which re-derives state in
+    * SQL) hash-confirms.
     */
-  private case class LocalFrame(schema: org.apache.spark.sql.types.StructType,
-                                rows: Array[org.apache.spark.sql.Row])
-  private val stateMemo =
-    scala.collection.concurrent.TrieMap.empty[String, (LocalFrame, LocalFrame, LocalFrame)]
+  private val stateMemo = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def deltaState(s: SparkSession, d: String): Curation.CorpusState = {
-    val (docs, fps, offs) = stateMemo.getOrElseUpdate(d, {
+    val dir = stateMemo.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft_qc02_state").toString
       val (corpusRaw, bench, _) = fixtureDelta(s, d)
-      val st = Curation.stateOf(
+      Curation.saveState(Curation.stateOf(
         Curation.stages(corpusRaw, bench, "doc_id", "text", cfgDelta, persist = true),
-        "doc_id", "text")
-      def grab(df: DataFrame) = LocalFrame(df.schema, df.collect())
-      (grab(st.docs), grab(st.fingerprints), grab(st.shardOffsets))
+        "doc_id", "text"), out)
+      out
     })
-    def mk(f: LocalFrame): DataFrame =
-      s.createDataFrame(java.util.Arrays.asList(f.rows: _*), f.schema)
-    Curation.CorpusState(mk(docs), mk(fps), mk(offs))
+    Curation.loadState(s, dir)
   }
 
   private val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"

@@ -228,6 +228,23 @@ object Extras {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Hot-key-split variant: salts ONLY the listed heavy-hitter keys (here
+    // the top-2 orderkeys by lineitem count, derived in-query the way a
+    // production heavy-hitter pass would); the cold path joins
+    // replication-free. Oracle = the same UNSALTED SQL join as q42.
+    "q42h_skew_hotkey" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val o = T(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val hot = li.groupBy(col("l_orderkey")).count()
+        .orderBy(col("count").desc, col("l_orderkey").asc).limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      graft.operators.Skew.saltedJoinHot(li, o, Seq("l_orderkey"), salt = 8, hotKeys = hot)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Approximate distinct (HLL++) next to the exact count. The estimate
     // itself is estimator-specific (Spark HLL++ vs DuckDB HLL disagree by
     // design), so the cross-engine contract is the TOLERANCE: each engine
@@ -519,6 +536,11 @@ object Extras {
         |FROM e ASOF LEFT JOIN o
         | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts_us""".stripMargin,
     "q42_skew_join" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q42h_skew_hotkey" ->
       """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

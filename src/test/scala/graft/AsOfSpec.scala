@@ -63,6 +63,31 @@ class AsOfSpec extends SparkSpec {
     assert(got === Map("nullkey" -> None, "keyed" -> Some(100.0)))
   }
 
+  test("saltedJoinHot is row-identical to the plain inner join (dup rows, null keys, hot misses)") {
+    // key 1 is hot (60% of rows), key 7 is listed hot but absent from the
+    // right side, nulls never match, and byte-identical duplicate left rows
+    // must keep their multiplicity through the union of the two paths
+    val left = (Seq.tabulate(100)(i => (Option(if (i % 5 < 3) 1 else i % 5), s"l$i")) ++
+      Seq((Some(1), "dup"), (Some(1), "dup"), (None, "nul"), (Some(7), "hotmiss")))
+      .toDF("k", "lv")
+    val right = Seq((Some(0), "r0"), (Some(1), "r1"), (Some(1), "r1b"),
+      (Some(2), "r2"), (None, "rnul")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+    val hot = Skew.saltedJoinHot(left, right, Seq("k"), salt = 4, hotKeys = Seq(1, 7))
+    assert(hot.exceptAll(plain).isEmpty && plain.exceptAll(hot).isEmpty)
+    assert(hot.count() === plain.count())
+  }
+
+  test("saltedJoinHot plan: explode only on the hot branch, cold branch replication-free") {
+    val left = Seq.tabulate(50)(i => (i % 5, s"l$i")).toDF("k", "lv")
+    val right = Seq.tabulate(10)(i => (i, s"r$i")).toDF("k", "rv")
+    val plan = Skew.saltedJoinHot(left, right, Seq("k"), salt = 8, hotKeys = Seq(1))
+      .queryExecution.executedPlan.toString
+    // exactly one Generate(explode): the hot branch's salt replication —
+    // the cold branch joins unreplicated or the operator defeats its point
+    assert("(?i)generate".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
+
   test("saltedJoin stays a drop-in when the left frame carries a map column") {
     val left = Seq.tabulate(20)(i => (i % 3, s"l$i", Map("a" -> i)))
       .toDF("k", "lv", "attrs")

@@ -123,6 +123,26 @@ class CurationSpec extends SparkSpec {
     assert(partials === 0, "a non-final sequence is not exactly budget tokens")
   }
 
+  test("CorpusState round-trips through parquet: resumed delta identical to in-session state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_rt").toString
+    val batch = Curation.stages(corpus, benchmark, "doc_id", "text", persist = true)
+    val state = Curation.stateOf(batch, "doc_id", "text")
+    Curation.saveState(state, dir)
+    val reloaded = Curation.loadState(spark, dir)
+    // every frame is a lazy storage scan — the corpus never sits on the driver
+    assert(reloaded.docs.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    val fromMem = Curation.curateDelta(state, delta, benchmark, "doc_id", "text",
+      persist = true)
+    val fromDisk = Curation.curateDelta(reloaded, delta, benchmark, "doc_id", "text",
+      persist = true)
+    assert(fromDisk.split.select("doc_id").as[Long].collect().toSet ===
+      fromMem.split.select("doc_id").as[Long].collect().toSet)
+    // offset-continued packing resumes identically from the reloaded offsets
+    assert(fromDisk.packed.select("shard", "seq", "tok_len").collect().toSet ===
+      fromMem.packed.select("shard", "seq", "tok_len").collect().toSet)
+    assert(fromDisk.counts === fromMem.counts)
+  }
+
   // --- boilerplate span gate (Lee et al. 2021) ---
   // a 10-token template shared verbatim across docs whose SURROUNDING text
   // differs — document-level Jaccard at 0.85 never pairs them (J ≈ 0.2-0.6

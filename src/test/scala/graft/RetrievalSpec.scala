@@ -65,4 +65,30 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(generous === uncapped)
   }
+
+  test("bm25 persisted index round-trips: reloaded serve is bit-identical, frames stay lazy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    val q = Seq((7L, "garlic oil"), (101L, "spark optimizer")).toDF("query_id", "qtext")
+    val built = Retrieval.bm25Index(corpus)
+    val inSession = Retrieval.bm25TopKIndexed(built, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Retrieval.saveBm25Index(built, dir)
+    val reloaded = Retrieval.loadBm25Index(spark, dir)
+    val served = Retrieval.bm25TopKIndexed(reloaded, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === inSession)
+    // the one-shot path is definitionally build+serve of the same index
+    val oneShot = Retrieval.bm25TopK(corpus, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === oneShot)
+    // the reloaded postings frame is a parquet scan, not a derived plan —
+    // the 100 TB store is served in place, never rebuilt or collected
+    assert(reloaded.postings.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    // the df-cap prunes identically against a reloaded index
+    val capped = Retrieval.bm25TopKIndexed(reloaded, q, k = 5, maxDf = Some(2.0))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val cappedDirect = Retrieval.bm25TopK(corpus, q, k = 5, maxDf = Some(2.0))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(capped === cappedDirect)
+  }
 }
