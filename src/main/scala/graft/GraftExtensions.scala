@@ -117,5 +117,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, s"graft_strip_accents takes 1 argument, got ${args.length}")
         Expressions.StripAccents(args.head)
       }))
+
+    // Composed Column functions (TextFns) exposed to SQL: the factory
+    // wraps the incoming child Expression as a Column, builds the same
+    // tree the Scala API builds, and unwraps — SQL and Column callers
+    // share ONE definition, so they cannot drift (SqlSurfaceSpec pins
+    // equality). These are plain compositions of codegen'd built-ins; no
+    // UDF crosses this seam.
+    def composed1(name: String, usage: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name takes 1 argument, got ${args.length}")
+          // converted (not expression): the builder's return tree feeds the
+          // analyzer directly, so it must be catalyst nodes, not a lazy
+          // ColumnNodeExpression wrapper (which would reach codegen unresolved)
+          org.apache.spark.sql.graftbridge.Bridge.converted(
+            f(org.apache.spark.sql.graftbridge.Bridge.column(args.head)))
+        }))
+    composed1("graft_token_count",
+      "graft_token_count(text) - whitespace token count; null text -> null.")(
+      graft.functions.TextFns.tokenCount)
+    composed1("graft_subword_count",
+      "graft_subword_count(text) - BPE-ish sub-word count (letter runs, digit runs, punct).")(
+      graft.functions.TextFns.subwordCount)
+    composed1("graft_quality_score",
+      "graft_quality_score(text) - [0,1] doc-quality heuristic (length, word length, " +
+        "punctuation, stopword ratios; default stopword profiles).")(
+      graft.functions.TextFns.qualityScore(_))
+    composed1("graft_lang_id",
+      "graft_lang_id(text) - stopword-profile language id (en/es/fr/de or und).")(
+      graft.functions.TextFns.LangId.langId)
+    composed1("graft_scrub_pii",
+      "graft_scrub_pii(text) - redact emails/IPv4/phone runs to <EMAIL>/<IP>/<PHONE>.")(
+      graft.functions.TextFns.scrubPii)
+    composed1("graft_fingerprint",
+      "graft_fingerprint(text) - md5 of whitespace-normalized lowercase text.")(
+      graft.functions.TextFns.fingerprint)
+    composed1("graft_fingerprint64",
+      "graft_fingerprint64(text) - xxhash64 of whitespace-normalized lowercase text.")(
+      graft.functions.TextFns.fingerprint64)
   }
 }

@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly CONVERT a Column's node tree to a catalyst Expression
+    * (UnresolvedFunction-containing, analyzer-resolvable) — unlike
+    * [expression], whose lazy ColumnNodeExpression wrapper is only
+    * unwrapped by the classic Dataset API paths and reaches codegen
+    * unconverted when returned from an injected SQL FunctionBuilder.
+    */
+  def converted(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

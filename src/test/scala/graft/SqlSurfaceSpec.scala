@@ -58,4 +58,29 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[Long].head()
     assert(terms > 0)
   }
+
+  test("composed TextFns are SQL-callable and identical to the Column API") {
+    Tables.registerAll(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val fns = graft.functions.TextFns
+    // SQL and Column sides share one definition via the extension factory;
+    // this pins the wiring (arg threading, null handling) row-for-row
+    val sql = spark.sql(
+      """SELECT doc_id, graft_token_count(text) AS tc, graft_subword_count(text) AS sw,
+        |  graft_quality_score(text) AS q, graft_lang_id(text) AS lang,
+        |  graft_scrub_pii(text) AS scrubbed, graft_fingerprint(text) AS fp,
+        |  graft_fingerprint64(text) AS fp64
+        |FROM documents""".stripMargin)
+    val api = Tables.table(spark, sf, "documents").select(col("doc_id"),
+      fns.tokenCount(col("text")).as("tc"), fns.subwordCount(col("text")).as("sw"),
+      fns.qualityScore(col("text")).as("q"), fns.LangId.langId(col("text")).as("lang"),
+      fns.scrubPii(col("text")).as("scrubbed"), fns.fingerprint(col("text")).as("fp"),
+      fns.fingerprint64(col("text")).as("fp64"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty,
+      "SQL-registered composed functions diverged from the Column API")
+    // null threading: composed functions must not throw on null text
+    val n = spark.sql("SELECT graft_quality_score(NULL) AS q, graft_token_count(NULL) AS t")
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
 }
