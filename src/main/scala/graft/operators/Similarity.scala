@@ -764,6 +764,18 @@ object Similarity {
       .reduce(_ + _)
     val scored = enc.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("qsim", adc / (col("qn") * col("cn")))
+    pqRankTail(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** Shared ADC-ranking tail: shortlist by the quantized score, then
+    * (rerank > 0) re-score the shortlist with exact float cosine — used
+    * by the exhaustive-ADC [pqTopKIndexed] and the cell-pruned
+    * [ivfPqTopKIndexed], which differ only in how `scored` candidates
+    * were generated.
+    */
+  private def pqRankTail(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+                         k: Int, rerank: Int,
+                         idCol: String, vecCol: String): DataFrame = {
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("corpus_id").asc)
     if (rerank <= 0) {
@@ -788,4 +800,82 @@ object Similarity {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
     }
   }
+
+  /** Composed IVF+PQ index (the Faiss-IVFPQ production shape): a coarse
+    * IVF quotient over full vectors assigns each code row a `cell`, so
+    * the ADC scan that [pqTopKIndexed] runs exhaustively touches only the
+    * nProbe probed cells — candidate generation becomes a cell EQUI-join
+    * (nProbe/nlist of the store) while scoring stays m byte-code table
+    * lookups per candidate. At 100 TB this is the serving layout: codes
+    * partitioned by cell on storage, a query batch reads only its probed
+    * partitions, and the two driver-resident artifacts (nlist×dim
+    * centroids, m×ksub×dsub codebooks) stay tiny.
+    */
+  case class IvfPqIndex(centroids: Array[Array[Float]], pq: PqIndex)
+
+  /** Build the composed index: coarse centroids + PQ codebooks/codes with
+    * each code row's home cell attached.
+    */
+  def ivfPqIndex(corpus: DataFrame, nlist: Int = 16,
+                 m: Int = 4, ksub: Int = 16, lloydIters: Int = 1,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 trainFraction: Double = 1.0,
+                 oracleMode: Boolean = false): IvfPqIndex = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = trainCentroids(c, nlist, lloydIters, trainFraction, oracleMode)
+    val base = pqIndex(corpus, m, ksub, lloydIters, idCol, vecCol, trainFraction, oracleMode)
+    val cells = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"),
+        nearestCells(centroids, 1)(col(vecCol)).getItem(0).as("cell"))
+    IvfPqIndex(centroids, PqIndex(base.codebooks, base.codes.join(cells, "corpus_id")))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ksub: Int = 16, lloydIters: Int = 1, rerank: Int = 25,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                trainFraction: Double = 1.0,
+                oracleMode: Boolean = false): DataFrame =
+    ivfPqTopKIndexed(
+      ivfPqIndex(corpus, nlist, m, ksub, lloydIters, idCol, vecCol, trainFraction, oracleMode),
+      corpus, queries, k, nProbe, rerank, idCol, vecCol)
+
+  /** The query half of [ivfPqTopK]: probe nProbe cells, ADC-score only
+    * the codes homed there, rank (optional exact rerank of the
+    * shortlist). Each corpus row has exactly ONE home cell and a query
+    * probes nProbe DISTINCT cells, so a candidate materializes at most
+    * once — no dedup pass (the [ivfTopKCentroids] argument, inherited).
+    */
+  def ivfPqTopKIndexed(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                       k: Int, nProbe: Int = 4, rerank: Int = 25,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank <= 0 || rerank >= k,
+      s"rerank shortlist ($rerank) must be at least k ($k), or <= 0 for pure ADC")
+    val cb = index.pq.codebooks
+    val m = cb.length
+    val ksub = cb(0).length
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("tab", adcTable(cb)(col("qv")))
+      .withColumn("cell", explode(nearestCells(index.centroids, nProbe)(col("qv"))))
+      .select("query_id", "qn", "tab", "cell")
+    val adc = (0 until m).map(j =>
+        element_at(col("tab"), col("codes").getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    val scored = index.pq.codes.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("qsim", adc / (col("qn") * col("cn")))
+    pqRankTail(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** Persist/reload the composed index: centroids/ + the [savePqIndex]
+    * layout (codes carry their `cell` column through the round-trip).
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    saveCentroids(index.centroids, s"$dir/centroids", index.pq.codes.sparkSession)
+    savePqIndex(index.pq, dir)
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex(loadCentroids(spark, s"$dir/centroids"), loadPqIndex(spark, dir))
 }

@@ -371,16 +371,21 @@ object TextOps {
     * unrounded doubles, so the shortlist ranking is bit-equal across
     * engines.
     */
-  private def pqScoreCtes(vtag: String, cbTag: String, m: Int): String = {
+  private def pqScoreCtes(vtag: String, cbTag: String, m: Int,
+                          pairsFrom: Option[String] = None): String = {
     val joins = (0 until m).map(j =>
       s"""JOIN code$cbTag$j c$j ON c$j.vec_id = p.corpus_id
          |   JOIN tab$cbTag$j t$j ON t$j.query_id = p.query_id AND t$j.cell = c$j.code""".stripMargin)
       .mkString("\n   ")
     val sum = (0 until m).map(j => s"t$j.tv").mkString(" + ")
+    // default: the exhaustive ADC scan; pairsFrom names a candidate CTE
+    // (query_id, corpus_id) — e.g. an IVF cnd$tag — for cell-pruned IVFPQ
+    val pairs = pairsFrom.getOrElse(
+      """(SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |      FROM hh q JOIN hh c ON q.vec_id < 20 AND q.vec_id != c.vec_id)""".stripMargin)
     s"""qsc$vtag AS (SELECT p.query_id, p.corpus_id,
        |     ($sum) / (qn.nv * cn.nv) AS qsim
-       |   FROM (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
-       |      FROM hh q JOIN hh c ON q.vec_id < 20 AND q.vec_id != c.vec_id) p
+       |   FROM $pairs p
        |   $joins
        |   JOIN nrm qn ON qn.vec_id = p.query_id
        |   JOIN nrm cn ON cn.vec_id = p.corpus_id)""".stripMargin
@@ -709,6 +714,24 @@ object TextOps {
             lloydIters = 1, rerank = 25, oracleMode = true)),
           ((8, 16, 25), Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 16,
             lloydIters = 1, rerank = 25, oracleMode = true))))
+    }),
+
+    // Composed IVF+PQ (the Faiss-IVFPQ production shape): coarse cells
+    // prune the ADC scan to nProbe/nlist of the code store. Recall vs the
+    // exact baseline per (n_probe, rerank) operating point, hash-verified
+    // against a DuckDB twin that composes the SAME ivf-assignment and
+    // PQ-codebook CTE chains the qt10/qt27 oracles pin individually.
+    "qt30_ivfpq_recall" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
+        Seq("query_id", "corpus_id"), ("n_probe", "nlist", "rerank"),
+        Seq(((4, 16, 0), Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nProbe = 4,
+            m = 4, ksub = 16, lloydIters = 1, rerank = 0, oracleMode = true)),
+          ((4, 16, 25), Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nProbe = 4,
+            m = 4, ksub = 16, lloydIters = 1, rerank = 25, oracleMode = true)),
+          ((14, 16, 25), Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nProbe = 14,
+            m = 4, ksub = 16, lloydIters = 1, rerank = 25, oracleMode = true))))
     }),
 
     // Embedding-cosine near-dup, exact all-pairs (quadratic baseline —
@@ -1662,6 +1685,64 @@ object TextOps {
          |SELECT 4 AS m, 16 AS ksub, 0 AS rerank, rec AS recall_vs_brute FROM rv1
          |UNION ALL SELECT 4, 16, 25, rec FROM rv2
          |UNION ALL SELECT 8, 16, 25, rec FROM rv3""".stripMargin
+    },
+
+    // IVFPQ recall: ONE shared ivf assignment (asgz) + ONE shared PQ
+    // codebook chain (pqCtes "z") feed three operating points — candidates
+    // cell-pruned per nProbe, ADC-scored via pqScoreCtes with the IVF
+    // candidate CTE swapped in for the exhaustive pair scan.
+    "qt30_ivfpq_recall" -> {
+      def cndCte(tag: String, nProbe: Int): String =
+        s"""cnd$tag AS (SELECT p.query_id, h.corpus_id
+           |   FROM (SELECT vec_id AS query_id, cell FROM asgz
+           |          WHERE vec_id < 20 AND crnk <= $nProbe) p
+           |   JOIN (SELECT vec_id AS corpus_id, cell FROM asgz WHERE crnk = 1) h
+           |     ON p.cell = h.cell AND p.query_id != h.corpus_id)""".stripMargin
+      def recallCte(rtag: String, src: String): String =
+        s"""r$rtag AS (SELECT round(avg(CASE WHEN t.corpus_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exact e LEFT JOIN $src t
+           |     ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)""".stripMargin
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | nrm AS MATERIALIZED (SELECT vec_id,
+         |     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+         |   FROM hh),
+         | exact AS (SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |       round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |         i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+         |       (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |        sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+         |       c.vec_id ASC) AS rnk
+         |   FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         | ${ivfAssignCtes("z", nlist = 16)},
+         | ${pqCtes("z", m = 4, ksub = 16)},
+         | ${cndCte("v1", nProbe = 4)},
+         | ${pqScoreCtes("v1", "z", m = 4, pairsFrom = Some("cndv1"))},
+         | tkv1 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS rnk
+         |     FROM qscv1) WHERE rnk <= 5),
+         | slv2 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
+         |     FROM qscv1) WHERE qrnk <= 25),
+         | ${cosineTopkCtes("v2", "slv2", 5)},
+         | ${cndCte("v3", nProbe = 14)},
+         | ${pqScoreCtes("v3", "z", m = 4, pairsFrom = Some("cndv3"))},
+         | slv3 AS (SELECT query_id, corpus_id FROM (
+         |     SELECT query_id, corpus_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, corpus_id ASC) AS qrnk
+         |     FROM qscv3) WHERE qrnk <= 25),
+         | ${cosineTopkCtes("v3", "slv3", 5)},
+         | ${recallCte("v1", "tkv1")},
+         | ${recallCte("v2", "topkv2")},
+         | ${recallCte("v3", "topkv3")}
+         |SELECT 4 AS n_probe, 16 AS nlist, 0 AS rerank, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 4, 16, 25, rec FROM rv2
+         |UNION ALL SELECT 14, 16, 25, rec FROM rv3""".stripMargin
     },
 
     // Pair-set recall of the LSH-bucketed near-dup variants vs the exact

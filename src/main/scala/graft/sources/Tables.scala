@@ -163,4 +163,24 @@ object Tables {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*).parquet(path)
   }
+
+  /** Bucketed sink: persist `df` as a managed table hash-bucketed (and
+    * sorted) BY the join/aggregation keys. This is the co-location
+    * investment the 100 TB design notes point at (postings BY term,
+    * corpus state BY id, fact tables BY their FK): two tables bucketed
+    * the same way equi-join with NO shuffle on either side — the
+    * SortMergeJoin reads bucket i against bucket i directly
+    * (PipelineSpec gates the Exchange-free plan). Parquet + metastore
+    * bucketing (Spark's native hash partitioning contract survives
+    * restarts; a plain path write drops bucket metadata).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketBy: Seq[String],
+                    nBuckets: Int): Unit = {
+    require(bucketBy.nonEmpty && nBuckets > 0, "bucket columns + positive count required")
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketBy.head, bucketBy.tail: _*)
+      .sortBy(bucketBy.head, bucketBy.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -209,4 +209,31 @@ class PipelineSpec extends SparkSpec {
     // partitioned managed fact table still prunes on the partition key
     assert(spark.table("silver_od").count() === 3L)
   }
+
+  test("writeBucketed: same-bucketed tables equi-join with no shuffle on either side") {
+    import org.apache.spark.sql.functions._
+    val facts = spark.range(1000).select(
+      (col("id") % 100).as("k"), (col("id") * 2).as("v"))
+    val dims = spark.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    graft.sources.Tables.writeBucketed(facts, "bkt_facts", Seq("k"), nBuckets = 8)
+    graft.sources.Tables.writeBucketed(dims, "bkt_dims", Seq("k"), nBuckets = 8)
+    // force the sort-merge path (broadcast would mask the co-location)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // plan string sans AQE wrappers
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must read bucket i vs bucket i, no shuffle:\n${plan.take(1500)}")
+      assert(joined.count() === 1000L)
+      // the same join WITHOUT bucketing shuffles both sides — the control
+      val plainPlan = facts.join(dims, "k").queryExecution.executedPlan.toString
+      assert(plainPlan.contains("Exchange"), "control: unbucketed join should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

@@ -90,6 +90,22 @@ class PlanSpec extends SparkSpec {
     assert(!pairSide.contains("BatchEvalPython"), s"python in plan:\n$p")
   }
 
+  test("ivfPqTopK: cell-pruned candidates via broadcast EQUI-join, codes unshuffled, no BNLJ") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 3,
+      nlist = 16, nProbe = 4, m = 4, ksub = 16, lloydIters = 1, rerank = 0,
+      oracleMode = true)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the whole point vs pqTopK: candidate generation is a hash join on
+    // cell (probes broadcast), NOT an exhaustive nested-loop pairing —
+    // and the code store still streams to it with no shuffle
+    assert(p.contains("BroadcastHashJoin [cell"), s"no cell equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"exhaustive pairing crept in:\n$p")
+    val joinIdx = p.indexOf("BroadcastHashJoin [cell")
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"code store shuffled before the cell join:\n$p")
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.overwrite(Tables.table(spark, sf, "customer"), dir, partitionBy = Seq("c_mktsegment"))

@@ -294,4 +294,33 @@ class SimilaritySpec extends SparkSpec {
       .filter($"over").count()
     assert(over === 0)
   }
+
+  test("ivfPqTopK: full probe ≡ exhaustive-ADC pqTopK; index round-trips bit-identical") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    // probing EVERY cell makes the cell pruning a no-op: the composed path
+    // must equal the exhaustive ADC scan exactly, in both ranking branches
+    for (rerank <- Seq(0, 25)) {
+      val composed = Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nProbe = 16,
+          m = 4, ksub = 16, lloydIters = 1, rerank = rerank, oracleMode = true)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val exhaustive = Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16,
+          lloydIters = 1, rerank = rerank, oracleMode = true)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(composed === exhaustive, s"full-probe IVFPQ != exhaustive ADC at rerank=$rerank")
+    }
+    // persisted round-trip: centroids + codebooks + cell-tagged codes
+    val idx = Similarity.ivfPqIndex(e, nlist = 16, m = 4, ksub = 16,
+      lloydIters = 1, oracleMode = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.saveIvfPqIndex(idx, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    val mem = Similarity.ivfPqTopKIndexed(idx, e, q, k = 5, nProbe = 4, rerank = 25)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val disk = Similarity.ivfPqTopKIndexed(loaded, e, q, k = 5, nProbe = 4, rerank = 25)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(disk === mem, "persisted IVFPQ index diverged from in-session")
+    // pruned serve returns k rows per query like the exhaustive path
+    assert(mem.groupBy(_._1).forall(_._2.size == 5))
+  }
 }
