@@ -143,6 +143,45 @@ object Streams {
     deduped.unionByName(hashed.filter(col("__simhash").isNull)).drop("__simhash")
   }
 
+  /** Streaming front-gate of the curation pipeline (the arrival-time twin
+    * of Curation.stages 1-3): canonicalize (NFC + PII scrub) → row-local
+    * quality gates → in-horizon content dedup (exact fingerprint, then
+    * token-multiset SimHash), emitting the canonical text plus the
+    * quality/langid columns a downstream batch run reads. Everything
+    * before the dedup state is a stateless map (scales with input, no
+    * shuffle); the dedup state is two watermark-pruned hash sets of
+    * 8-byte keys. This is the "wash at the door" deployment: a daily
+    * [graft.pipeline.Curation.curateDelta] batch still runs the
+    * corpus-aware stages (near-dup vs corpus, decontamination, packing)
+    * that need an index no stream can hold.
+    */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+                   tsCol: String = "ts",
+                   minTokens: Int = 20, minQuality: Double = 0.5,
+                   watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.{TextFns, Expressions}
+    val canon = docs.withColumn(textCol,
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")))
+    val gated = canon
+      .filter(TextFns.tokenCount(col(textCol)) >= minTokens &&
+        TextFns.qualityScore(col(textCol)) >= minQuality)
+    // exact-content dedup first (formatting-noise-insensitive fingerprint),
+    // then the SimHash multiset guard — same order as the batch stages.
+    // ONE watermark serves both stateful operators (a stream's watermark
+    // cannot be redefined); no null-key branches needed here: the quality
+    // gate already rejected null/empty text, so both hashes are non-null
+    // by construction.
+    gated
+      .withColumn("__fp", TextFns.fingerprint64(col(textCol)))
+      .withColumn("__simhash", Expressions.simhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__fp", "__simhash")
+      .withColumn("quality", TextFns.qualityScore(col(textCol)))
+      .withColumn("lang", TextFns.LangId.langId(col(textCol)))
+  }
+
   /** Stream-static enrichment: join each micro-batch against a slowly
     * changing dimension (the streaming twin of the silver pipeline's
     * zone/holiday lookups). The dimension is broadcast — per micro-batch,

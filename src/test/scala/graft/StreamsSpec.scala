@@ -141,6 +141,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: scrub + gates + exact/simhash dedup compose in one streaming query") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(
+      (1L, ts(0), "the quick brown fox jumps over the dog"),   // survivor
+      (2L, ts(1), "too short"),                                 // gated: < 4 tokens
+      (3L, ts(2), "the  quick brown fox jumps over the dog"),   // ws-noise exact dup of 1 → fingerprint drop
+      (4L, ts(3), "dog the over jumps fox brown quick the"),    // multiset permutation of 1 → simhash drop
+      (5L, ts(4), "a completely different document about reach me at a@b.co")) // survivor, PII scrubbed
+    val q = Streams.curateStream(input.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", minTokens = 4, minQuality = 0.0)
+      .writeStream.format("memory").queryName("cur8").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cur8").select($"doc_id", $"text", $"lang")
+        .as[(Long, String, String)].collect().map(t => t._1 -> t).toMap
+      assert(out.keySet === Set(1L, 5L), s"got ${out.keySet}")
+      // canonicalization happened before emission: the email is redacted
+      assert(out(5L)._2.contains("<EMAIL>") && !out(5L)._2.contains("a@b.co"))
+      // the enrichment columns rode along
+      assert(out(1L)._3 === "en")
+    } finally q.stop()
+  }
+
   test("simhashDedupStream drops token-multiset duplicates, keeps distinct text") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
