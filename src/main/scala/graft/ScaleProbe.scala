@@ -351,6 +351,18 @@ object ScaleProbe {
     println(f"""{"probe":"pq_m8_load","n":$n,"dim":$dim,"sec":${(System.nanoTime() - tL) / 1e9}%.2f}""")
     time("pq_m8_serve_from_store_rerank50")(
       Similarity.pqTopKIndexed(reloaded, corpus, queries, k = 5, rerank = 50))
+    // composed IVF+PQ: same codes, but the ADC scan touches only the
+    // nProbe/nlist probed cells — the crossover vs the exhaustive ADC scan
+    // is the whole point of the composition (build charged separately,
+    // codes frozen like the PQ path so serve-vs-serve is like-for-like)
+    val tC = System.nanoTime()
+    val ivfpq = Similarity.ivfPqIndex(corpus, nlist = 64, m = 8, ksub = 16,
+      lloydIters = 1, trainFraction = 0.1)
+    val frozenC = Similarity.IvfPqIndex(ivfpq.centroids,
+      ivfpq.pq.copy(codes = ivfpq.pq.codes.localCheckpoint(true)))
+    println(f"""{"probe":"ivfpq_64_m8_build","n":$n,"dim":$dim,"sec":${(System.nanoTime() - tC) / 1e9}%.2f}""")
+    time("ivfpq_64_probe8_m8_rerank50")(
+      Similarity.ivfPqTopKIndexed(frozenC, corpus, queries, k = 5, nProbe = 8, rerank = 50))
     spark.stop()
   }
 }

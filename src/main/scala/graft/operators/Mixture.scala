@@ -48,4 +48,39 @@ object Mixture {
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** Per-source document quota (the C4/RefinedWeb-style domain-balancing
+    * step): keep at most `quota` documents per `sourceCol` value, best
+    * first by `rankBy` (descending; `idCol` ascending breaks ties
+    * deterministically).
+    *
+    * `preBuckets` is the skew valve. 0 = one rank window per source —
+    * fine when no single source dwarfs a task. At 100 TB the heavy-hitter
+    * domain IS the skewed key, and one task would sort it alone; with
+    * preBuckets = b > 0 a first window ranks within (source,
+    * content-hash-bucket) and keeps `quota` per bucket, bounding the
+    * final per-source window to b·quota rows regardless of source size.
+    * Output-identical to the plain path by construction: a row outside
+    * its bucket's top-quota is outranked by quota rows of its own source
+    * and can never be in the source's global top-quota. The bucket hash
+    * keys on (rank value, id) — the DETERMINISTIC row identity the final
+    * ordering also uses — never on ordinals (SPARK-23207).
+    */
+  def sourceQuota(docs: DataFrame, sourceCol: String, idCol: String,
+                  quota: Int, rankBy: Column,
+                  preBuckets: Int = 0): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1: $quota")
+    import org.apache.spark.sql.expressions.Window
+    val pruned = if (preBuckets <= 0) docs else {
+      val bw = Window
+        .partitionBy(col(sourceCol),
+          pmod(xxhash64(rankBy, col(idCol)), lit(preBuckets)))
+        .orderBy(rankBy.desc, col(idCol).asc)
+      docs.withColumn("__pr", row_number().over(bw))
+        .filter(col("__pr") <= quota).drop("__pr")
+    }
+    val w = Window.partitionBy(col(sourceCol)).orderBy(rankBy.desc, col(idCol).asc)
+    pruned.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= quota).drop("__r")
+  }
 }

@@ -886,6 +886,16 @@ object TextOps {
         key = col("doc_id"))
     }),
 
+    // Per-source quota (C4/RefinedWeb-style domain balancing): top-50
+    // docs per source by length, skew-safe two-phase path (preBuckets=8:
+    // rank within (source, hash-bucket) first, bounding the final window
+    // to 8·quota rows per source) — output-identical to the plain window,
+    // which is exactly what the one-window SQL oracle runs.
+    "qt31_source_quota" -> ((s, d) =>
+      graft.operators.Mixture.sourceQuota(T(s, d, "documents"),
+          "source", "doc_id", quota = 50, rankBy = col("n_chars"), preBuckets = 8)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // Corpus vocabulary: top-10 token bigrams per language block — the
     // word-count-shaped reduction behind tokenizer training and corpus
     // reports; deterministic (count desc, gram asc) tiebreak.
@@ -1360,6 +1370,13 @@ object TextOps {
         |SELECT doc_id, 0::BIGINT AS mix_epoch, 'en' AS mix_source FROM en
         |UNION ALL SELECT doc_id, 1::BIGINT, 'en' FROM en WHERE u < 0.5
         |UNION ALL SELECT doc_id, 0::BIGINT, 'es' FROM es WHERE u < 0.4""".stripMargin,
+    // the oracle runs the PLAIN one-window formulation — the Spark entry's
+    // two-phase skew path must be row-identical to it
+    "qt31_source_quota" ->
+      """SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |   row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        | FROM documents) WHERE rn <= 50""".stripMargin,
     "qt16_pack" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents),

@@ -71,4 +71,29 @@ class MixtureSpec extends SparkSpec {
     val matchRows = li.join(small.select("s_suppkey"), "s_suppkey").count()
     assert(survivors.count() === matchRows)
   }
+
+  test("sourceQuota: caps each source at quota, best-ranked first; two-phase ≡ plain window") {
+    val docs = Tables.table(spark, sf, "documents")
+    val plain = Mixture.sourceQuota(docs, "source", "doc_id", quota = 7,
+      rankBy = $"n_chars")
+    // every source at most 7 docs; a source with >= 7 docs is exactly 7
+    val perSource = plain.groupBy("source").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (s, n) =>
+      assert(perSource.getOrElse(s, 0L) === math.min(n, 7L), s"source $s") }
+    // kept docs are each source's longest (no kept doc is outranked by a
+    // dropped doc of the same source)
+    val minKept = plain.groupBy("source").agg(min($"n_chars").as("mn"))
+    val violations = docs.join(plain.select($"doc_id").withColumn("__k", lit(1)),
+        Seq("doc_id"), "left").filter($"__k".isNull)
+      .join(minKept, "source").filter($"n_chars" > $"mn").count()
+    assert(violations === 0L)
+    // the skew-safe two-phase path is row-identical for every bucket count
+    for (b <- Seq(2, 8, 64)) {
+      val two = Mixture.sourceQuota(docs, "source", "doc_id", quota = 7,
+        rankBy = $"n_chars", preBuckets = b)
+      assert(two.exceptAll(plain).isEmpty && plain.exceptAll(two).isEmpty,
+        s"two-phase (preBuckets=$b) diverged from the plain window")
+    }
+  }
 }
