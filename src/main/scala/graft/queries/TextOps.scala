@@ -896,6 +896,24 @@ object TextOps {
           "source", "doc_id", quota = 50, rankBy = col("n_chars"), preBuckets = 8)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // Corpus audit report: per-(source, lang) docs/tokens/mean-quality/
+    // exact median length — the shipped-corpus accounting table every
+    // curation run materializes.
+    "qt32_corpus_report" -> ((s, d) =>
+      graft.operators.Report.corpusReport(T(s, d, "documents"),
+        "source", "lang", "text")),
+
+    // Rank-based global quality cut: keep the best 60% per language —
+    // the per-block fraction a fixed threshold can't express when score
+    // distributions differ by block. Exact ceil(frac·n) survivors.
+    "qt33_top_fraction" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextFns.qualityScore(col("text")).as("quality"))
+      graft.operators.Report.topFractionBy(docs, Seq("lang"), "doc_id",
+          fraction = 0.6, rankBy = col("quality"))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+    }),
+
     // Corpus vocabulary: top-10 token bigrams per language block — the
     // word-count-shaped reduction behind tokenizer training and corpus
     // reports; deterministic (count desc, gram asc) tiebreak.
@@ -1370,6 +1388,57 @@ object TextOps {
         |SELECT doc_id, 0::BIGINT AS mix_epoch, 'en' AS mix_source FROM en
         |UNION ALL SELECT doc_id, 1::BIGINT, 'en' FROM en WHERE u < 0.5
         |UNION ALL SELECT doc_id, 0::BIGINT, 'es' FROM es WHERE u < 0.4""".stripMargin,
+    "qt32_corpus_report" -> {
+      val stopList = TextFns.LangId.profiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("(", ",", ")")
+      s"""WITH t AS (SELECT source, lang,
+         |  len($tokensSql)::DOUBLE AS n_tok,
+         |  length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS n_chars,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio,
+         |  CASE WHEN len($tokensSql) = 0 THEN 0.0
+         |       ELSE len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != ''),
+         |              w -> w IN $stopList))::DOUBLE / len($tokensSql) END AS stop_ratio,
+         |  length(text)::BIGINT AS doc_len
+         | FROM documents),
+         | q AS (SELECT source, lang, n_tok::BIGINT AS tok, doc_len,
+         |  (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
+         |  + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 2.0
+         |          AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.25
+         |  + (1.0 - least(punct_ratio * 4, 1.0)) * 0.25
+         |  + least(stop_ratio * 5, 1.0) * 0.25 AS quality
+         | FROM t),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY source, lang ORDER BY doc_len ASC, tok ASC) AS rn,
+         |       count(*) OVER (PARTITION BY source, lang) AS n FROM q)
+         |SELECT source, lang, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+         | round(avg(quality), 6) AS mean_quality,
+         | max(CASE WHEN rn = (n + 1) // 2 THEN doc_len END)::BIGINT AS median_len
+         |FROM r GROUP BY source, lang""".stripMargin
+    },
+    "qt33_top_fraction" -> {
+      val stopList = TextFns.LangId.profiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("(", ",", ")")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  len($tokensSql)::DOUBLE AS n_tok,
+         |  length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS n_chars,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio,
+         |  CASE WHEN len($tokensSql) = 0 THEN 0.0
+         |       ELSE len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != ''),
+         |              w -> w IN $stopList))::DOUBLE / len($tokensSql) END AS stop_ratio
+         | FROM documents),
+         | q AS (SELECT doc_id, lang,
+         |  (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
+         |  + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 2.0
+         |          AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.25
+         |  + (1.0 - least(punct_ratio * 4, 1.0)) * 0.25
+         |  + least(stop_ratio * 5, 1.0) * 0.25 AS quality
+         | FROM t),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rn,
+         |       count(*) OVER (PARTITION BY lang) AS n FROM q)
+         |SELECT doc_id, lang, round(quality, 6) AS quality
+         |FROM r WHERE rn <= ceil(0.6 * n)""".stripMargin
+    },
     // the oracle runs the PLAIN one-window formulation — the Spark entry's
     // two-phase skew path must be row-identical to it
     "qt31_source_quota" ->
