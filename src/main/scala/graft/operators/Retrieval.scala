@@ -110,6 +110,36 @@ object Retrieval {
       spark.read.parquet(s"$dir/dfreq"),
       spark.read.parquet(s"$dir/stats"))
 
+  /** Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of two ranked
+    * lists — the standard hybrid-retrieval combiner (sparse BM25 +
+    * dense ANN): fused score = Σ_systems 1/(kRrf + rank), summed over
+    * the systems that ranked the pair (a full-outer join on the result
+    * identity — a doc found by only one system still scores). Rank-based,
+    * so the two systems' incomparable score scales never need
+    * calibration; kRrf=60 is the paper's constant. Plan shape: one
+    * equi-join of two k-row-per-query frames + one per-query window —
+    * negligible next to either retrieval leg.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
+              qidCol: String = "query_id", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ra = a.select(col(qidCol), col(idCol), col("rnk").cast("long").as("__ra"))
+    val rb = b.select(col(qidCol), col(idCol), col("rnk").cast("long").as("__rb"))
+    // exact integer ranks → both fraction terms and their left-to-right
+    // sum are bit-identical across engines; round(6) only fixes the
+    // printed width
+    val score = round(
+      coalesce(lit(1.0) / (lit(kRrf) + col("__ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf) + col("__rb")), lit(0.0)), 6)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    ra.join(rb, Seq(qidCol, idCol), "full_outer")
+      .withColumn("rrf_score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col(idCol), col("rrf_score"), col("rnk"))
+  }
+
   /** The serve half of [bm25TopK], against a prebuilt [Bm25Index]. */
   def bm25TopKIndexed(index: Bm25Index, queries: DataFrame, k: Int,
                       k1: Double = 1.2, b: Double = 0.75,

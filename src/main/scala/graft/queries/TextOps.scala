@@ -931,6 +931,21 @@ object TextOps {
       graft.operators.Retrieval.bm25TopK(docs, q, k = 10)
     }),
 
+    // Hybrid retrieval: RRF fusion of the BM25 ranking (documents) and
+    // the dense cosine ranking (embeddings; ids 0..n align with doc ids)
+    // for the same 10 queries — rank-based, so the two systems'
+    // incomparable score scales need no calibration.
+    "qt34_hybrid_rrf" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val sparse = graft.operators.Retrieval.bm25TopK(docs,
+        docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")), k = 10)
+      val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rnk"))
+      graft.operators.Retrieval.rrfFuse(sparse, dense, k = 10)
+    }),
+
     // The hot-term-pruned twin (qt05c precedent): maxDf = 0.5·N — the
     // stopword definition — drops every query term in more than half the
     // corpus BEFORE the postings join. On this fixture the cut is extreme
@@ -1364,6 +1379,52 @@ object TextOps {
          |  SELECT query_id, doc_id, score,
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
          |  FROM sc) WHERE rnk <= 10""".stripMargin
+    },
+    // Hybrid RRF: the qt28 BM25 chain and the qt08 dense chain composed,
+    // fused by 1/(60+rank) over a full-outer join of the two rankings.
+    "qt34_hybrid_rrf" -> {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, t.term
+         |   FROM (SELECT doc_id, $toks AS ts FROM documents), unnest(ts) AS t(term)),
+         | post AS MATERIALIZED (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |   FROM tok GROUP BY doc_id, term),
+         | dl AS MATERIALIZED (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         | st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         | dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+         | qt AS (SELECT DISTINCT doc_id AS query_id, t.term
+         |   FROM (SELECT doc_id, $toks AS ts FROM documents WHERE doc_id < 10),
+         |     unnest(ts) AS t(term)),
+         | contrib AS (SELECT q.query_id, p.doc_id, p.term,
+         |     ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * 2.2 /
+         |       (p.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS c
+         |   FROM qt q JOIN post p USING (term) JOIN dfreq f USING (term)
+         |     JOIN dl d ON d.doc_id = p.doc_id CROSS JOIN st),
+         | bsc AS (SELECT query_id, doc_id,
+         |     round(list_sum(list(c ORDER BY term)), 6) AS score
+         |   FROM contrib GROUP BY query_id, doc_id),
+         | bm AS (SELECT query_id, doc_id, rnk FROM (
+         |   SELECT query_id, doc_id,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         |   FROM bsc) WHERE rnk <= 10),
+         | dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         | dc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+         | dp AS (SELECT query_id, doc_id,
+         |   list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+         |   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS nq,
+         |   sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))) AS nc
+         |  FROM dq JOIN dc ON query_id != doc_id),
+         | ds AS (SELECT query_id, doc_id, round(dot/(nq*nc), 6) AS sim FROM dp),
+         | dn AS (SELECT query_id, doc_id, rnk FROM (
+         |   SELECT query_id, doc_id, sim,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rnk
+         |   FROM ds) WHERE rnk <= 10),
+         | fused AS (SELECT query_id, doc_id,
+         |     round(coalesce(1.0 / (60 + b.rnk), 0.0) + coalesce(1.0 / (60 + n.rnk), 0.0), 6) AS rrf_score
+         |   FROM bm b FULL JOIN dn n USING (query_id, doc_id))
+         |SELECT query_id, doc_id, rrf_score, rnk::INT AS rnk FROM (
+         |  SELECT query_id, doc_id, rrf_score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+         |  FROM fused) WHERE rnk <= 10""".stripMargin
     },
     "qt21_dedup_delta" ->
       """WITH corpus AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -66,6 +66,23 @@ class RetrievalSpec extends SparkSpec {
     assert(generous === uncapped)
   }
 
+  test("rrfFuse: both-system docs outrank single-system; one-sided docs still score; k bound") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("query_id", "doc_id", "rnk")
+    val fused = Retrieval.rrfFuse(a, b, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // doc 11 is the only both-system doc: 1/62 + 1/61 beats every single score
+    assert(fused.head._2 === 11L)
+    // one-sided docs survive with their single term: 10 (1/61) > 13 (1/62) > 12 (1/63)
+    assert(fused.map(_._2).toSeq === Seq(11L, 10L, 13L, 12L))
+    // scores are the exact two-term sums
+    val s11 = fused.find(_._2 == 11L).get._3
+    assert(math.abs(s11 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    // k bound respected
+    val top2 = Retrieval.rrfFuse(a, b, k = 2).as[(Long, Long, Double, Int)].collect()
+    assert(top2.length === 2 && top2.map(_._4).toSet === Set(1, 2))
+  }
+
   test("bm25 persisted index round-trips: reloaded serve is bit-identical, frames stay lazy") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
     val q = Seq((7L, "garlic oil"), (101L, "spark optimizer")).toDF("query_id", "qtext")
