@@ -47,4 +47,73 @@ object Vocab {
         .filter(col("rank") <= k)
     }
   }
+
+  /** BPE merge learning (Sennrich et al. 2016; the GPT-2/SentencePiece
+    * vocabulary-build core): start from the character alphabet, and
+    * `nMerges` times merge the corpus-wide most frequent adjacent symbol
+    * pair (count desc, then (left, right) asc — fully deterministic).
+    * Returns the merge table (step, left, right, pair_count) — THE
+    * artifact a BPE tokenizer ships.
+    *
+    * Distribution: the corpus collapses to the distinct-WORD frequency
+    * table first (a word count — the same reduction as [topNgrams]), so
+    * each merge round scans words-×-their-symbols, not the corpus; pair
+    * counting is one combinable aggregate per round and the argmax is a
+    * driver-side single row (`limit(1)` — bounded by construction). Per
+    * round the word table is localCheckpointed: the loop's lineage would
+    * otherwise re-run every previous round's replace chain per action.
+    * Symbol application uses a space-doubling trick so adjacent
+    * occurrences never share a delimiter: `' a b a b '` merges BOTH
+    * pairs regardless of either engine's replace-scan order — the
+    * property that makes a DuckDB oracle replay bit-identical (qt35).
+    * Character splitting is per code point; parity with the RE2-based
+    * oracle is exact on the fixture's ASCII tokens (the qt23 caveat).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(graft.functions.Expressions.ngrams(col(textCol), 1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .withColumn("syms", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= nMerges && !dry) {
+      val s = split(col("syms"), " ")
+      val top = words
+        .select(col("freq"), s.as("s"))
+        // single-symbol words have no pairs — and Spark's sequence(1, 0)
+        // would DESCEND through index 0 rather than come back empty
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(sequence(lit(1), size(col("s")) - 1)).as("i"),
+          col("s"))
+        .select(col("freq"), element_at(col("s"), col("i")).as("l"),
+          element_at(col("s"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        // double every delimiter, pad, replace ' l  r ' → ' lr ', collapse
+        val doubled = concat(lit(" "), regexp_replace(col("syms"), " ", "  "), lit(" "))
+        val applied = replace(doubled, lit(s" $l  $r "), lit(s" $l$r "))
+        words = words
+          .withColumn("syms", trim(regexp_replace(applied, " +", " ")))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.map { case (st, l, r, c) => org.apache.spark.sql.Row(st, l, r, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("left", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("right", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType, false))))
+  }
 }

@@ -896,6 +896,13 @@ object TextOps {
           "source", "doc_id", quota = 50, rankBy = col("n_chars"), preBuckets = 8)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // BPE merge learning (Sennrich et al. 2016): 6 most-frequent-pair
+    // merges from the character alphabet over the corpus word-frequency
+    // table — the merge table a BPE tokenizer ships, hash-checked against
+    // a DuckDB twin replaying every round.
+    "qt35_bpe_merges" -> ((s, d) =>
+      graft.operators.Vocab.bpeMerges(T(s, d, "documents"), "text", nMerges = 6)),
+
     // Corpus audit report: per-(source, lang) docs/tokens/mean-quality/
     // exact median length — the shipped-corpus accounting table every
     // curation run materializes.
@@ -1449,6 +1456,39 @@ object TextOps {
         |SELECT doc_id, 0::BIGINT AS mix_epoch, 'en' AS mix_source FROM en
         |UNION ALL SELECT doc_id, 1::BIGINT, 'en' FROM en WHERE u < 0.5
         |UNION ALL SELECT doc_id, 0::BIGINT, 'es' FROM es WHERE u < 0.4""".stripMargin,
+    // BPE oracle: round i counts adjacent symbol pairs of w{i} weighted by
+    // word frequency, picks the (cnt desc, l asc, r asc) argmax as m{i},
+    // and applies it with the SAME space-doubling replace the Spark loop
+    // uses — w/m CTEs MATERIALIZED (each is re-referenced; DuckDB would
+    // otherwise re-inline the whole chain per reference, exponential in
+    // rounds).
+    "qt35_bpe_merges" -> {
+      val nM = 6
+      val init =
+        s"""w1 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq,
+           |     trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+           |   FROM (SELECT t.term AS w
+           |     FROM (SELECT $tokensSql AS ts FROM documents), unnest(ts) AS t(term))
+           |   GROUP BY w)""".stripMargin
+      val stages = (1 to nM).map { i =>
+        s"""p$i AS (SELECT t.sl[u.i] AS l, t.sl[u.i + 1] AS r, sum(t.freq)::BIGINT AS cnt
+           |   FROM (SELECT freq, string_split(syms, ' ') AS sl FROM w$i) t,
+           |     unnest(range(1, len(t.sl))) AS u(i)
+           |   GROUP BY 1, 2),
+           | m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+           |   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           | w${i + 1} AS MATERIALIZED (SELECT w.freq,
+           |     trim(regexp_replace(
+           |       replace(' ' || replace(w.syms, ' ', '  ') || ' ',
+           |         ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+           |       ' +', ' ', 'g')) AS syms
+           |   FROM w$i w CROSS JOIN m$i m)""".stripMargin
+      }
+      val out = (1 to nM).map(i =>
+        s"""SELECT $i AS step, l AS "left", r AS "right", cnt AS pair_count FROM m$i""")
+        .mkString("\nUNION ALL ")
+      s"WITH $init,\n ${stages.mkString(",\n ")}\n$out"
+    },
     "qt32_corpus_report" -> {
       val stopList = TextFns.LangId.profiles.flatMap(_._2).distinct
         .map(w => s"'$w'").mkString("(", ",", ")")

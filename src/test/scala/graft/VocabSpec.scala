@@ -69,4 +69,30 @@ class VocabSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(got === Seq(11L, 13L))
   }
+
+  test("bpeMerges: hand-computed merge sequence, adjacent occurrences both merge") {
+    // corpus: "abab abab abab ab ab" → word freqs: abab×3, ab×2
+    // chars: abab = a b a b (pairs per word: (a,b)×2, (b,a)×1), ab = a b
+    // (a,b) count = 3·2 + 2·1 = 8; (b,a) = 3 → merge 1: (a,b,8)
+    // after: abab = ab ab, ab = ab → pairs: (ab,ab)×3 → merge 2: (ab,ab,3)
+    val docs = Seq("abab abab abab ab ab").toDF("text")
+    val merges = graft.operators.Vocab.bpeMerges(docs, "text", nMerges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(merges === Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)))
+    // adjacent-occurrence correctness: 'a b a b' must merge BOTH pairs in
+    // one step (the space-doubling property) — proven by merge 2's count:
+    // a left-to-right scan that missed the second occurrence would see
+    // (ab, a) instead of (ab, ab)
+
+    // determinism + tie handling: 'xy yx' has (x,y) and (y,x) both at 1 —
+    // the (left, right) ascending tiebreak picks (x,y) first
+    val tied = Seq("xy yx").toDF("text")
+    val m1 = graft.operators.Vocab.bpeMerges(tied, "text", nMerges = 1)
+      .as[(Int, String, String, Long)].head()
+    assert(m1 === ((1, "x", "y", 1L)))
+    // a corpus of single-char words has no pairs: merge table is empty,
+    // not an error
+    val empty = graft.operators.Vocab.bpeMerges(Seq("a b c").toDF("text"), "text", 3)
+    assert(empty.count() === 0L)
+  }
 }
