@@ -116,4 +116,33 @@ object Vocab {
         org.apache.spark.sql.types.StructField("right", org.apache.spark.sql.types.StringType, false),
         org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType, false))))
   }
+
+  /** The encode half of [bpeMerges]: apply a learned merge table (in step
+    * order) to `docs`, returning per-document BPE token counts alongside
+    * the whitespace token count. `merges` is (left, right) in step order —
+    * the small, driver-resident artifact a tokenizer ships (collected
+    * from [bpeMerges]'s output or loaded from its persisted table).
+    *
+    * Pure map pass: per token, character split then one folded
+    * space-doubling replace per merge — the identical application rule
+    * training used, so encoding the training corpus reproduces training's
+    * final symbolization — followed by one combinable per-doc count
+    * aggregate. No shuffle before the count; 100 TB encodes like a word
+    * count.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(graft.functions.Expressions.ngrams(col(textCol), 1)).as("w"))
+    val sym0 = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val symN = merges.foldLeft(sym0) { case (acc, (l, r)) =>
+      trim(regexp_replace(
+        replace(concat(lit(" "), regexp_replace(acc, " ", "  "), lit(" ")),
+          lit(s" $l  $r "), lit(s" $l$r ")),
+        " +", " "))
+    }
+    tok.select(col(idCol), size(split(symN, " ")).cast("long").as("n_sym"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"), count(lit(1)).as("n_ws_tokens"))
+  }
 }

@@ -255,6 +255,35 @@ object TextOps {
     * shared by the top-k probing tail below and the SemDeDup oracle, which
     * consumes only the crnk=1 home cells.
     */
+  /** CTE chain replaying `Vocab.bpeMerges` training for `nM` rounds:
+    * w1 = the word-frequency table with per-character symbol lines; round
+    * i emits p$i (weighted adjacent-pair counts), m$i (the argmax merge),
+    * and w${i+1} (the merge applied via the space-doubling replace).
+    */
+  private def bpeTrainCtes(nM: Int): String = {
+    val init =
+      s"""w1 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq,
+         |     trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+         |   FROM (SELECT t.term AS w
+         |     FROM (SELECT $tokensSql AS ts FROM documents), unnest(ts) AS t(term))
+         |   GROUP BY w)""".stripMargin
+    val stages = (1 to nM).map { i =>
+      s"""p$i AS (SELECT t.sl[u.i] AS l, t.sl[u.i + 1] AS r, sum(t.freq)::BIGINT AS cnt
+         |   FROM (SELECT freq, string_split(syms, ' ') AS sl FROM w$i) t,
+         |     unnest(range(1, len(t.sl))) AS u(i)
+         |   GROUP BY 1, 2),
+         | m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+         |   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         | w${i + 1} AS MATERIALIZED (SELECT w.freq,
+         |     trim(regexp_replace(
+         |       replace(' ' || replace(w.syms, ' ', '  ') || ' ',
+         |         ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+         |       ' +', ' ', 'g')) AS syms
+         |   FROM w$i w CROSS JOIN m$i m)""".stripMargin
+    }
+    s"$init,\n ${stages.mkString(",\n ")}"
+  }
+
   private def ivfAssignCtes(tag: String, nlist: Int,
                             trainScaled: Long = 1000000L): String = {
     def dotSql(a: String, b: String): String =
@@ -903,6 +932,17 @@ object TextOps {
     "qt35_bpe_merges" -> ((s, d) =>
       graft.operators.Vocab.bpeMerges(T(s, d, "documents"), "text", nMerges = 6)),
 
+    // The encode half: train the 6 merges, apply them per document (map
+    // pass + one combinable count) — per-doc BPE vs whitespace token
+    // counts, the numbers sequence packing would budget by.
+    "qt36_bpe_encode" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = graft.operators.Vocab.bpeMerges(docs, "text", nMerges = 6)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+    }),
+
     // Corpus audit report: per-(source, lang) docs/tokens/mean-quality/
     // exact median length — the shipped-corpus accounting table every
     // curation run materializes.
@@ -1463,31 +1503,34 @@ object TextOps {
     // otherwise re-inline the whole chain per reference, exponential in
     // rounds).
     "qt35_bpe_merges" -> {
-      val nM = 6
-      val init =
-        s"""w1 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq,
-           |     trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
-           |   FROM (SELECT t.term AS w
-           |     FROM (SELECT $tokensSql AS ts FROM documents), unnest(ts) AS t(term))
-           |   GROUP BY w)""".stripMargin
-      val stages = (1 to nM).map { i =>
-        s"""p$i AS (SELECT t.sl[u.i] AS l, t.sl[u.i + 1] AS r, sum(t.freq)::BIGINT AS cnt
-           |   FROM (SELECT freq, string_split(syms, ' ') AS sl FROM w$i) t,
-           |     unnest(range(1, len(t.sl))) AS u(i)
-           |   GROUP BY 1, 2),
-           | m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
-           |   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-           | w${i + 1} AS MATERIALIZED (SELECT w.freq,
-           |     trim(regexp_replace(
-           |       replace(' ' || replace(w.syms, ' ', '  ') || ' ',
-           |         ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
-           |       ' +', ' ', 'g')) AS syms
-           |   FROM w$i w CROSS JOIN m$i m)""".stripMargin
-      }
-      val out = (1 to nM).map(i =>
+      val out = (1 to 6).map(i =>
         s"""SELECT $i AS step, l AS "left", r AS "right", cnt AS pair_count FROM m$i""")
         .mkString("\nUNION ALL ")
-      s"WITH $init,\n ${stages.mkString(",\n ")}\n$out"
+      s"WITH ${bpeTrainCtes(6)}\n$out"
+    },
+
+    // BPE encode oracle: the training chain's m1..m6 applied in order to
+    // every (doc, token) symbol line — the same per-round replace —
+    // then one per-doc count.
+    "qt36_bpe_encode" -> {
+      val e0 =
+        s"""e0 AS MATERIALIZED (SELECT doc_id,
+           |     trim(regexp_replace(t.term, '(.)', '\\1 ', 'g')) AS syms
+           |   FROM (SELECT doc_id, $tokensSql AS ts FROM documents), unnest(ts) AS t(term))""".stripMargin
+      val estages = (1 to 6).map { i =>
+        s"""e$i AS MATERIALIZED (SELECT e.doc_id,
+           |     trim(regexp_replace(
+           |       replace(' ' || replace(e.syms, ' ', '  ') || ' ',
+           |         ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+           |       ' +', ' ', 'g')) AS syms
+           |   FROM e${i - 1} e CROSS JOIN m$i m)""".stripMargin
+      }
+      s"""WITH ${bpeTrainCtes(6)},
+         | $e0,
+         | ${estages.mkString(",\n ")}
+         |SELECT doc_id, sum(len(string_split(syms, ' ')))::BIGINT AS n_bpe_tokens,
+         | count(*)::BIGINT AS n_ws_tokens
+         |FROM e6 GROUP BY doc_id""".stripMargin
     },
     "qt32_corpus_report" -> {
       val stopList = TextFns.LangId.profiles.flatMap(_._2).distinct

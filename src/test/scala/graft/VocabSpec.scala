@@ -95,4 +95,24 @@ class VocabSpec extends SparkSpec {
     val empty = graft.operators.Vocab.bpeMerges(Seq("a b c").toDF("text"), "text", 3)
     assert(empty.count() === 0L)
   }
+
+  test("bpeEncode: applies merges in order; counts match hand-derived symbolization") {
+    // merges from the hand-computed corpus: (a,b) then (ab,ab)
+    val docs = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val enc = graft.operators.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].head()
+    // abab → [abab] (1 symbol) ×3, ab → [ab] (1) ×2 → 5 BPE tokens, 5 ws tokens
+    assert(enc === ((1L, 5L, 5L)))
+    // a doc with unseen words falls back to characters past the merges
+    val other = Seq((2L, "ba xyz ab")).toDF("doc_id", "text")
+    val enc2 = graft.operators.Vocab.bpeEncode(other, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].head()
+    // ba → b a (2), xyz → x y z (3), ab → ab (1) = 6 BPE tokens, 3 ws tokens
+    assert(enc2 === ((2L, 6L, 3L)))
+    // empty merge list degrades to pure character counting (2 + 3 + 2)
+    val enc0 = graft.operators.Vocab.bpeEncode(other, "doc_id", "text", Nil)
+      .as[(Long, Long, Long)].head()
+    assert(enc0 === ((2L, 7L, 3L)))
+  }
 }
