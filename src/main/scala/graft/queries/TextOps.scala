@@ -745,6 +745,21 @@ object TextOps {
             lloydIters = 1, rerank = 25, oracleMode = true))))
     }),
 
+    // Filtered vector search (the metadata-predicate + ANN combination
+    // every vector store serves): the filter applies to the CORPUS SIDE
+    // BEFORE ranking — pre-filtering keeps the top-k guarantee exact,
+    // where post-filtering k results can return fewer than k survivors.
+    // Exact baseline here (predicate → brute-force top-k; the filter
+    // reaches the parquet scan); the index-served variant is the same
+    // pre-filter applied to the IVFPQ code store (SimilaritySpec pins
+    // that pattern's k-guarantee on the composed index).
+    "qt37_filtered_ann" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.bruteForceTopK(e.filter(col("label") === 3), q, k = 5)
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
     // Composed IVF+PQ (the Faiss-IVFPQ production shape): coarse cells
     // prune the ADC scan to nProbe/nlist of the code store. Recall vs the
     // exact baseline per (n_probe, rerank) operating point, hash-verified
@@ -1625,6 +1640,18 @@ object TextOps {
          |   '${Pii.phone}', '<PHONE>', 'g') AS scrubbed
          |FROM p""".stripMargin
     },
+    "qt37_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        | c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings WHERE label = 3),
+        | p AS (SELECT query_id, corpus_id,
+        |   list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+        |   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS nq,
+        |   sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))) AS nc
+        |  FROM q JOIN c ON query_id != corpus_id),
+        | s AS (SELECT query_id, corpus_id, round(dot/(nq*nc), 6) AS sim FROM p),
+        | r AS (SELECT query_id, corpus_id, sim,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rnk FROM s)
+        |SELECT query_id, corpus_id, sim, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin,
     "qt08_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         | c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),

@@ -295,6 +295,32 @@ class SimilaritySpec extends SparkSpec {
     assert(over === 0)
   }
 
+  test("filtered ANN: pre-filtering the code store keeps the k guarantee; post-filter loses it") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val idx = Similarity.ivfPqIndex(e, nlist = 16, m = 4, ksub = 16,
+      lloydIters = 1, oracleMode = true)
+    // the pattern: the metadata predicate applies to the code STORE before
+    // ranking — the index serves the filtered subset with full k results
+    val l3 = e.filter($"label" === 3).select($"vec_id".as("corpus_id"))
+    val filteredIdx = Similarity.IvfPqIndex(idx.centroids,
+      idx.pq.copy(codes = idx.pq.codes.join(l3, "corpus_id")))
+    val served = Similarity.ivfPqTopKIndexed(filteredIdx, e, q, k = 5,
+        nProbe = 16, rerank = 25)
+      .as[(Long, Long, Double, Int)].collect()
+    // exactly k results per query, all from the filtered subset
+    assert(served.groupBy(_._1).forall(_._2.length == 5))
+    val allowed = l3.as[Long].collect().toSet
+    assert(served.forall(r => allowed.contains(r._2)))
+    // post-filtering an unfiltered top-5 cannot guarantee k: some query
+    // keeps fewer than 5 label-3 rows (label 3 is ~10% of the corpus)
+    val post = Similarity.ivfPqTopKIndexed(idx, e, q, k = 5, nProbe = 16, rerank = 25)
+      .as[(Long, Long, Double, Int)].collect()
+      .filter(r => allowed.contains(r._2))
+    assert(post.groupBy(_._1).values.forall(_.length <= 5) &&
+      post.groupBy(_._1).values.exists(_.length < 5))
+  }
+
   test("ivfPqTopK: full probe ≡ exhaustive-ADC pqTopK; index round-trips bit-identical") {
     val e = Tables.table(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 20)
