@@ -452,6 +452,30 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("component"))
   }
 
+  /** Near-dup dedup with the PRODUCTION decision rule: within each cluster
+    * keep the single highest-scoring copy (longest, best quality — caller
+    * supplies the score column computed over `df`), not the minimum id.
+    * Min-id (`nearDupClusters`) is the right oracle-stable default for a
+    * correctness row; real curation keeps the best copy — when a page is
+    * scraped five times, four truncated, the keeper must be the full one.
+    * The score must be deterministic; ties break on ascending id so the
+    * decision is total. One extra shuffle over `nearDupClusters`: a
+    * `row_number` window partitioned by cluster — clusters are near-dup
+    * groups (tiny by construction), so the window never sees a hot key
+    * bigger than the worst duplicate pile-up, and at 100 TB that pile-up
+    * is exactly the thing this operator exists to collapse.
+    * Output: (idCol, component, score, is_kept).
+    */
+  def keepBestInCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                        scoreCol: Column): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, pairs).select(col(idCol), col("component"))
+    val scored = df.select(col(idCol), scoreCol.as("score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    clusters.join(scored, Seq(idCol))
+      .withColumn("is_kept", row_number().over(w) === 1)
+  }
+
   /** splitmix64-style finalizer used to derive hash-family member i from a
     * base hash (one string hash per shingle, numHashes cheap mixes).
     */

@@ -892,6 +892,19 @@ object TextOps {
       Dedup.nearDupClusters(docs, "doc_id", pairs)
     }),
 
+    // Same cluster graph, production keeper rule: keep the LONGEST copy
+    // per near-dup cluster (token count, id-ascending tiebreak) instead of
+    // the min id — the decision real curation makes when one scrape of a
+    // page is complete and the others truncated. Integer score keeps the
+    // argmax oracle-exact.
+    "qt38_keep_best" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairsIndexed(docs, "doc_id", "text",
+        n = 3, threshold = 0.15, blockCols = Seq("lang"))
+      Dedup.keepBestInCluster(docs, "doc_id", pairs,
+        TextFns.tokenCount(col("text")).cast("long"))
+    }),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1373,6 +1386,35 @@ object TextOps {
          |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
          | d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+    "qt38_keep_best" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+         | sh AS (SELECT doc_id, lang,
+         |   CASE WHEN len(ts) = 0 THEN []
+         |        WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |        ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+         |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS sh
+         |  FROM toks),
+         | sized AS (SELECT doc_id, lang, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+         | posts AS (SELECT doc_id, lang, n, unnest(sh) AS shingle FROM sized),
+         | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         |   count(*) AS inter
+         |  FROM posts a JOIN posts b
+         |   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         | pair AS (SELECT id_a, id_b FROM cand
+         |  WHERE round(inter/(na + nb - inter), 6) >= 0.15),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+         |  UNION SELECT id_b, id_a FROM pair),
+         | reach(id, l) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, r.l FROM edges e JOIN reach r ON r.id = e.dst),
+         | comp AS (SELECT id, min(l) AS component FROM reach GROUP BY id),
+         | scored AS (SELECT t.doc_id, coalesce(c.component, t.doc_id) AS component,
+         |   len(t.ts)::BIGINT AS score
+         |  FROM toks t LEFT JOIN comp c ON t.doc_id = c.id)
+         |SELECT doc_id, component, score,
+         | row_number() OVER (PARTITION BY component
+         |   ORDER BY score DESC, doc_id ASC) = 1 AS is_kept
+         |FROM scored""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),

@@ -227,6 +227,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((30L, 40L, 1.0)))
   }
 
+  test("keepBestInCluster: keeper is the highest-scoring copy, not the min id") {
+    // 1-2 paired, 2 is longer; 3 unpaired singleton. Min-id would keep 1;
+    // keep-best must keep 2. Ties (4-5, equal score) break on ascending id.
+    val d = Seq(
+      (1L, "short copy", 2L), (2L, "the full much longer copy", 5L),
+      (3L, "solo", 1L), (4L, "tie a", 2L), (5L, "tie b", 2L))
+      .toDF("id", "text", "score_in")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBestInCluster(d, "id", pairs, $"score_in")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 5L, true),
+      (3L, 3L, 1L, true),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+    // invariant: exactly one keeper per component
+    assert(got.groupBy(_._2).view.mapValues(_.count(_._4)).toMap.values.forall(_ == 1))
+  }
+
   test("nearDupClusters works when the id column is literally named 'id'") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
