@@ -778,6 +778,49 @@ object Dedup {
       .select(col(idCol), col("pos"), col("n_docs"), col("n_occ"))
   }
 
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb paragraph-dedup
+    * shape): drop every line whose normalized form (lower + trim) appears
+    * in more than `maxDocFreq` distinct documents — navigation chrome,
+    * cookie banners, copyright footers — and reassemble each document with
+    * its surviving lines in original order. Complement to `duplicateSpans`:
+    * spans catch duplicated token runs anywhere; this catches structural
+    * repetition aligned to line boundaries, the dominant form in scraped
+    * web text. Empty lines never count toward doc-frequency and are always
+    * kept (they are formatting, not content).
+    *
+    * Scale shape: one explode, one distinct+count aggregate keyed on the
+    * normalized line (both map-side combinable), one equi-join against the
+    * hot-line set (tiny by construction — only lines shared by > maxDocFreq
+    * docs — so it broadcasts), and one per-doc aggregate whose ordered
+    * reassembly rides a collect_list + array_sort, never a window over the
+    * corpus. No all-pairs anything.
+    *
+    * Output: (idCol, text, n_kept, n_dropped).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val lines = df.select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("line"))
+      .withColumn("__key", lower(trim(col("line"))))
+    val hot = lines.filter(col("__key") =!= "")
+      .select(col(idCol), col("__key")).distinct()
+      .groupBy(col("__key")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__key"), lit(true).as("__hot"))
+    val tagged = lines.join(broadcast(hot), Seq("__key"), "left")
+      .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+    tagged.groupBy(col(idCol)).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(when(!col("__hot"),
+            struct(col("pos").as("p"), col("line").as("l"))))),
+          s => s.getField("l")),
+        "\n").as("text"),
+      sum(when(!col("__hot"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__hot"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Per-document duplication profile over `duplicateSpans`: how much of
     * each document is covered by cross-document duplicated windows — the
     * per-doc signal a curation gate thresholds on ("drop docs that are

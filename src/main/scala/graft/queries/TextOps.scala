@@ -905,6 +905,21 @@ object TextOps {
         TextFns.tokenCount(col("text")).cast("long"))
     }),
 
+    // Line-level boilerplate removal (CCNet paragraph-dedup shape): the
+    // fixture has no newlines, so both engines append the same synthetic
+    // chrome to every document — a universal footer (df = all docs), a
+    // 7-way rotating copyright line (df ≈ n/7), and a unique ref line —
+    // then must agree on the surviving text byte-for-byte after dropping
+    // lines shared by > 30 docs. Same differential pattern as qt17.
+    "qt39_line_dedup" -> ((s, d) => {
+      val lined = T(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("Subscribe to our newsletter"),
+          concat(lit("copyright footer "), pmod(col("doc_id"), lit(7L))),
+          concat(lit("ref "), col("doc_id"))).as("text"))
+      Dedup.dedupLines(lined, "doc_id", "text", maxDocFreq = 30L)
+    }),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1415,6 +1430,25 @@ object TextOps {
          | row_number() OVER (PARTITION BY component
          |   ORDER BY score DESC, doc_id ASC) = 1 AS is_kept
          |FROM scored""".stripMargin,
+    "qt39_line_dedup" ->
+      """WITH docs2 AS (SELECT doc_id,
+        |   text || chr(10) || 'Subscribe to our newsletter'
+        |        || chr(10) || 'copyright footer ' || (doc_id % 7)
+        |        || chr(10) || 'ref ' || doc_id AS text
+        |  FROM documents),
+        | lines AS (SELECT doc_id, i AS pos, ln[i] AS line, lower(trim(ln[i])) AS key
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM docs2),
+        |    unnest(range(1, len(ln) + 1)) AS r(i)),
+        | hot AS (SELECT key FROM (
+        |   SELECT key, count(DISTINCT doc_id) AS df FROM lines
+        |   WHERE key != '' GROUP BY key) WHERE df > 30),
+        | tagged AS (SELECT l.doc_id, l.pos, l.line, h.key IS NOT NULL AS is_hot
+        |  FROM lines l LEFT JOIN hot h USING (key))
+        |SELECT doc_id,
+        | coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_hot), chr(10)), '') AS text,
+        | count(*) FILTER (WHERE NOT is_hot)::BIGINT AS n_kept,
+        | count(*) FILTER (WHERE is_hot)::BIGINT AS n_dropped
+        |FROM tagged GROUP BY doc_id""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),

@@ -245,6 +245,21 @@ class DedupSpec extends SparkSpec {
     assert(got.groupBy(_._2).view.mapValues(_.count(_._4)).toMap.values.forall(_ == 1))
   }
 
+  test("dedupLines: shared chrome dropped case/space-insensitively, order and empty lines preserved") {
+    val d = Seq(
+      (1L, "unique body one\nSubscribe NOW\n\nref 1"),
+      (2L, "unique body two\nsubscribe now\nref 2"),
+      (3L, "unique body three\nSUBSCRIBE NOW \nref 3")).toDF("id", "text")
+    val got = Dedup.dedupLines(d, "id", "text", maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 'subscribe now' (normalized) spans 3 docs > 2 → dropped everywhere;
+    // the empty line in doc 1 is formatting, kept; unique lines keep order
+    assert(got === Seq(
+      (1L, "unique body one\n\nref 1", 3L, 1L),
+      (2L, "unique body two\nref 2", 2L, 1L),
+      (3L, "unique body three\nref 3", 2L, 1L)))
+  }
+
   test("nearDupClusters works when the id column is literally named 'id'") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
