@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Language-model quality scoring, the CCNet shape (Wenzek et al. 2020):
+  * score each document by the perplexity of a language model and threshold
+  * or bucket on it. CCNet uses a pre-trained KenLM; here the model is an
+  * add-one-smoothed bigram LM trained in-engine on the corpus itself —
+  * two map-combinable count aggregates — so the whole signal stays inside
+  * the engine with no external model artifact. Low average NLL = typical,
+  * fluent text under the corpus distribution; high = gibberish, wrong
+  * language, or heavily off-distribution — the same tails CCNet's
+  * head/middle/tail split cuts on.
+  *
+  * Scale shape: the bigram table is one explode; c(w1,w2) and c(w1) are
+  * hash aggregates on token keys; vocabulary size is a 1-row frame that
+  * broadcasts; scoring joins are all equi-keyed on tokens. The per-doc
+  * average folds contributions in explicit position order (array_sort +
+  * aggregate) so the float sum is deterministic and oracle-comparable —
+  * never an unordered SUM of doubles.
+  */
+object LmScore {
+
+  /** Per-document average bigram negative log-likelihood under the
+    * corpus-trained add-one LM:
+    *   p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+    * with c(w1) the count of w1 as a bigram context and V the corpus
+    * vocabulary size. Output: (idCol, n_bigrams, nll) for every input row;
+    * documents with fewer than two tokens carry n_bigrams = 0, nll = null.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    val bg = toks.filter(size(col("ts")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("ts")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    val contrib = bg
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("c", -log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+    val perDoc = contrib.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"),
+      round(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
+            s => s.getField("c")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("nll"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
+  }
+}

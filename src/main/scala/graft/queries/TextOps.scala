@@ -920,6 +920,14 @@ object TextOps {
       Dedup.dedupLines(lined, "doc_id", "text", maxDocFreq = 30L)
     }),
 
+    // CCNet-style LM quality signal: average bigram negative log-likelihood
+    // under an add-one LM trained on the corpus itself. The oracle re-runs
+    // the whole train+score in SQL; the per-doc float sum is
+    // position-ordered on both sides (sorted fold vs list ORDER BY) so the
+    // only engine divergence is sub-round ulp noise in ln.
+    "qt40_lm_score" -> ((s, d) =>
+      graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text")),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1449,6 +1457,22 @@ object TextOps {
         | count(*) FILTER (WHERE NOT is_hot)::BIGINT AS n_kept,
         | count(*) FILTER (WHERE is_hot)::BIGINT AS n_dropped
         |FROM tagged GROUP BY doc_id""".stripMargin,
+    "qt40_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         | bg AS (SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+         | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         | v AS (SELECT count(DISTINCT t.w)::DOUBLE AS v
+         |  FROM (SELECT unnest(ts) AS w FROM toks) t),
+         | contrib AS (SELECT b.doc_id, b.pos,
+         |   -ln((c.c12 + 1.0) / (u.c1 + v.v)) AS c
+         |  FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v),
+         | per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |   round(list_sum(list(c ORDER BY pos)) / count(*), 6) AS nll
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams, p.nll
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),
