@@ -103,4 +103,37 @@ object Pack {
         sum(when(col("fill") === budget, 1L).otherwise(0L)).as("full_seqs"),
         min(col("fill")).as("min_fill"),
         max(col("n_pieces")).as("max_pieces_per_seq"))
+
+  /** The packing family's other half — retrieval-side chunking: split each
+    * document into overlapping fixed-token windows (`window` tokens,
+    * advancing `stride` ≤ window per chunk), the standard prep for
+    * embedding/RAG indexing where a chunk must fit the encoder's context
+    * and overlap preserves answers straddling a boundary. Where
+    * `packSequences` concatenates ACROSS documents for training
+    * efficiency, this splits WITHIN documents for retrieval locality.
+    *
+    * Chunk starts are 0, stride, 2·stride, … < n_tokens; the final chunk
+    * may be shorter than `window` (slice clamps at the document end).
+    * Purely map-side — an explode over per-row token arrays, no shuffle,
+    * no window function — so it scales embarrassingly. Deterministic:
+    * chunk_id = start / stride.
+    *
+    * Output: (idCol, chunk_id, n_chunk_tokens, chunk_text); documents with
+    * zero tokens produce no chunks.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: $stride vs window $window")
+    df.select(col(idCol),
+        graft.functions.TextFns.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col(idCol), col("ts"),
+        explode(expr(s"sequence(0, size(ts) - 1, $stride)")).as("start"))
+      .select(col(idCol),
+        expr(s"start div $stride").cast("long").as("chunk_id"),
+        size(expr(s"slice(ts, start + 1, $window)")).cast("long").as("n_chunk_tokens"),
+        array_join(expr(s"slice(ts, start + 1, $window)"), " ").as("chunk_text"))
+  }
 }

@@ -928,6 +928,13 @@ object TextOps {
     "qt40_lm_score" -> ((s, d) =>
       graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text")),
 
+    // Retrieval-side chunking: overlapping 32-token windows advancing 24
+    // (8-token overlap), the embedding-index prep shape. Map-only explode;
+    // the oracle replays the start grid + 1-based clamped list slice.
+    "qt41_chunk" -> ((s, d) =>
+      graft.operators.Pack.chunkTokens(T(s, d, "documents"), "doc_id", "text",
+        window = 32, stride = 24)),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1473,6 +1480,14 @@ object TextOps {
          |  FROM contrib GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams, p.nll
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+    "qt41_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         | st AS (SELECT doc_id, ts, i AS start
+         |  FROM toks, unnest(range(0, len(ts), 24)) AS r(i) WHERE len(ts) >= 1)
+         |SELECT doc_id, (start // 24)::BIGINT AS chunk_id,
+         | len(ts[start + 1 : start + 32])::BIGINT AS n_chunk_tokens,
+         | array_to_string(ts[start + 1 : start + 32], ' ') AS chunk_text
+         |FROM st""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),

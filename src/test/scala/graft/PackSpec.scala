@@ -89,4 +89,15 @@ class PackSpec extends SparkSpec {
       "or <PHONE> ext",
       "just plain words 42 here"))
   }
+
+  test("chunkTokens: overlapping windows, clamped tail, empty doc emits nothing") {
+    val d = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "solo"), (3L, "  ")).toDF("id", "text")
+    val got = graft.operators.Pack.chunkTokens(d, "id", "text", window = 3, stride = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 0L, 3L, "t1 t2 t3"),
+      (1L, 1L, 3L, "t3 t4 t5"), // overlap of window - stride = 1 token
+      (1L, 2L, 1L, "t5"),       // tail clamped at the document end
+      (2L, 0L, 1L, "solo")))    // doc 3 is whitespace-only: no chunks
+  }
 }
