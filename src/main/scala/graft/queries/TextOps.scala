@@ -935,6 +935,17 @@ object TextOps {
       graft.operators.Pack.chunkTokens(T(s, d, "documents"), "doc_id", "text",
         window = 32, stride = 24)),
 
+    // Training-shard manifest: deterministic md5-fraction shard assignment
+    // (16 shards), per-shard row/token totals and a bit_xor membership
+    // fingerprint. The oracle re-derives assignment, totals, AND
+    // fingerprint independently — a wrong shard for any single doc flips
+    // two shards' fps.
+    "qt42_shard_manifest" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      graft.operators.Shards.manifest(docs, "doc_id",
+        TextFns.tokenCount(col("text")), nShards = 16, seed = "r8")
+    }),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1488,6 +1499,13 @@ object TextOps {
          | len(ts[start + 1 : start + 32])::BIGINT AS n_chunk_tokens,
          | array_to_string(ts[start + 1 : start + 32], ' ') AS chunk_text
          |FROM st""".stripMargin,
+    "qt42_shard_manifest" ->
+      s"""WITH b AS (SELECT doc_id, len($tokensSql)::BIGINT AS w,
+         |   ('0x' || substr(md5(doc_id::VARCHAR || 'r8'), 1, 12))::BIGINT AS h
+         |  FROM documents)
+         |SELECT floor((h::DOUBLE / 281474976710656.0) * 16)::BIGINT AS shard,
+         | count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_tokens, bit_xor(h) AS fp
+         |FROM b GROUP BY 1""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),
