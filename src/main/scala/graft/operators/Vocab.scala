@@ -48,6 +48,48 @@ object Vocab {
     }
   }
 
+  /** PMI-ranked collocations: bigrams that co-occur far beyond chance —
+    * the phrase-mining signal behind multi-word tokenizer entries
+    * ("new york"), stop-phrase induction, and corpus drift reports.
+    *   pmi = ln( c(w1,w2) · T / (c_left(w1) · c_right(w2)) )
+    * over the corpus bigram table (T = total bigrams; c_left/c_right are
+    * positional marginals, so the marginals sum exactly to T and the
+    * measure is self-consistent). `minCount` kills the low-frequency
+    * noise pairs PMI notoriously over-scores; ranking is on the ROUNDED
+    * pmi (6 dp) with a gram tiebreak, so the order is reproducible
+    * across engines (raw float ordering would tie-break on ulps).
+    *
+    * Plan: the bigram explode reduces through three combinable count
+    * aggregates (joint + two marginals — each one shuffle of distinct
+    * keys); scoring joins are token-equi-keyed; T broadcasts as a 1-row
+    * frame; global top-k compiles to TakeOrderedAndProject.
+    * Output: (gram, n, pmi, rnk).
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val bg = df.select(explode(graft.functions.Expressions.ngrams(col(textCol), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val cl = bg.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val cr = bg.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+    val t = bg.agg(count(lit(1)).cast("double").as("t"))
+    val scored = c12.filter(col("n") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(broadcast(t))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("gram"), col("n"),
+        // all-double arithmetic: cl·cr as BIGINT would overflow at corpus
+        // scale (marginals ~1e13 each at 100 TB), and the oracle must
+        // divide the same doubles to land on the same bits
+        round(log(col("n").cast("double") * col("t")
+          / (col("cl").cast("double") * col("cr").cast("double"))), 6).as("pmi"))
+    val order = Seq(col("pmi").desc, col("gram").asc)
+    scored.orderBy(order: _*).limit(topK)
+      .withColumn("rnk", row_number().over(Window.orderBy(order: _*)))
+  }
+
   /** BPE merge learning (Sennrich et al. 2016; the GPT-2/SentencePiece
     * vocabulary-build core): start from the character alphabet, and
     * `nMerges` times merge the corpus-wide most frequent adjacent symbol

@@ -946,6 +946,25 @@ object TextOps {
         TextFns.tokenCount(col("text")), nShards = 16, seed = "r8")
     }),
 
+    // Blocklist ratio gate: banned-token hit ratio per document (broadcast
+    // join formulation); the oracle recomputes it as an IN-list filter —
+    // two independent formulations of the same semantics. 'slow' exists in
+    // the fixture vocabulary; the other terms test the zero-hit path.
+    "qt43_blocklist" -> ((s, d) => {
+      val terms = s.createDataFrame(
+        Seq(Tuple1("slow"), Tuple1("legacy"), Tuple1("deprecated"))
+      ).toDF("term")
+      graft.operators.Blocklist.termHits(T(s, d, "documents"),
+        "doc_id", "text", terms, maxRatio = 0.02)
+    }),
+
+    // PMI collocations: top-20 bigrams by pointwise mutual information
+    // (min count 5, positional marginals, rounded-pmi ranking). The
+    // oracle re-derives joint + marginal counts and the all-double PMI.
+    "qt44_collocations" -> ((s, d) =>
+      graft.operators.Vocab.collocations(T(s, d, "documents"), "text",
+        minCount = 5L, topK = 20)),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1506,6 +1525,33 @@ object TextOps {
          |SELECT floor((h::DOUBLE / 281474976710656.0) * 16)::BIGINT AS shard,
          | count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_tokens, bit_xor(h) AS fp
          |FROM b GROUP BY 1""".stripMargin,
+    "qt43_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        | b AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+        |   len(list_filter(ts, x -> x IN ('slow', 'legacy', 'deprecated')))::BIGINT AS n_hits
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_hits,
+        | round(CASE WHEN n_tokens > 0 THEN n_hits::DOUBLE / n_tokens ELSE 0.0 END, 6) AS hit_ratio,
+        | round(CASE WHEN n_tokens > 0 THEN n_hits::DOUBLE / n_tokens ELSE 0.0 END, 6) > 0.02 AS blocked
+        |FROM b""".stripMargin,
+    "qt44_collocations" ->
+      s"""WITH t AS (SELECT $tokensSql AS ts FROM documents),
+         | bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM t, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+         | c12 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         | cl AS (SELECT w1, count(*) AS cl FROM bg GROUP BY 1),
+         | cr AS (SELECT w2, count(*) AS cr FROM bg GROUP BY 1),
+         | tt AS (SELECT count(*)::DOUBLE AS t FROM bg),
+         | sc AS (SELECT c.w1 || ' ' || c.w2 AS gram, c.n,
+         |   round(ln((c.n::DOUBLE * tt.t) / (l.cl::DOUBLE * r.cr::DOUBLE)), 6) AS pmi
+         |  FROM c12 c JOIN cl l USING (w1) JOIN cr r USING (w2) CROSS JOIN tt
+         |  WHERE c.n >= 5),
+         | ranked AS (SELECT gram, n, pmi,
+         |   row_number() OVER (ORDER BY pmi DESC, gram ASC) AS rnk FROM sc)
+         |SELECT gram, n::BIGINT AS n, pmi, rnk::INT AS rnk
+         |FROM ranked WHERE rnk <= 20""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),

@@ -115,4 +115,16 @@ class VocabSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(enc0 === ((2L, 7L, 3L)))
   }
+
+  test("collocations: hand-computed PMI, rounded-pmi ranking with gram tiebreak") {
+    val d = Seq("new york new york", "san francisco", "new day").toDF("text")
+    val got = graft.operators.Vocab.collocations(d, "text", minCount = 1L, topK = 10)
+      .as[(String, Long, Double, Int)].collect().toSeq
+    // T=5; pmi(york,new)=pmi(san,francisco)=ln 5; pmi(new,york)=pmi(new,day)=ln(5/3)
+    val ln5 = BigDecimal(math.log(5.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln53 = BigDecimal(math.log(5.0 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      ("san francisco", 1L, ln5, 1), ("york new", 1L, ln5, 2),
+      ("new day", 1L, ln53, 3), ("new york", 2L, ln53, 4)))
+  }
 }
