@@ -133,4 +133,22 @@ object TextFns {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Count of characters in the given Unicode script (Java script names:
+    * "Latin", "Cyrillic", "Han", …). The charset-level sibling of [LangId]:
+    * langid's n-gram profiles only separate languages WITHIN a script, so
+    * curation pipelines gate on script mix first (a "Latin" doc that is
+    * 40% Han is mislabeled or mixed — route it, don't trust the langid).
+    * Pure codegen'd regexp count, no shuffle. Counts are UTF-16 units;
+    * identical to code points for BMP scripts (supplementary-plane CJK
+    * extensions count 2 — threshold on ratios, not exact counts, if those
+    * matter).
+    */
+  def scriptCount(text: Column, script: String): Column =
+    length(regexp_replace(text, s"[^\\p{Is$script}]", "")).cast("long")
+
+  /** Non-whitespace character count — the denominator script/charset
+    * ratios are taken over. */
+  def charCount(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("long")
 }

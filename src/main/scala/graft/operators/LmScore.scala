@@ -58,4 +58,61 @@ object LmScore {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
+
+  /** CCNet's head/middle/tail split over the LM score: rank every scored
+    * document by NLL (ascending — head is the most-fluent third) and cut
+    * into `nBuckets` rank-tertiles. Rank-based, not value-threshold-based,
+    * deliberately: the (nll, id) order is total and integer-split, so the
+    * assignment is reproducible bit-for-bit across engines — a float
+    * threshold boundary is not. Unscored rows (< 2 tokens) are excluded.
+    *
+    * The ntile rides ONE global window — fine for reporting output sizes,
+    * wrong as a 100 TB per-row pass; [bucketByApproxNll] below is the
+    * at-scale assignment path (sketch thresholds, map-side compare).
+    * Output: (bucket, n_docs, min_nll, max_nll, avg_nll).
+    */
+  def nllBuckets(scored: DataFrame, idCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll").asc, col(idCol).asc)
+    val labels: Column = {
+      val n = ntile(nBuckets).over(w)
+      if (nBuckets == 3)
+        when(n === 1, "head").when(n === 2, "middle").otherwise("tail")
+      else concat(lit("b"), n.cast("string"))
+    }
+    scored.filter(col("nll").isNotNull)
+      .withColumn("bucket", labels)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
+  /** The at-scale sibling of [nllBuckets]: bucket thresholds from an
+    * approx-percentile sketch (one aggregate), assignment a map-side
+    * comparison — no global window anywhere, so the per-row pass scales
+    * flat. Boundaries are approximate (sketch accuracy 1e-4 relative
+    * rank); use the exact variant only for report-sized outputs.
+    * Output: `scored` plus a `bucket` column.
+    */
+  def bucketByApproxNll(scored: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = scored.filter(col("nll").isNotNull)
+      .select(percentile_approx(col("nll"),
+        array(ps.map(lit): _*), lit(10000)).as("cuts"))
+    val withCuts = scored.crossJoin(broadcast(cuts))
+    val names: Int => String =
+      if (nBuckets == 3) Map(1 -> "head", 2 -> "middle", 3 -> "tail")
+      else (i: Int) => s"b$i"
+    val bucket = (1 until nBuckets).foldLeft(Option.empty[Column]) {
+      case (acc, i) =>
+        val c = col("nll") <= element_at(col("cuts"), i)
+        Some(acc.fold(when(c, lit(names(1))))(_.when(c, lit(names(i)))))
+    }.get.otherwise(lit(names(nBuckets)))
+    withCuts
+      .withColumn("bucket", when(col("nll").isNull, lit(null)).otherwise(bucket))
+      .drop("cuts")
+  }
 }

@@ -965,6 +965,38 @@ object TextOps {
       graft.operators.Vocab.collocations(T(s, d, "documents"), "text",
         minCount = 5L, topK = 20)),
 
+    // Unicode script profile: the fixture is pure ASCII, so both engines
+    // append the same Cyrillic / Han snippets by doc_id residue (qt17's
+    // differential pattern) and must agree on per-script counts, ratios,
+    // and the dominant-script call. BMP-only injections keep Java UTF-16
+    // counts == DuckDB codepoint counts.
+    "qt45_script_profile" -> ((s, d) => {
+      val base = T(s, d, "documents")
+      val t = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" привет мир")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" 你好世界")))
+        .otherwise(col("text"))
+      val d2 = base.select(col("doc_id"), t.as("text"))
+      val nLatin = TextFns.scriptCount(col("text"), "Latin")
+      val nCyr = TextFns.scriptCount(col("text"), "Cyrillic")
+      val nHan = TextFns.scriptCount(col("text"), "Han")
+      val nChars = TextFns.charCount(col("text"))
+      d2.select(col("doc_id"), nChars.as("n_chars"),
+        nLatin.as("n_latin"), nCyr.as("n_cyrillic"), nHan.as("n_han"),
+        round(nLatin.cast("double") / nChars, 6).as("latin_ratio"),
+        when(nLatin >= nCyr && nLatin >= nHan, "latin")
+          .when(nCyr >= nHan, "cyrillic").otherwise("han").as("dominant"))
+    }),
+
+    // CCNet head/middle/tail over the qt40 LM score: rank-tertile split
+    // (nll asc, id tiebreak — exact integer bucketing, no float threshold
+    // boundary for engines to disagree on), per-bucket size and nll range.
+    "qt46_lm_buckets" -> ((s, d) =>
+      graft.operators.LmScore.nllBuckets(
+        graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text"),
+        "doc_id", nBuckets = 3)),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1552,6 +1584,44 @@ object TextOps {
          |   row_number() OVER (ORDER BY pmi DESC, gram ASC) AS rnk FROM sc)
          |SELECT gram, n::BIGINT AS n, pmi, rnk::INT AS rnk
          |FROM ranked WHERE rnk <= 20""".stripMargin,
+    "qt45_script_profile" ->
+      """WITH d2 AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 3 = 0 THEN text || ' привет мир'
+        |        WHEN doc_id % 3 = 1 THEN text || ' 你好世界'
+        |        ELSE text END AS text
+        |  FROM documents),
+        | c AS (SELECT doc_id,
+        |   length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS n_chars,
+        |   length(regexp_replace(text, '[^\p{Latin}]', '', 'g'))::BIGINT AS n_latin,
+        |   length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g'))::BIGINT AS n_cyrillic,
+        |   length(regexp_replace(text, '[^\p{Han}]', '', 'g'))::BIGINT AS n_han
+        |  FROM d2)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_han,
+        | round(n_latin::DOUBLE / n_chars, 6) AS latin_ratio,
+        | CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han THEN 'latin'
+        |      WHEN n_cyrillic >= n_han THEN 'cyrillic' ELSE 'han' END AS dominant
+        |FROM c""".stripMargin,
+    "qt46_lm_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         | bg AS (SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+         | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         | v AS (SELECT count(DISTINCT t.w)::DOUBLE AS v
+         |  FROM (SELECT unnest(ts) AS w FROM toks) t),
+         | contrib AS (SELECT b.doc_id, b.pos,
+         |   -ln((c.c12 + 1.0) / (u.c1 + v.v)) AS c
+         |  FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v),
+         | per AS (SELECT doc_id,
+         |   round(list_sum(list(c ORDER BY pos)) / count(*), 6) AS nll
+         |  FROM contrib GROUP BY doc_id),
+         | lab AS (SELECT doc_id, nll,
+         |   ntile(3) OVER (ORDER BY nll ASC, doc_id ASC) AS nt FROM per)
+         |SELECT CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |               ELSE 'tail' END AS bucket,
+         | count(*)::BIGINT AS n_docs, min(nll) AS min_nll, max(nll) AS max_nll,
+         | round(avg(nll), 6) AS avg_nll
+         |FROM lab GROUP BY 1""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),

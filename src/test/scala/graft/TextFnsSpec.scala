@@ -74,4 +74,14 @@ class TextFnsSpec extends SparkSpec {
     val (n, _, sr, lang, q) = got(1)
     assert(n === Some(10) && sr.get > 0 && lang === Some("en") && q.get > 0.5)
   }
+
+  test("scriptCount / charCount: per-script character counts on mixed text") {
+    val got = Seq("hello мир 你好 ok").toDF("t").select(
+      TextFns.charCount($"t"),
+      TextFns.scriptCount($"t", "Latin"),
+      TextFns.scriptCount($"t", "Cyrillic"),
+      TextFns.scriptCount($"t", "Han"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((12L, 7L, 3L, 2L))) // hello+ok=7 latin, мир=3, 你好=2
+  }
 }
