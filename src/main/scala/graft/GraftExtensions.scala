@@ -156,5 +156,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed1("graft_fingerprint64",
       "graft_fingerprint64(text) - xxhash64 of whitespace-normalized lowercase text.")(
       graft.functions.TextFns.fingerprint64)
+    composed1("graft_char_count",
+      "graft_char_count(text) - non-whitespace character count (script-ratio denominator).")(
+      graft.functions.TextFns.charCount)
+    e.injectFunction((FunctionIdentifier("graft_script_count"),
+      info("graft_script_count",
+        "graft_script_count(text, script) - characters in the given Unicode script " +
+          "('Latin', 'Cyrillic', 'Han', ...); script must be a string literal (it is " +
+          "baked into the compiled regex at plan time)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_script_count takes 2 arguments (text, script), got ${args.length}")
+        val script = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_script_count: script must be a string literal, got $other")
+        }
+        require(script.matches("[A-Za-z_]+"),
+          s"graft_script_count: not a Unicode script name: '$script'")
+        org.apache.spark.sql.graftbridge.Bridge.converted(
+          graft.functions.TextFns.scriptCount(
+            org.apache.spark.sql.graftbridge.Bridge.column(args.head), script))
+      }))
   }
 }

@@ -49,4 +49,21 @@ object Blocklist {
     df.join(termHits(df, idCol, textCol, terms, maxRatio)
         .filter(!col("blocked")).select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** Map-only keep-predicate for LITERAL term lists (config-sized): the
+    * same rounded hit-ratio semantics as [termHits], evaluated as an
+    * array_contains filter over the token array — no explode, no join, no
+    * state, so it drops into row-local gate chains (batch Curation) and
+    * streaming front-gates unchanged. Use the DataFrame forms above when
+    * the list is a table.
+    */
+  def keepPredicate(text: Column, terms: Seq[String], maxRatio: Double): Column = {
+    require(terms.nonEmpty, "empty blocklist: gate would be a no-op, omit it instead")
+    val banned = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val ts = TextFns.tokens(lower(text))
+    val ratio = round(when(size(ts) > 0,
+      size(filter(ts, t => array_contains(banned, t))).cast("double") / size(ts))
+      .otherwise(lit(0.0)), 6)
+    ratio <= lit(maxRatio)
+  }
 }

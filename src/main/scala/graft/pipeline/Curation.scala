@@ -52,6 +52,21 @@ object Curation {
       dupSpanWidth: Int = 8,
       dupSpanMinDocs: Int = 3,
       contaminationMax: Double = 0.8,
+      // when set, line-level boilerplate removal (Dedup.dedupLines) runs
+      // as a TEXT TRANSFORM between canonicalization and every hash: lines
+      // shared by > this many docs are stripped, so chrome differences
+      // (footers, banners) stop defeating exact dedup — two docs with
+      // identical bodies but different boilerplate hash equal AFTER the
+      // strip. Drops no documents (row counts unchanged; the audit frame
+      // keeps its shape), rewrites their text.
+      lineDedupMaxDocFreq: Option[Long] = None,
+      // when non-empty, a blocklist hit-RATIO gate joins the row-local
+      // quality filters: docs whose banned-token ratio (Blocklist.termHits
+      // semantics, rounded at 6) exceeds blockMaxRatio die. Config-sized
+      // lists evaluate as a map-only array_contains filter — no join; use
+      // Blocklist.filterClean directly for table-sized lists.
+      blockTerms: Seq[String] = Nil,
+      blockMaxRatio: Double = 0.1,
       splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
       trainSplit: String = "train",
       seqBudget: Long = 2048,
@@ -129,14 +144,27 @@ object Curation {
     // reads it twice (gate filter + repetition signals), and NFC+PII regex
     // scrubbing is the most expensive row-local pass in the pipeline —
     // without the cache it runs once per consumer.
-    val canon = mark("input", docs.select(id,
-      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol)))
+    val scrubbed = docs.select(id,
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+    // 1b. optional line-level boilerplate strip (CCNet paragraph dedup) —
+    // BEFORE any hash: chrome differences must not defeat exact dedup.
+    // Rewrites text, drops no rows, so the audit frame keeps its shape.
+    val lineClean = cfg.lineDedupMaxDocFreq.fold(scrubbed) { k =>
+      Dedup.dedupLines(scrubbed, idCol, textCol, k)
+        .select(id, col("text").as(textCol))
+    }
+    val canon = mark("input", lineClean)
 
     // 2. row-local quality gates (narrow, no shuffle), then the doc-keyed
     // repetition signals — cheap filters shrink every pairwise stage after
-    val gated = canon
+    val gated0 = canon
       .filter(TextFns.tokenCount(col(textCol)) >= cfg.minTokens &&
         TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
+    // 2a'. optional blocklist ratio gate (Blocklist.keepPredicate —
+    // map-only for the Config-sized term list)
+    val gated = if (cfg.blockTerms.isEmpty) gated0
+      else gated0.filter(graft.operators.Blocklist.keepPredicate(
+        col(textCol), cfg.blockTerms, cfg.blockMaxRatio))
     val rep = graft.operators.Repetition.repetitionSignals(gated, idCol, textCol)
       .filter(col("dup_line_frac") <= cfg.maxDupLineFrac &&
         col("top_bigram_frac") <= cfg.maxTopBigramFrac)
@@ -362,11 +390,31 @@ object Curation {
 
     // 1-2. canonicalize + row-local gates: identical to the batch stages
     // (canon persisted for the same double-read reason)
-    val canon = mark("input", delta.select(id,
-      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol)))
-    val gated = canon
+    val scrubbedDelta = delta.select(id,
+      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+    // 1b. optional line strip, incremental analog: line doc-frequencies
+    // count over corpus ∪ delta (chrome shared with shipped docs must
+    // count), only delta docs are rewritten. Honest caveat: the corpus
+    // side contributes its SURVIVING lines — chrome the batch gate already
+    // stripped is absent from state, so an old footer re-protects only if
+    // the delta alone re-reaches maxDocFreq (persisting the batch's line
+    // df table as state would close this, the same trade as the span
+    // gate's window-hash table — see stateOf).
+    val lineClean = cfg.lineDedupMaxDocFreq.fold(scrubbedDelta) { k =>
+      val corpusOnly = state.docs.select(id, col(textCol))
+        .join(scrubbedDelta.select(id), Seq(idCol), "left_anti")
+      Dedup.dedupLines(corpusOnly.unionByName(scrubbedDelta), idCol, textCol, k)
+        .join(scrubbedDelta.select(id), Seq(idCol), "left_semi")
+        .select(id, col("text").as(textCol))
+    }
+    val canon = mark("input", lineClean)
+    val gated0 = canon
       .filter(TextFns.tokenCount(col(textCol)) >= cfg.minTokens &&
         TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
+    // 2a'. optional blocklist ratio gate — identical to the batch stage
+    val gated = if (cfg.blockTerms.isEmpty) gated0
+      else gated0.filter(graft.operators.Blocklist.keepPredicate(
+        col(textCol), cfg.blockTerms, cfg.blockMaxRatio))
     val rep = graft.operators.Repetition.repetitionSignals(gated, idCol, textCol)
       .filter(col("dup_line_frac") <= cfg.maxDupLineFrac &&
         col("top_bigram_frac") <= cfg.maxTopBigramFrac)

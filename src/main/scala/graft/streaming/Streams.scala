@@ -158,13 +158,20 @@ object Streams {
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
                    tsCol: String = "ts",
                    minTokens: Int = 20, minQuality: Double = 0.5,
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   blockTerms: Seq[String] = Nil,
+                   blockMaxRatio: Double = 0.1): DataFrame = {
     import graft.functions.{TextFns, Expressions}
     val canon = docs.withColumn(textCol,
       TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")))
-    val gated = canon
+    val gated0 = canon
       .filter(TextFns.tokenCount(col(textCol)) >= minTokens &&
         TextFns.qualityScore(col(textCol)) >= minQuality)
+    // optional blocklist ratio gate — a stateless map
+    // (Blocklist.keepPredicate), so it streams as-is
+    val gated = if (blockTerms.isEmpty) gated0
+      else gated0.filter(graft.operators.Blocklist.keepPredicate(
+        col(textCol), blockTerms, blockMaxRatio))
     // exact-content dedup first (formatting-noise-insensitive fingerprint),
     // then the SimHash multiset guard — same order as the batch stages.
     // ONE watermark serves both stateful operators (a stream's watermark

@@ -62,6 +62,46 @@ class CurationSpec extends SparkSpec {
     assert(strict === (default + 8L))
   }
 
+  test("curate: line-dedup gate strips chrome BEFORE hashing — footer differences stop defeating exact dedup") {
+    val body = "the parser emits tokens and the planner turns them into a tree quickly"
+    val f1 = "subscribe to our wonderful newsletter for updates every single week"
+    val f2 = "copyright twenty twenty six all rights reserved by the company"
+    val lined = Seq(
+      (30L, body + "\n" + f1),                  // same body as 31, different chrome
+      (31L, body + "\n" + f2),
+      (32L, "nebula quasar photon meson baryon lepton hadron gluon tachyon neutrino positron muon\n" + f1 + "\n" + f2),
+      (33L, "one red two blue three green four yellow five purple six orange\n" + f1 + "\n" + f2),
+      (34L, "monday tuesday wednesday thursday friday saturday sunday morning noon evening night always\n" + f1 + "\n" + f2)
+    ).toDF("doc_id", "text")
+    // gate off: 30 and 31 hash differently (chrome differs) → both ship
+    val off = Curation.curate(lined, benchmark, "doc_id", "text")
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(off === Set(30L, 31L, 32L, 33L, 34L))
+    // gate on (df > 3 strips f1 and f2 everywhere): 30 ≡ 31 after the
+    // strip → exact dedup keeps the min id; output text carries no chrome
+    val on = Curation.curate(lined, benchmark, "doc_id", "text",
+      Curation.Config(lineDedupMaxDocFreq = Some(3L)))
+    val onKept = on.documents.select("doc_id").as[Long].collect().toSet
+    assert(onKept === Set(30L, 32L, 33L, 34L))
+    val t30 = on.documents.filter($"doc_id" === 30L).select("text").as[String].head()
+    assert(t30 === body)
+  }
+
+  test("curate: blocklist ratio gate — mostly-banned doc dies, long doc with one hit ships") {
+    val withSpam = corpus.unionByName(Seq(
+      (12L, "casino jackpot winner poker casino slots jackpot bets casino prize"),
+      (13L, "a single stray casino mention inside an otherwise perfectly ordinary long document here")
+    ).toDF("doc_id", "text"))
+    val base = Curation.curate(withSpam, benchmark, "doc_id", "text")
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(base.contains(12L) && base.contains(13L)) // off by default
+    val gated = Curation.curate(withSpam, benchmark, "doc_id", "text",
+      Curation.Config(blockTerms = Seq("casino", "jackpot"), blockMaxRatio = 0.2))
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(!gated.contains(12L) && gated.contains(13L)) // 8/10 vs 1/14
+    assert(gated - 13L === base - 12L - 13L)            // nothing else changes
+  }
+
   test("curate: near-dup canonical keeps the min id; rerun is deterministic") {
     val out1 = Curation.curate(corpus, benchmark, "doc_id", "text").documents
     assert(out1.filter($"doc_id" === 7L).count() === 1) // 7 < 8 → 7 canonical

@@ -83,4 +83,25 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0)
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
+
+  test("script profiling is SQL-callable and identical to the Column API") {
+    Tables.registerAll(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val fns = graft.functions.TextFns
+    val sql = spark.sql(
+      """SELECT doc_id, graft_char_count(text) AS nc,
+        |  graft_script_count(text, 'Latin') AS lat,
+        |  graft_script_count(text, 'Cyrillic') AS cyr
+        |FROM documents""".stripMargin)
+    val api = Tables.table(spark, sf, "documents").select(col("doc_id"),
+      fns.charCount(col("text")).as("nc"),
+      fns.scriptCount(col("text"), "Latin").as("lat"),
+      fns.scriptCount(col("text"), "Cyrillic").as("cyr"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty,
+      "graft_script_count/char_count diverged from the Column API")
+    // script must be a literal — a column reference is a plan-time error
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_script_count(text, text) FROM documents").collect())
+    assert(err.getMessage.contains("string literal"))
+  }
 }

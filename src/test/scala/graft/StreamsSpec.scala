@@ -165,6 +165,22 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: blocklist ratio gate streams as a stateless filter") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(
+      (1L, ts(0), "casino jackpot casino prize casino bets"),          // 4/6 banned → dies
+      (2L, ts(1), "one stray casino word in a long clean document")) // 1/9 → ships
+    val q = Streams.curateStream(input.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", minTokens = 4, minQuality = 0.0,
+        blockTerms = Seq("casino", "jackpot"), blockMaxRatio = 0.2)
+      .writeStream.format("memory").queryName("curbl").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("curbl").select("doc_id").as[Long].collect().toSet === Set(2L))
+    } finally q.stop()
+  }
+
   test("simhashDedupStream drops token-multiset duplicates, keeps distinct text") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
