@@ -7,14 +7,14 @@ import graft.sources.Tables
 import graft.operators.Upsert
 
 /** Event-stream-shaped batch queries over the `events` fixture: DISTINCT ON,
-  * tumbling-window aggregation, JSON field extraction, gap sessionization.
-  * These are the batch twins of the streaming module's jobs — same
-  * semantics, bounded input.
+  * tumbling-window aggregation, JSON field extraction, gap sessionization,
+  * ordered-step funnel, cohort retention. The first four are the batch
+  * twins of the streaming module's jobs — same semantics, bounded input.
   *
-  * Timestamp parity: `events.ts` is INT64 nanos; both sides truncate to
-  * microseconds (Spark via Tables.events, DuckDB via
-  * `make_timestamp(epoch_ns(ts)//1000)`) before ordering or output so the
-  * engines agree bit-for-bit.
+  * Timestamp parity: `Tables.events` normalizes `ts` to µs regardless of
+  * the fixture's physical encoding (INT64 nanos or TIMESTAMP micros); the
+  * DuckDB side reads TIMESTAMP natively (`epoch_ns(ts)//1000` for the µs
+  * integer) so both engines order and emit identical values.
   */
 object Events {
 
@@ -65,6 +65,60 @@ object Events {
           timestamp_micros(min(col("us"))).as("session_start"),
           timestamp_micros(max(col("us"))).as("session_end"),
           round(sum(col("value")), 2).as("session_value"))
+    }),
+
+    // Ordered-step funnel (first-touch): a user reaches step N when the
+    // step-N event strictly follows their step-(N-1) entry time. Three
+    // conditional MIN aggregations, each an equi-join on user_id — at scale
+    // every pass shuffles on the same key, so AQE/exchange reuse keeps it
+    // one partitioning; no window over the full event stream is needed.
+    "q48_funnel" -> ((s, d) => {
+      val ev = E(s, d).select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      def step(df: DataFrame, n: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .withColumn("step", lit(n)).withColumn("step_name", lit(name))
+      val steps = step(t1, 1, "view")
+        .unionByName(step(t2, 2, "click"))
+        .unionByName(step(t3, 3, "purchase"))
+      // 3-row frame: the global window is fine
+      val w = Window.orderBy(col("step"))
+      steps
+        .withColumn("pct_of_first",
+          round(col("n_users").cast("double") / first(col("n_users")).over(w), 6))
+        .withColumn("pct_of_prev",
+          round(col("n_users").cast("double") / lag(col("n_users"), 1).over(w), 6))
+        .select(col("step"), col("step_name"), col("n_users"),
+          col("pct_of_first"), col("pct_of_prev"))
+    }),
+
+    // Cohort retention: cohort = the user's first active day; one distinct
+    // count per (cohort day, day offset). Two aggregations over the same
+    // user_id partitioning; the cohort size rides a per-cohort window over
+    // the already-small result (offset 0 exists for every cohort by
+    // construction — it is the first-event day itself).
+    "q49_retention" -> ((s, d) => {
+      val ev = E(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val counts = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      counts
+        .withColumn("cohort_size", first(col("n_users")).over(w))
+        .withColumn("retention_pct",
+          round(col("n_users").cast("double") / col("cohort_size"), 6))
+        .select(col("cohort_day"), col("day_offset"), col("n_users"),
+          col("cohort_size"), col("retention_pct"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -90,5 +144,30 @@ object Events {
         |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
         | make_timestamp(min(us)) AS session_start, make_timestamp(max(us)) AS session_end,
         | round(sum(value), 2) AS session_value
-        |FROM sess GROUP BY user_id, session_id""".stripMargin)
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q48_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        | t1 AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        | t2 AS (SELECT e.user_id, min(us) AS t2 FROM ev e JOIN t1 USING (user_id)
+        |   WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        | t3 AS (SELECT e.user_id, min(us) AS t3 FROM ev e JOIN t2 USING (user_id)
+        |   WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        | steps AS (
+        |  SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM t1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM t3)
+        |SELECT step::INT AS step, step_name, n_users::BIGINT AS n_users,
+        | round(n_users::DOUBLE / first(n_users) OVER (ORDER BY step), 6) AS pct_of_first,
+        | round(n_users::DOUBLE / lag(n_users) OVER (ORDER BY step), 6) AS pct_of_prev
+        |FROM steps""".stripMargin,
+    "q49_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        | cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        | counts AS (SELECT cohort_day, date_diff('day', cohort_day, day)::INT AS day_offset,
+        |   count(DISTINCT user_id) AS n_users
+        |  FROM ev JOIN cohort USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users::BIGINT AS n_users,
+        | first(n_users::BIGINT) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS cohort_size,
+        | round(n_users::DOUBLE / first(n_users) OVER (PARTITION BY cohort_day ORDER BY day_offset), 6) AS retention_pct
+        |FROM counts""".stripMargin)
 }
