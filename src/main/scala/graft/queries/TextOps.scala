@@ -997,6 +997,19 @@ object TextOps {
         graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text"),
         "doc_id", nBuckets = 3)),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram bucket
+    // model (1024 buckets), target = the English slice, raw = the whole
+    // corpus; Laplace-smoothed log-ratio weight per document, top-25% rank
+    // cut. The oracle re-derives the bucket model, the smoothed ratios,
+    // and the bucket-ordered fold over the same fnv1a64 in pure SQL.
+    "qt47_dsir" -> ((s, d) => {
+      val w = graft.operators.Dsir.importanceWeights(
+        T(s, d, "documents"), col("lang") === "en", "doc_id", "text",
+        buckets = 1024)
+      graft.operators.Dsir.selectTopFraction(w, 0.25, "doc_id")
+        .select(col("doc_id"), col("weight"), col("rnk"), col("selected"))
+    }),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1584,6 +1597,26 @@ object TextOps {
          |   row_number() OVER (ORDER BY pmi DESC, gram ASC) AS rnk FROM sc)
          |SELECT gram, n::BIGINT AS n, pmi, rnk::INT AS rnk
          |FROM ranked WHERE rnk <= 20""".stripMargin,
+    "qt47_dsir" ->
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, lang = 'en' AS tgt,
+         |   (${HashSql.fnv("t.term")} % 1024::UBIGINT)::BIGINT AS bucket
+         |  FROM (SELECT doc_id, lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),
+         | cb AS MATERIALIZED (SELECT bucket, count(*)::BIGINT AS cr,
+         |   sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct FROM tok GROUP BY 1),
+         | tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM cb),
+         | ratio AS (SELECT bucket,
+         |   ln(((ct + 1.0) * (nr + 1024.0)) / ((cr + 1.0) * (nt + 1024.0))) AS lr
+         |  FROM cb CROSS JOIN tot),
+         | pb AS (SELECT doc_id, bucket, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+         | wts AS (SELECT doc_id, round(list_sum(list(n::DOUBLE * lr ORDER BY bucket)), 6) AS weight
+         |  FROM pb JOIN ratio USING (bucket) GROUP BY doc_id),
+         | allw AS (SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
+         |  FROM documents d LEFT JOIN wts w USING (doc_id)),
+         | ranked AS (SELECT doc_id, weight,
+         |   row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rnk,
+         |   count(*) OVER () AS nn FROM allw)
+         |SELECT doc_id, weight, rnk::INT AS rnk, rnk <= ceil(0.25 * nn) AS selected
+         |FROM ranked""".stripMargin,
     "qt45_script_profile" ->
       """WITH d2 AS (SELECT doc_id,
         |   CASE WHEN doc_id % 3 = 0 THEN text || ' привет мир'
