@@ -98,6 +98,37 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rnk"))
   }
 
+  /** Contrastive training-pair mining: for every query vector, the top-kPos
+    * most-similar SAME-label neighbors (positives) and the top-kNeg
+    * most-similar DIFFERENT-label neighbors — the "hard negatives" of
+    * DPR/SimCSE-style embedding training (Karpukhin et al. 2020: the
+    * negatives that matter are the highest-scoring wrong answers, not
+    * random ones). One scored pass over the label-tagged product, one
+    * per-(query,role) window; same small-query broadcast contract as
+    * [bruteForceTopK]. At corpus scale, feed the candidate set from
+    * [ivfTopK]/[lshTopK] with k ≫ kPos+kNeg and apply the same role
+    * split — the window logic is identical on any candidate frame.
+    */
+  def contrastivePairs(corpus: DataFrame, queries: DataFrame,
+                       kPos: Int, kNeg: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    require(kPos >= 1 && kNeg >= 1, s"kPos/kNeg must be >= 1: $kPos/$kNeg")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl"), norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"), norm(col(vecCol)).as("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("sim", round(dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("role", when(col("__ql") === col("__cl"), lit("pos")).otherwise(lit("neg")))
+    val w = Window.partitionBy(col("query_id"), col("role"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter((col("role") === "pos" && col("rnk") <= kPos) ||
+        (col("role") === "neg" && col("rnk") <= kNeg))
+      .select(col("query_id"), col("corpus_id"), col("role"), col("sim"), col("rnk"))
+  }
+
   /** Sign-random-projection LSH bucket id: `planes` hyperplanes → one bit
     * each (dot ≥ 0) → integer bucket. Vectors in the same bucket are
     * cosine-similar with probability rising in their angle. `family` selects

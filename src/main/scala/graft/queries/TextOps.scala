@@ -1010,6 +1010,16 @@ object TextOps {
         .select(col("doc_id"), col("weight"), col("rnk"), col("selected"))
     }),
 
+    // Contrastive pair mining (DPR-style): per query vector, top-3
+    // same-label positives and top-5 cross-label hard negatives by exact
+    // cosine. The oracle re-scores the labeled product and applies the
+    // identical per-(query, role) window.
+    "qt48_contrastive" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.operators.Similarity.contrastivePairs(
+        emb, emb.filter(col("vec_id") < 10), kPos = 3, kNeg = 5)
+    }),
+
     // Sequence packing (concat-and-chunk): documents → fixed-128-token
     // training sequences across 8 hash shards; the oracle re-derives the
     // whole assignment (shard hash, running totals, boundary splits) in
@@ -1617,6 +1627,21 @@ object TextOps {
          |   count(*) OVER () AS nn FROM allw)
          |SELECT doc_id, weight, rnk::INT AS rnk, rnk <= ceil(0.25 * nn) AS selected
          |FROM ranked""".stripMargin,
+    "qt48_contrastive" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS cl FROM embeddings),
+        | p AS (SELECT query_id, corpus_id, ql, cl,
+        |   list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+        |   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS nq,
+        |   sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))) AS nc
+        |  FROM q JOIN c ON query_id != corpus_id),
+        | s AS (SELECT query_id, corpus_id,
+        |   CASE WHEN ql = cl THEN 'pos' ELSE 'neg' END AS role,
+        |   round(dot/(nq*nc), 6) AS sim FROM p),
+        | r AS (SELECT query_id, corpus_id, role, sim,
+        |   row_number() OVER (PARTITION BY query_id, role ORDER BY sim DESC, corpus_id ASC) AS rnk FROM s)
+        |SELECT query_id, corpus_id, role, sim, rnk::BIGINT AS rnk
+        |FROM r WHERE (role = 'pos' AND rnk <= 3) OR (role = 'neg' AND rnk <= 5)""".stripMargin,
     "qt45_script_profile" ->
       """WITH d2 AS (SELECT doc_id,
         |   CASE WHEN doc_id % 3 = 0 THEN text || ' привет мир'

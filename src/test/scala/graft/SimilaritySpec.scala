@@ -349,4 +349,26 @@ class SimilaritySpec extends SparkSpec {
     // pruned serve returns k rows per query like the exhaustive path
     assert(mem.groupBy(_._1).forall(_._2.size == 5))
   }
+
+  test("contrastivePairs: positives share the label, negatives are the hardest wrong-label hits") {
+    // label 0 clusters near +x, label 1 near +y; vec 3 (label 1) sits close
+    // to +x — the designed hard negative for the label-0 query.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (3L, Seq(0.8f, 0.6f, 0.0f), 1),
+      (4L, Seq(0.0f, 0.9f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastivePairs(emb, emb.filter($"vec_id" === 0L),
+        kPos = 1, kNeg = 2)
+      .as[(Long, Long, String, Double, Int)].collect()
+    val pos = got.filter(_._3 == "pos").map(_._2).toSet
+    val neg = got.filter(_._3 == "neg")
+    assert(pos === Set(1L), "positive must be the same-label nearest")
+    assert(neg.map(_._2).toSet === Set(3L, 2L))
+    assert(neg.minBy(_._5)._2 === 3L, "hardest negative (rank 1) must be vec 3")
+    // roles partition the labels correctly
+    assert(got.forall(r => (r._3 == "pos") == Set(0L, 1L).contains(r._2)))
+  }
 }
