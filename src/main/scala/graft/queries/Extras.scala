@@ -497,9 +497,64 @@ object Extras {
         T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey").as("s_suppkey"),
           col("l_quantity")),
         small, Seq("s_suppkey"))
+    }),
+
+    // Fixed-iteration PageRank over the customer↔supplier trade graph
+    // (both directions of every orders×lineitem trade edge, node ids
+    // prefix-tagged to keep the key spaces apart). 3 iterations in
+    // oracle mode: the DuckDB twin unrolls the same three iterations as
+    // chained CTEs with the same source-ordered folds, so every
+    // intermediate rank is bit-identical.
+    "q50_pagerank" -> ((s, d) => {
+      val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(T(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
+        .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
+          concat(lit("s:"), col("l_suppkey")).as("snode"))
+      val e = ol.select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
+      graft.operators.PageRank.pageRank(e, "src", "dst", iters = 3,
+        oracleMode = true)
     }))
 
+  /** q50's DuckDB twin: `iters` PageRank rounds unrolled as chained CTEs,
+    * every per-node sum a source-ordered `list_sum` (the Spark side's
+    * oracle-mode sorted fold). All float arithmetic is forced through
+    * ::DOUBLE — DuckDB's bare `1.0 - 0.85` is exact DECIMAL arithmetic,
+    * which would diverge from IEEE by an ulp and compound per iteration.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |   SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |   UNION ALL
+        |   SELECT 's:' || l_suppkey, 'c:' || o_custkey
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey)),
+        | nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |   SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        | nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        | od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS odeg FROM e GROUP BY 1),
+        | r0 AS (SELECT node, 1.0::DOUBLE / n::DOUBLE AS rank FROM nodes CROSS JOIN nn)"""
+    val its = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+         | c$i AS (SELECT e.dst AS node, e.src, r.rank / od.odeg AS c
+         |   FROM e JOIN $p r ON r.node = e.src JOIN od ON od.src = e.src),
+         | f$i AS (SELECT node, list_sum(list(c ORDER BY src)) AS inflow FROM c$i GROUP BY node),
+         | d$i AS (SELECT coalesce(list_sum(list(rank ORDER BY node)), 0.0::DOUBLE) AS dmass
+         |   FROM $p r WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = r.node)),
+         | r$i AS (SELECT n2.node,
+         |    (1.0::DOUBLE - 0.85::DOUBLE) / nn.n::DOUBLE + 0.85::DOUBLE *
+         |      (coalesce(f.inflow, 0.0::DOUBLE) + d.dmass / nn.n::DOUBLE) AS rank
+         |   FROM nodes n2 LEFT JOIN f$i f USING (node) CROSS JOIN d$i d CROSS JOIN nn)"""
+    }.mkString
+    (base + its + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters").stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q50_pagerank" -> pagerankSql(3),
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
