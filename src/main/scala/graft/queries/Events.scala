@@ -119,6 +119,21 @@ object Events {
           round(col("n_users").cast("double") / col("cohort_size"), 6))
         .select(col("cohort_day"), col("day_offset"), col("n_users"),
           col("cohort_size"), col("retention_pct"))
+    }),
+
+    // SCD2 dimension build: the per-user event_type change stream collapsed
+    // to validity intervals (consecutive duplicates merge; valid_to =
+    // next run's start, NULL while current). The lookup side of this
+    // interval table is exactly q27's as-of join.
+    "q51_scd2" -> ((s, d) => {
+      val ev = E(s, d).select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"), col("event_id"))
+      graft.operators.Scd2.buildScd2(ev, Seq("user_id"), Seq("event_type"),
+          "us", tieBreak = Seq(col("event_id").asc))
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("valid_from")).as("valid_from"),
+          timestamp_micros(col("valid_to")).as("valid_to"),
+          col("is_current"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -169,5 +184,16 @@ object Events {
         |SELECT cohort_day, day_offset, n_users::BIGINT AS n_users,
         | first(n_users::BIGINT) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS cohort_size,
         | round(n_users::DOUBLE / first(n_users) OVER (PARTITION BY cohort_day ORDER BY day_offset), 6) AS retention_pct
-        |FROM counts""".stripMargin)
+        |FROM counts""".stripMargin,
+    "q51_scd2" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us, event_id FROM events),
+        | lagged AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev FROM ev),
+        | runs AS (SELECT user_id, event_type, us, event_id FROM lagged
+        |   WHERE prev IS NULL OR prev != event_type),
+        | iv AS (SELECT user_id, event_type, us AS vf,
+        |   lead(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS vt
+        |  FROM runs)
+        |SELECT user_id, event_type, make_timestamp(vf) AS valid_from,
+        | make_timestamp(vt) AS valid_to, vt IS NULL AS is_current
+        |FROM iv""".stripMargin)
 }
