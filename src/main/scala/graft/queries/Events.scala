@@ -134,6 +134,30 @@ object Events {
           timestamp_micros(col("valid_from")).as("valid_from"),
           timestamp_micros(col("valid_to")).as("valid_to"),
           col("is_current"))
+    }),
+
+    // Volume anomaly detection: hourly counts per event type z-scored
+    // against that type's own distribution. Moments come from exact
+    // integer sums (count, Σn, Σn²) so mean/σ/z are bit-deterministic —
+    // no Welford ordering to disagree on; the 5-row stats frame
+    // broadcasts back onto the hourly grid.
+    "q52_anomaly" -> ((s, d) => {
+      val hourly = E(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val st = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sn"),
+          sum(col("n") * col("n")).as("sn2"))
+      hourly.join(broadcast(st), "event_type")
+        .withColumn("mean", col("sn").cast("double") / col("cnt"))
+        .withColumn("sd",
+          sqrt(col("sn2").cast("double") / col("cnt") - col("mean") * col("mean")))
+        .withColumn("z",
+          when(col("sd") > 0, round((col("n") - col("mean")) / col("sd"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("is_anomaly", abs(col("z")) > 2.0)
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("mean"), 6).as("mean"), col("z"), col("is_anomaly"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -195,5 +219,20 @@ object Events {
         |  FROM runs)
         |SELECT user_id, event_type, make_timestamp(vf) AS valid_from,
         | make_timestamp(vt) AS valid_to, vt IS NULL AS is_current
-        |FROM iv""".stripMargin)
+        |FROM iv""".stripMargin,
+    "q52_anomaly" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $tsUs) AS window_start, event_type,
+         |   count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+         | st AS (SELECT event_type, count(*)::BIGINT AS cnt, sum(n)::BIGINT AS sn,
+         |   sum(n*n)::BIGINT AS sn2 FROM hourly GROUP BY 1),
+         | j AS (SELECT h.window_start, h.event_type, h.n,
+         |   sn::DOUBLE / cnt AS mean,
+         |   sqrt(sn2::DOUBLE / cnt - (sn::DOUBLE / cnt) * (sn::DOUBLE / cnt)) AS sd
+         |  FROM hourly h JOIN st USING (event_type)),
+         | z AS (SELECT window_start, event_type, n, mean,
+         |   CASE WHEN sd > 0 THEN round((n - mean) / sd, 6) ELSE 0.0 END AS z
+         |  FROM j)
+         |SELECT window_start, event_type, n, round(mean, 6) AS mean, z,
+         | abs(z) > 2.0 AS is_anomaly
+         |FROM z""".stripMargin)
 }
