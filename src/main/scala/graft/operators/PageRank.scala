@@ -41,7 +41,11 @@ object PageRank {
                oracleMode: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // eager checkpoint: every iteration (and the degree/node derivations)
+    // re-reads the edge list — without this, an edge frame that is itself
+    // a join gets recomputed iters+2 times
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
