@@ -13,6 +13,24 @@ object ExprImpl {
 
   def fnv1a64(s: UTF8String): Long = Dedup.fnv1a64(s.toString)
 
+  /** DEFLATE length of the UTF-8 bytes at the given level. Deterministic
+    * for a fixed level on the JVM's zlib, which is all the compressibility
+    * quality signal needs (the RATIO is the feature; it has no cross-stack
+    * oracle, so its catalog entry is rows-only + ScalaTest).
+    */
+  def deflateLen(s: UTF8String, level: Int): Long = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(level, /*nowrap=*/ true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   def simhash64(s: UTF8String): Long = {
     val text = s.toString
     val votes = new Array[Int](64)

@@ -32,6 +32,21 @@ object Expressions {
     override def prettyName: String = "graft_fnv1a64"
   }
 
+  /** deflate_len(string, level) → long: DEFLATE-compressed byte length of
+    * the UTF-8 text (raw stream, no zlib header). One pass per row inside
+    * whole-stage codegen; the compressibility quality signal's kernel.
+    */
+  case class DeflateLen(child: Expression, level: Int) extends UnaryExpression {
+    require(level >= 1 && level <= 9, s"deflate level out of [1,9]: $level")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.deflateLen(v.asInstanceOf[UTF8String], level)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.deflateLen($c, $level)")
+    override protected def withNewChildInternal(c: Expression): DeflateLen = copy(child = c)
+    override def prettyName: String = "graft_deflate_len"
+  }
+
   /** lsh_bucket(array<float>, planes, family) → long, with full whole-stage
     * codegen: the single-pass primitive-loop form of the sign-LSH bucket id
     * (see ExprImpl.lshBucket). `planes`/`family` are plan-time parameters,
@@ -271,6 +286,7 @@ object Expressions {
   private def unwrap(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
   def fnv1a64(c: Column): Column = wrap(Fnv1a64(unwrap(c)))
+  def deflateLen(c: Column, level: Int = 6): Column = wrap(DeflateLen(unwrap(c), level))
   def simhash64(c: Column): Column = wrap(SimHash64(unwrap(c)))
   def wktCentroid(c: Column): Column = wrap(WktCentroid(unwrap(c)))
   def lshBucket(c: Column, planes: Int, family: Int): Column =

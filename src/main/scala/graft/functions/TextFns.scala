@@ -151,4 +151,16 @@ object TextFns {
     * ratios are taken over. */
   def charCount(text: Column): Column =
     length(regexp_replace(text, "\\s+", "")).cast("long")
+
+  /** Compressibility quality signal (the MassiveText/Gopher family's
+    * repetition rule, Rae et al. 2021: machine-generated and boilerplate
+    * text DEFLATEs far below natural prose): compressed/raw byte ratio,
+    * one codegen'd pass per row. Empty text reports ratio 1.0 (nothing to
+    * judge). The ratio is JVM-zlib-specific, so its catalog entry is
+    * rows-only — thresholds should be calibrated per corpus anyway.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    when(octet_length(text) === 0, lit(1.0))
+      .otherwise(round(Expressions.deflateLen(text, level).cast("double") /
+        octet_length(text).cast("double"), 6))
 }

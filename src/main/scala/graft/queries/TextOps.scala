@@ -1010,6 +1010,18 @@ object TextOps {
         .select(col("doc_id"), col("weight"), col("rnk"), col("selected"))
     }),
 
+    // Compressibility quality signal (Rae et al. 2021's repetition rule):
+    // DEFLATE ratio per document + the repetitive flag. No DuckDB oracle —
+    // the ratio is JVM-zlib-specific — so this entry is rows-only; the
+    // semantics (repetition ⇒ lower ratio, determinism, empty-text guard)
+    // are TextFnsSpec-verified.
+    "qt49_compress" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.Expressions.deflateLen(col("text"), 6).as("deflate_len"),
+        TextFns.compressionRatio(col("text")).as("ratio"))
+        .withColumn("repetitive", col("ratio") < 0.35)),
+
     // Contrastive pair mining (DPR-style): per query vector, top-3
     // same-label positives and top-5 cross-label hard negatives by exact
     // cosine. The oracle re-scores the labeled product and applies the

@@ -84,4 +84,19 @@ class TextFnsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(got === ((12L, 7L, 3L, 2L))) // hello+ok=7 latin, мир=3, 你好=2
   }
+
+  test("compressionRatio: repetition compresses below varied prose; empty text is 1.0; deterministic") {
+    val rep = "spam spam spam spam " * 50
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val df = Seq(("rep", rep), ("var", varied), ("empty", "")).toDF("k", "t")
+      .select($"k", TextFns.compressionRatio($"t").as("r"))
+    val got = df.as[(String, Double)].collect().toMap
+    assert(got("rep") < got("var") / 2, s"repetitive ${got("rep")} should be far below varied ${got("var")}")
+    assert(got("empty") === 1.0)
+    assert(got("rep") > 0.0 && got("var") < 1.5)
+    // same input → same ratio on a second evaluation (fixed level, one zlib)
+    val again = Seq(("rep", rep)).toDF("k", "t")
+      .select(TextFns.compressionRatio($"t")).as[Double].head()
+    assert(again === got("rep"))
+  }
 }
