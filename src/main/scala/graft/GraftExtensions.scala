@@ -179,5 +179,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.TextFns.scriptCount(
             org.apache.spark.sql.graftbridge.Bridge.column(args.head), script))
       }))
+    e.injectFunction((FunctionIdentifier("graft_deflate_len"),
+      info("graft_deflate_len",
+        "graft_deflate_len(str, level) - DEFLATE-compressed byte length of the UTF-8 text " +
+          "(raw stream); level must be an integer literal in [1,9]. " +
+          "graft_deflate_len(t, 6) / octet_length(t) is the compressibility quality signal."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_deflate_len takes 2 arguments (text, level), got ${args.length}")
+        Expressions.DeflateLen(args.head, intLit("graft_deflate_len", "level")(args(1)))
+      }))
   }
 }

@@ -292,7 +292,38 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe pagerank <sfDir>`: what oracle-mode
+    * bit-exactness costs on q50's trade graph — production combinable
+    * sums vs sorted folds, and the marginal cost per extra iteration
+    * (linear if the per-iteration checkpoint is doing its job).
+    */
+  private def pagerankProbe(sfDir: String): Unit = {
+    val spark = GraftSession.get()
+    val ol = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
+      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
+        concat(lit("s:"), col("l_suppkey")).as("snode"))
+    val e = ol.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
+    def time(name: String)(act: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = act
+      println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+    for (iters <- Seq(1, 3, 6))
+      time(s"production_i$iters")(graft.operators.PageRank
+        .pageRank(e, "src", "dst", iters).count())
+    for (iters <- Seq(1, 3))
+      time(s"oracle_i$iters")(graft.operators.PageRank
+        .pageRank(e, "src", "dst", iters, oracleMode = true).count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pagerank"))
+      return pagerankProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("bm25"))
       return bm25Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("semdedup"))

@@ -70,4 +70,35 @@ object Shards {
         sum(col("__w")).as("n_tokens"),
         expr("bit_xor(__h)").as("fp"))
   }
+
+  /** JSONL twin of [writeShards] — the format most tokenizer/trainer
+    * loaders actually ingest: `path/shard=K/…` text files, one JSON
+    * object per line serialized with `to_json` (schema-stable field
+    * order: struct field order is the DataFrame's column order). The
+    * manifest is again recomputed FROM DISK by reading the JSONL back
+    * with the input's schema pinned (no inference pass) — a lost shard or
+    * truncated file shows up as a count/fingerprint mismatch, exactly as
+    * in the parquet layout.
+    */
+  def writeJsonlShards(df: DataFrame, idCol: String, weight: Column,
+                       nShards: Int, path: String, seed: String = ""): DataFrame = {
+    val sharded = df.withColumn("shard", assignShard(col(idCol), nShards, seed))
+    val payload = df.columns.map(col)
+    sharded.select(col("shard"), to_json(struct(payload: _*)).as("value"))
+      .write.mode("overwrite").partitionBy("shard").text(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val back = spark.read.schema(df.schema)
+      .json(spark.read.text(path).select(col("value")).as[String])
+    // partition column is not in the JSON payload — recompute it from the
+    // key, which is the same pure function the writer used
+    back.select(col(idCol),
+        assignShard(col(idCol), nShards, seed).as("shard"),
+        weight.cast("long").as("__w"),
+        keyHash48(col(idCol), seed).as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_tokens"),
+        expr("bit_xor(__h)").as("fp"))
+  }
 }

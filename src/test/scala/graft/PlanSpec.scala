@@ -302,4 +302,44 @@ class PlanSpec extends SparkSpec {
         s"$q lost map-side combine:\n$p")
     }
   }
+
+  test("DSIR: bucket model broadcast back onto the corpus, no product, no UDF") {
+    val p = plan(SparkEntry.queries("qt47_dsir")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"model table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"DSIR grew a product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"DSIR left Catalyst:\n$p")
+  }
+
+  test("funnel: every step aggregation joins equi-keyed on user_id, no product") {
+    val p = plan(SparkEntry.queries("q48_funnel")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"funnel grew a product:\n$p")
+    // three conditional-min aggregates — the step logic is aggregation,
+    // not a full-stream window over events
+    assert(!p.contains("WindowExec") || p.contains("HashAggregate"),
+      s"funnel lost its aggregate shape:\n$p")
+  }
+
+  test("contrastive mining: query side broadcast, one BNLJ by contract, corpus unshuffled") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.contrastivePairs(
+      emb, emb.filter($"vec_id" < 5), kPos = 2, kNeg = 2)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the pinned broadcast product is the documented contract:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must stream, never shuffle for the pair scan:\n$p")
+  }
+
+  test("SCD2: one shuffle — both windows ride the same (key, ts) partitioning") {
+    val ev = Tables.events(spark, sf).select($"user_id", $"event_type",
+      expr("ts_ns div 1000").as("us"), $"event_id")
+    val df = graft.operators.Scd2.buildScd2(ev, Seq("user_id"),
+      Seq("event_type"), "us", tieBreak = Seq($"event_id".asc))
+    // the AQE plan string echoes the initial plan below the final one —
+    // count exchanges only in the executed section
+    val p = plan(df).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"SCD2 should shuffle once on user_id, saw $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

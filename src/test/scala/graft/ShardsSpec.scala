@@ -20,6 +20,26 @@ class ShardsSpec extends SparkSpec {
     assert(written.map(r => s"shard=${r._1}") === dirs.filter(_.startsWith("shard=")))
   }
 
+  test("writeJsonlShards: JSONL layout round-trips; manifest ≡ parquet twin ≡ input") {
+    val d = (1L to 120L).map(i => (i, s"doc $i with \"quotes\" and ünïcode"))
+      .toDF("id", "text")
+    val w = graft.functions.TextFns.tokenCount($"text")
+    val jdir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val jm = Shards.writeJsonlShards(d, "id", w, 4, jdir, seed = "t")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = Shards.manifest(d, "id", w, 4, seed = "t")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(jm === direct, "JSONL round-trip lost or mutated rows")
+    // the layout is text files under shard=K dirs, one JSON object per line
+    val shardDirs = new java.io.File(jdir).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    val aLine = shardDirs.head.listFiles().filter(_.getName.endsWith(".txt"))
+      .headOption.map(f => scala.io.Source.fromFile(f, "UTF-8").getLines().next())
+    assert(aLine.exists(l => l.startsWith("{") && l.contains("\"id\":")),
+      s"not JSONL: $aLine")
+  }
+
   test("manifest fingerprint flips when a row moves or is dropped") {
     val d = (1L to 50L).map(i => (i, 1L)).toDF("id", "w")
     val base = Shards.manifest(d, "id", $"w", 4, seed = "t")

@@ -104,4 +104,18 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT graft_script_count(text, text) FROM documents").collect())
     assert(err.getMessage.contains("string literal"))
   }
+
+  test("graft_deflate_len is SQL-callable and identical to the expression API") {
+    Tables.registerAll(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val sql = spark.sql(
+      "SELECT doc_id, graft_deflate_len(text, 6) AS dl FROM documents")
+    val api = Tables.table(spark, sf, "documents").select(col("doc_id"),
+      graft.functions.Expressions.deflateLen(col("text"), 6).as("dl"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty,
+      "graft_deflate_len diverged from the expression API")
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_deflate_len(text, doc_id) FROM documents").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
