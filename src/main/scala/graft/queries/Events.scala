@@ -158,6 +158,52 @@ object Events {
         .withColumn("is_anomaly", abs(col("z")) > 2.0)
         .select(col("window_start"), col("event_type"), col("n"),
           round(col("mean"), 6).as("mean"), col("z"), col("is_anomaly"))
+    }),
+
+    // Sequence-pattern matching (the CEP/MATCH_RECOGNIZE shape, batch
+    // form): each user's event history becomes an ordered initial-letter
+    // string, and contiguous view→click→purchase runs are counted as
+    // non-overlapping regex matches. One groupBy with an order-pinned
+    // string aggregation — the per-user sequence is bounded by user
+    // history, never corpus-wide.
+    "q54_pattern" -> ((s, d) => {
+      val ev = E(s, d).select(col("user_id"),
+        substring(col("event_type"), 1, 1).as("c"),
+        expr("ts_ns div 1000").as("us"), col("event_id"))
+      val seqs = ev
+        .withColumn("__ord", struct(col("us"), col("event_id")))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(array_sort(
+          collect_list(struct(col("__ord"), col("c")))),
+          x => x.getField("c"))).as("seq"))
+      seqs.select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+          (size(split(col("seq"), "vcp", -1)) - 1).cast("long").as("n_funnels"))
+        .filter(col("n_funnels") > 0)
+    }),
+
+    // Last-touch attribution: every purchase credits the user's most
+    // recent PRECEDING non-purchase event. IGNORE-NULLS last_value over
+    // the per-user ordering — one shuffle on user_id; the report is the
+    // per-channel credit count and value.
+    "q55_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      E(s, d).select(col("user_id"), col("event_type"), col("value"),
+          expr("ts_ns div 1000").as("us"), col("event_id"))
+        .withColumn("attributed",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("attributed").isNotNull)
+        .groupBy(col("attributed"))
+        // value sum folded in event order (the BM25 discipline) — a plain
+        // SUM of hundreds of doubles could straddle a cent boundary
+        // differently per partitioning
+        .agg(count(lit(1)).as("n_purchases"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(col("event_id"), col("value")))),
+              x => x.getField("value")),
+            lit(0.0), (acc, v) => acc + v), 2).as("attributed_value"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -234,5 +280,24 @@ object Events {
          |  FROM j)
          |SELECT window_start, event_type, n, round(mean, 6) AS mean, z,
          | abs(z) > 2.0 AS is_anomaly
-         |FROM z""".stripMargin)
+         |FROM z""".stripMargin,
+    "q54_pattern" ->
+      """WITH ev AS (SELECT user_id, substr(event_type, 1, 1) AS c,
+        |   epoch_ns(ts)//1000 AS us, event_id FROM events),
+        | seqs AS (SELECT user_id, string_agg(c, '' ORDER BY us ASC, event_id ASC) AS seq
+        |  FROM ev GROUP BY 1)
+        |SELECT user_id, length(seq)::BIGINT AS n_events,
+        | (len(string_split(seq, 'vcp')) - 1)::BIGINT AS n_funnels
+        |FROM seqs WHERE len(string_split(seq, 'vcp')) - 1 > 0""".stripMargin,
+    "q55_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, value, epoch_ns(ts)//1000 AS us, event_id FROM events),
+        | attr AS (SELECT user_id, event_type, value, event_id,
+        |   last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed
+        |  FROM ev)
+        |SELECT attributed, count(*)::BIGINT AS n_purchases,
+        | round(list_sum(list(value ORDER BY event_id)), 2) AS attributed_value
+        |FROM attr WHERE event_type = 'purchase' AND attributed IS NOT NULL
+        |GROUP BY attributed""".stripMargin)
 }

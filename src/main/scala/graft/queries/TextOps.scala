@@ -1030,6 +1030,7 @@ object TextOps {
       val emb = T(s, d, "embeddings")
       graft.operators.Similarity.contrastivePairs(
         emb, emb.filter(col("vec_id") < 10), kPos = 3, kNeg = 5)
+        .withColumn("rnk", col("rnk").cast("long"))
     }),
 
     // Sequence packing (concat-and-chunk): documents → fixed-128-token

