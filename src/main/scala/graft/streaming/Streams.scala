@@ -44,6 +44,44 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"), col("approx_users"))
 
+  /** Per-type volume moments trained on a BATCH history frame — exact
+    * integer sums over the hourly grid (count, Σn, Σn²), the same
+    * deterministic-moment discipline as the q52 batch entry. Output:
+    * (event_type, cnt, sn, sn2) — a dim-sized frame [anomalyStream]
+    * broadcasts against the live windows.
+    */
+  def anomalyStats(history: DataFrame): DataFrame =
+    history
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("sn2"))
+
+  /** Streaming twin of q52_anomaly, in the production shape: moments are
+    * trained OFFLINE ([anomalyStats]) and joined as a static broadcast
+    * dim; the stream pays one watermarked tumbling-window count, and each
+    * completed window is z-scored against its type's history. No
+    * streaming state beyond the window aggregation itself.
+    */
+  def anomalyStream(events: DataFrame, stats: DataFrame,
+                    window_ : String = "1 hour",
+                    watermark: String = "10 minutes",
+                    zThreshold: Double = 2.0): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("mean", col("sn").cast("double") / col("cnt"))
+      .withColumn("sd",
+        sqrt(col("sn2").cast("double") / col("cnt") - col("mean") * col("mean")))
+      .withColumn("z",
+        when(col("sd") > 0, round((col("n") - col("mean")) / col("sd"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("z"), (abs(col("z")) > zThreshold).as("is_anomaly"))
+
   /** Per-user session transition function (public for direct unit testing
     * with TestGroupState). Emits a closed session when the gap exceeds
     * `gapMs` (on the next event) or when the state times out.

@@ -28,6 +28,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream flags a spike window against batch-trained moments") {
+    implicit val sq = spark.sqlContext
+    // history: 4 quiet hours of 2 clicks each + one 6-click hour →
+    // mean 2.8, a 10-click live window z-scores far above 2
+    val history = (0 until 4).flatMap(h =>
+      Seq(Event(h * 10L, ts(h * 60), 1, "click", 1.0),
+        Event(h * 10L + 1, ts(h * 60 + 5), 2, "click", 1.0))) ++
+      (0 until 6).map(i => Event(100L + i, ts(4 * 60 + i), 3, "click", 1.0))
+    val stats = Streams.anomalyStats(history.toDF())
+    val input = MemoryStream[Event]
+    input.addData((0 until 10).map(i =>
+      Event(200L + i, ts(10 * 60 + i), 4, "click", 1.0)): _*)
+    input.addData(Event(300L, ts(11 * 60), 5, "click", 1.0)) // quiet window
+    val q = Streams.anomalyStream(input.toDF(), stats, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("anom").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("anom").orderBy("window_start")
+        .select("n", "is_anomaly").as[(Long, Boolean)].collect().toSeq
+      assert(got === Seq((10L, true), (1L, false)))
+      // z agrees with the batch formula on the same moments
+      val z = spark.table("anom").orderBy("window_start")
+        .select("z").as[Double].head()
+      val (cnt, sn, sn2) = stats.select("cnt", "sn", "sn2").as[(Long, Long, Long)].head()
+      val mean = sn.toDouble / cnt
+      val sd = math.sqrt(sn2.toDouble / cnt - mean * mean)
+      assert(math.abs(z - (10 - mean) / sd) < 1e-5)
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps > 30 min and matches batch semantics") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
