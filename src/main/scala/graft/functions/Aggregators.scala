@@ -61,6 +61,59 @@ object Aggregators {
     c => u(c)
   }
 
+  /** Misra–Gries heavy hitters (Misra & Gries 1982; merge rule per
+    * Agarwal et al., "Mergeable Summaries" 2012) — the approx top-k that
+    * [ModeAgg]'s bounded-domain contract points free-text callers at. The
+    * buffer holds at most k−1 counters REGARDLESS of the column's
+    * distinct-value count, so the shuffle carries O(k) per (partition,
+    * group) even over an unbounded vocabulary; merge sums counters and
+    * re-prunes by subtracting the k-th largest count.
+    *
+    * Guarantee (survives merging): for every value,
+    * est ≤ f_true ≤ est + n/k — so every value with f_true > n/k is IN
+    * the summary. The summary's exact content depends on partition order
+    * (the estimates are lower bounds, not exact counts); downstream
+    * consumers restore exactness with a verification count over the
+    * candidate set only — the same candidate-generation + verify pattern
+    * as the LSH/IVF rerank family (entry qt50).
+    */
+  case class MisraGriesAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 2, s"k must be >= 2: $k")
+
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b
+      else b.get(v) match {
+        case Some(n) => b.updated(v, n + 1L)
+        case None if b.size < k - 1 => b.updated(v, 1L)
+        case None => // decrement-all step: the O(k) amortized classic
+          b.collect { case (t, n) if n > 1L => t -> (n - 1L) }
+      }
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = if (a.size >= b.size)
+        b.foldLeft(a) { case (acc, (t, n)) => acc.updated(t, acc.getOrElse(t, 0L) + n) }
+      else merge(b, a)
+      if (m.size <= k - 1) m
+      else {
+        // subtract the k-th largest counter from all; ≤ k−1 stay positive
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k - 1)
+        m.collect { case (t, n) if n - cut > 0L => t -> (n - cut) }
+      }
+    }
+
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  /** Column form of [MisraGriesAgg]. */
+  def heavyHitters(k: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val u = udaf(MisraGriesAgg(k), Encoders.STRING)
+    c => u(c)
+  }
+
   /** SQL-surface registration (idempotent): `SELECT graft_mode(col) ...`.
     * A UserDefinedAggregateFunction registers per session, unlike the
     * native expressions GraftExtensions injects at extension time.

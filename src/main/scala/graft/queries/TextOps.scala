@@ -1010,6 +1010,27 @@ object TextOps {
         .select(col("doc_id"), col("weight"), col("rnk"), col("selected"))
     }),
 
+    // Heavy hitters via Misra–Gries candidates + verification counts: the
+    // MG summary (bounded O(k) buffer per group, any vocabulary size)
+    // guarantees every term with f > n/k survives; counting ONLY the
+    // candidates and filtering on the exact threshold restores exactness
+    // — so the output is deterministic and the oracle needs no MG at all
+    // (if the sketch ever lost a true hitter, the row sets would differ).
+    "qt50_heavy_hitters" -> ((s, d) => {
+      val k = 32
+      val tok = T(s, d, "documents").select(col("lang"),
+        explode(graft.functions.Expressions.ngrams(col("text"), 1)).as("term"))
+      val cand = tok.groupBy(col("lang"))
+        .agg(graft.functions.Aggregators.heavyHitters(k)(col("term")).as("summary"))
+        .select(col("lang"), explode(map_keys(col("summary"))).as("term"))
+      val totals = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+      tok.join(broadcast(cand), Seq("lang", "term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), "lang")
+        .filter(col("n") * k > col("n_tokens"))
+        .select(col("lang"), col("term"), col("n"), col("n_tokens"))
+    }),
+
     // Compressibility quality signal (Rae et al. 2021's repetition rule):
     // DEFLATE ratio per document + the repetitive flag. No DuckDB oracle —
     // the ratio is JVM-zlib-specific — so this entry is rows-only; the
@@ -1640,6 +1661,13 @@ object TextOps {
          |   count(*) OVER () AS nn FROM allw)
          |SELECT doc_id, weight, rnk::INT AS rnk, rnk <= ceil(0.25 * nn) AS selected
          |FROM ranked""".stripMargin,
+    "qt50_heavy_hitters" ->
+      s"""WITH tok AS (SELECT lang, t.term
+         |  FROM (SELECT lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),
+         | tot AS (SELECT lang, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1),
+         | cnt AS (SELECT lang, term, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2)
+         |SELECT c.lang, c.term, c.n, t.n_tokens
+         |FROM cnt c JOIN tot t USING (lang) WHERE c.n * 32 > t.n_tokens""".stripMargin,
     "qt48_contrastive" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 10),
         | c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS cl FROM embeddings),

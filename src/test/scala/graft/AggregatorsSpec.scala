@@ -68,4 +68,42 @@ class AggregatorsSpec extends SparkSpec {
     // the map-side-combine shape that keeps the UDAF shuffle-light
     assert("ObjectHashAggregate|HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("Misra–Gries: every value above n/k survives, estimates are n/k-sound, buffer bounded") {
+    val k = 8
+    // 1000 values: 'hot' appears 300×, 'warm' 200×, the rest spread over
+    // 100 distinct cold values (5 each) — hot and warm are above n/k=125
+    val data = Seq.fill(300)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 100).flatMap(i => Seq.fill(5)(s"cold$i"))
+    val exact = data.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    // run through several partitionings — the guarantee must be layout-proof
+    for (parts <- Seq(1, 4, 13)) {
+      val summary = data.toDF("v").repartition(parts)
+        .agg(Aggregators.heavyHitters(k)($"v").as("s"))
+        .as[Map[String, Long]].head()
+      assert(summary.size <= k - 1, s"buffer exceeded k-1: ${summary.size}")
+      assert(summary.contains("hot") && summary.contains("warm"),
+        s"lost a true heavy hitter at parts=$parts: ${summary.keySet}")
+      summary.foreach { case (v, est) =>
+        val f = exact(v)
+        assert(est <= f && f <= est + data.size / k,
+          s"estimate $est for $v outside [f - n/k, f]; f=$f")
+      }
+    }
+  }
+
+  test("qt50: MG candidates + verify-count equals the exact threshold set") {
+    import org.apache.spark.sql.functions._
+    val k = 32
+    val tok = graft.sources.Tables.table(spark, sf, "documents").select($"lang",
+      explode(graft.functions.Expressions.ngrams($"text", 1)).as("term"))
+    val viaEntry = SparkEntry.queries("qt50_heavy_hitters")(spark, sf)
+      .select("lang", "term", "n").as[(String, String, Long)].collect().toSet
+    val exact = tok.groupBy($"lang", $"term").agg(count(lit(1)).as("n"))
+      .join(tok.groupBy($"lang").agg(count(lit(1)).as("nt")), "lang")
+      .filter($"n" * k > $"nt")
+      .select("lang", "term", "n").as[(String, String, Long)].collect().toSet
+    assert(viaEntry === exact, "sketch+verify diverged from the exact threshold set")
+    assert(exact.nonEmpty)
+  }
 }
