@@ -95,4 +95,28 @@ class SourcesSpec extends SparkSpec {
     val recorded = df.select("source_url").as[String].head()
     assert(recorded === url, s"audit column must carry the reference's URL, got $recorded")
   }
+
+  test("Tables.events adapts to BOTH fixture ts encodings (the r7 regression lock)") {
+    // the driver has shipped events.ts as INT64 nanos AND as
+    // TIMESTAMP(MICROS) across fixture regenerations; the loader must
+    // yield identical (ts, ts_ns) for the same instant under either
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_events_enc")
+    val usInstant = 1704067200123456L // 2024-01-01T00:00:00.123456Z
+    // encoding A: long nanos column named ts (read via nanosAsLong=true the
+    // way the old fixture was — here written as a plain long, same shape)
+    spark.range(1).select(lit(1L).as("event_id"),
+        lit(usInstant * 1000L).as("ts"), lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/enc_a/events.parquet")
+    // encoding B: true TimestampType micros
+    spark.range(1).select(lit(1L).as("event_id"),
+        timestamp_micros(lit(usInstant)).as("ts"), lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/enc_b/events.parquet")
+    val a = Tables.events(spark, s"$dir/enc_a")
+      .select(unix_micros(col("ts")), col("ts_ns")).as[(Long, Long)].head()
+    val b = Tables.events(spark, s"$dir/enc_b")
+      .select(unix_micros(col("ts")), col("ts_ns")).as[(Long, Long)].head()
+    assert(a === ((usInstant, usInstant * 1000L)))
+    assert(b === a, s"encodings disagree: long-nanos $a vs timestamp $b")
+  }
 }
