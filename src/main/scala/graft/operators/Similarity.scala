@@ -175,6 +175,24 @@ object Similarity {
         dim.cast("long") * lit(0xC2B2AE3D27D4EB4FL))),
       2000001L).cast("double") / 1000000.0) - 1.0
 
+  /** Deterministic hash-derived embedding for a text column — the encoder
+    * stand-in that lets a COMPOSED retrieval pipeline be oracled
+    * end-to-end: component i = remainderUnsigned(mix64(mix64(fnv1a64(
+    * text)) xor i·0xC2B2AE3D27D4EB4F), 2000001)/10⁶ − 1 (the same mix64
+    * family as the LSH hyperplanes, re-derivable in DuckDB SQL), cast to
+    * float like a real model's output. A production pipeline swaps in a
+    * real encoder's column here; everything downstream (ANN, fusion,
+    * dedup) is indifferent to where the floats came from.
+    */
+  def hashEmbedding(text: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val h = mix64Col(graft.functions.Expressions.fnv1a64(text))
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      ((remainderUnsignedCol(
+        mix64Col(h.bitwiseXOR(i.cast("long") * lit(0xC2B2AE3D27D4EB4FL))),
+        2000001L).cast("double") / 1000000.0) - 1.0).cast("float"))
+  }
+
   /** Column-expression formulation of `lshBucket` — same bits, kept only as
     * an independent implementation for differential testing.
     */

@@ -1010,6 +1010,38 @@ object TextOps {
         .select(col("doc_id"), col("weight"), col("rnk"), col("selected"))
     }),
 
+    // Composed retrieval pipeline (the RAG serving chain end-to-end under
+    // ONE oracle): token-window chunking → deterministic hash-embeddings
+    // (Similarity.hashEmbedding — the encoder stand-in; production swaps
+    // in a real model column, downstream is indifferent) → dense cosine
+    // AND sparse BM25 over the SAME chunk store → RRF fusion, chunk keys
+    // mapped back to (doc, chunk). Every stage reuses an already-oracled
+    // operator; the oracle replays the whole chain in one statement.
+    "qr01_retrieval" -> ((s, d) => {
+      val k = 10; val dim = 16
+      val docs = T(s, d, "documents")
+      val chunks = graft.operators.Pack.chunkTokens(docs, "doc_id", "text",
+          window = 32, stride = 24)
+        .select(((col("doc_id") + 1) * 1000 + col("chunk_id")).as("ck"),
+          col("chunk_text"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val sparse = graft.operators.Retrieval.bm25TopK(chunks, queries, k = k,
+        idCol = "ck", textCol = "chunk_text")
+      val cEmb = chunks.select(col("ck").as("vid"),
+        graft.operators.Similarity.hashEmbedding(col("chunk_text"), dim).as("emb"))
+      val qEmb = queries.select(col("query_id").as("vid"),
+        graft.operators.Similarity.hashEmbedding(col("qtext"), dim).as("emb"))
+      val dense = graft.operators.Similarity.bruteForceTopK(cEmb, qEmb, k = k,
+          idCol = "vid", vecCol = "emb")
+        .select(col("query_id"), col("corpus_id").as("ck"), col("rnk"))
+      graft.operators.Retrieval.rrfFuse(
+          sparse.select(col("query_id"), col("ck"), col("rnk")), dense,
+          k = k, idCol = "ck")
+        .select(col("query_id"), expr("ck div 1000 - 1").as("doc_id"),
+          expr("ck % 1000").as("chunk_id"), col("rrf_score"), col("rnk"))
+    }),
+
     // Heavy hitters via Misra–Gries candidates + verification counts: the
     // MG summary (bounded O(k) buffer per group, any vocabulary size)
     // guarantees every term with f > n/k survives; counting ONLY the
@@ -1661,6 +1693,66 @@ object TextOps {
          |   count(*) OVER () AS nn FROM allw)
          |SELECT doc_id, weight, rnk::INT AS rnk, rnk <= ceil(0.25 * nn) AS selected
          |FROM ranked""".stripMargin,
+    "qr01_retrieval" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         | st AS (SELECT doc_id, ts, i AS start
+         |  FROM toks, unnest(range(0, len(ts), 24)) AS r(i) WHERE len(ts) >= 1),
+         | chunks AS MATERIALIZED (SELECT
+         |   ((doc_id + 1) * 1000 + (start // 24))::BIGINT AS ck,
+         |   array_to_string(ts[start + 1 : start + 32], ' ') AS chunk_text FROM st),
+         | ctok AS MATERIALIZED (SELECT ck, t.term
+         |  FROM (SELECT ck, list_filter(regexp_split_to_array(chunk_text, '\\s+'), t -> t != '') AS ts2 FROM chunks),
+         |    unnest(ts2) AS t(term)),
+         | post AS MATERIALIZED (SELECT ck, term, count(*)::DOUBLE AS tf FROM ctok GROUP BY 1, 2),
+         | dl AS MATERIALIZED (SELECT ck, count(*)::DOUBLE AS dl FROM ctok GROUP BY 1),
+         | stq AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         | dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+         | qt AS (SELECT DISTINCT doc_id AS query_id, t.term
+         |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents WHERE doc_id < 5),
+         |    unnest(ts) AS t(term)),
+         | contrib AS (SELECT q.query_id, p.ck, p.term,
+         |    ln(1 + (stq.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * 2.2 /
+         |      (p.tf + 1.2 * (0.25 + 0.75 * d.dl / stq.avgdl)) AS c
+         |   FROM qt q JOIN post p USING (term) JOIN dfreq f USING (term)
+         |     JOIN dl d ON d.ck = p.ck CROSS JOIN stq),
+         | bsc AS (SELECT query_id, ck, round(list_sum(list(c ORDER BY term)), 6) AS score
+         |   FROM contrib GROUP BY query_id, ck),
+         | bm AS (SELECT query_id, ck, rnk FROM (
+         |   SELECT query_id, ck, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, ck ASC) AS rnk
+         |   FROM bsc) WHERE rnk <= 10),
+         | ch0 AS (SELECT ck, ${HashSql.fnv("chunk_text")} AS h0 FROM chunks),
+         | ch1 AS (SELECT ck, ${HashSql.mixCols("h0", "a")} FROM ch0),
+         | cg AS (SELECT ck, ma, i FROM ch1, unnest(range(0, 16)) AS r(i)),
+         | ch2 AS (SELECT ck, i,
+         |   ${HashSql.mixCols(s"xor(ma, ${HashSql.familySeed("i::UBIGINT")})", "b")} FROM cg),
+         | cemb AS (SELECT ck,
+         |   list(((mb % 2000001::UBIGINT)::DOUBLE / 1000000.0 - 1.0)::FLOAT ORDER BY i) AS emb
+         |  FROM ch2 GROUP BY ck),
+         | qh0 AS (SELECT doc_id AS query_id, ${HashSql.fnv("text")} AS q0 FROM documents WHERE doc_id < 5),
+         | qh1 AS (SELECT query_id, ${HashSql.mixCols("q0", "c")} FROM qh0),
+         | qg AS (SELECT query_id, mc, i FROM qh1, unnest(range(0, 16)) AS r(i)),
+         | qh2 AS (SELECT query_id, i,
+         |   ${HashSql.mixCols(s"xor(mc, ${HashSql.familySeed("i::UBIGINT")})", "d")} FROM qg),
+         | qemb AS (SELECT query_id,
+         |   list(((md % 2000001::UBIGINT)::DOUBLE / 1000000.0 - 1.0)::FLOAT ORDER BY i) AS emb
+         |  FROM qh2 GROUP BY query_id),
+         | dp AS (SELECT q.query_id, c.ck,
+         |   list_sum(list_transform(range(1, 17), i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE)) AS dot,
+         |   sqrt(list_sum(list_transform(q.emb, x -> x::DOUBLE * x::DOUBLE))) AS nq,
+         |   sqrt(list_sum(list_transform(c.emb, x -> x::DOUBLE * x::DOUBLE))) AS nc
+         |  FROM qemb q JOIN cemb c ON q.query_id != c.ck),
+         | ds AS (SELECT query_id, ck, round(dot/(nq*nc), 6) AS sim FROM dp),
+         | dn AS (SELECT query_id, ck, rnk FROM (
+         |   SELECT query_id, ck, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, ck ASC) AS rnk
+         |   FROM ds) WHERE rnk <= 10),
+         | fused AS (SELECT query_id, ck,
+         |    round(coalesce(1.0 / (60 + b.rnk), 0.0) + coalesce(1.0 / (60 + n.rnk), 0.0), 6) AS rrf_score
+         |   FROM bm b FULL JOIN dn n USING (query_id, ck)),
+         | ranked AS (SELECT query_id, ck, rrf_score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, ck ASC) AS rnk FROM fused)
+         |SELECT query_id, (ck // 1000 - 1)::BIGINT AS doc_id, (ck % 1000)::BIGINT AS chunk_id,
+         | rrf_score, rnk::INT AS rnk
+         |FROM ranked WHERE rnk <= 10""".stripMargin,
     "qt50_heavy_hitters" ->
       s"""WITH tok AS (SELECT lang, t.term
          |  FROM (SELECT lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),

@@ -108,4 +108,33 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(capped === cappedDirect)
   }
+
+  test("hashEmbedding: deterministic, dimension-correct, text-sensitive") {
+    import graft.operators.Similarity
+    val df = Seq("alpha beta", "alpha beta", "gamma").toDF("t")
+      .select(Similarity.hashEmbedding($"t", 16).as("e"))
+    val got = df.as[Seq[Float]].collect()
+    assert(got.forall(_.length == 16))
+    assert(got(0) === got(1), "same text must embed identically")
+    assert(got(0) !== got(2), "different text must embed differently")
+    assert(got(0).forall(v => v >= -1.0f && v <= 1.0f))
+  }
+
+  test("qr01 composed retrieval: full rank lists per query, bounded scores, deterministic") {
+    // the hash-embedding dense leg is deterministic but semantically
+    // arbitrary (it hashes the text, it doesn't understand it), so the
+    // invariants here are structural; self-retrieval quality belongs to a
+    // real encoder column
+    def run() = SparkEntry.queries("qr01_retrieval")(spark, sf)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val a = run()
+    assert(a.map(_._1) === (0L to 4L).toSet)
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.size === 10, s"query $q: ${rows.size} rows")
+      assert(rows.map(_._5) === (1 to 10).toSet, s"query $q ranks not 1..10")
+    }
+    // an RRF score is at most 1/61 + 1/61 (rank 1 in both systems)
+    assert(a.forall(r => r._4 > 0.0 && r._4 <= 2.0 / 61 + 1e-6))
+    assert(run() === a, "composed pipeline must be run-deterministic")
+  }
 }
