@@ -1020,10 +1020,14 @@ object TextOps {
     "qr01_retrieval" -> ((s, d) => {
       val k = 10; val dim = 16
       val docs = T(s, d, "documents")
+      // the chunk store feeds BOTH legs (postings build + embedding) —
+      // materialize once (the PageRank edge-frame lesson; in production
+      // this is the persisted chunk table both indexes build from)
       val chunks = graft.operators.Pack.chunkTokens(docs, "doc_id", "text",
           window = 32, stride = 24)
         .select(((col("doc_id") + 1) * 1000 + col("chunk_id")).as("ck"),
           col("chunk_text"))
+        .localCheckpoint()
       val queries = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       val sparse = graft.operators.Retrieval.bm25TopK(chunks, queries, k = k,
