@@ -1067,6 +1067,39 @@ object TextOps {
         .select(col("lang"), col("term"), col("n"), col("n_tokens"))
     }),
 
+    // Character-entropy + type-token-ratio quality signals (the exact
+    // information-theoretic cousins of qt49's zlib proxy — and unlike it,
+    // fully cross-engine oracle-able): Shannon entropy over the per-doc
+    // character distribution (probabilities from integer counts, the
+    // contribution fold ordered by character) and distinct/total token
+    // ratio. Low entropy or low TTR = repetitive/templated text.
+    "qt51_entropy" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cc = docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+      val tot = cc.groupBy(col("doc_id")).agg(sum(col("n")).as("nc"))
+      val p = col("n").cast("double") / col("nc")
+      val ent = cc.join(tot, "doc_id")
+        .select(col("doc_id"), col("nc"), col("ch"), (p * log(p)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("nc")).as("n_chars"),
+          round(-aggregate(
+            transform(array_sort(collect_list(struct(col("ch"), col("c")))),
+              x => x.getField("c")),
+            lit(0.0), (acc, v) => acc + v), 6).as("char_entropy"))
+      val tk = docs.select(col("doc_id"),
+        graft.functions.Expressions.ngrams(col("text"), 1).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ts"))).cast("long").as("n_types"))
+      docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left").join(tk, "doc_id")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+          coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"),
+          col("n_tokens"), col("n_types"),
+          when(col("n_tokens") > 0,
+            round(col("n_types").cast("double") / col("n_tokens"), 6)).as("ttr"))
+    }),
+
     // Compressibility quality signal (Rae et al. 2021's repetition rule):
     // DEFLATE ratio per document + the repetitive flag. No DuckDB oracle —
     // the ratio is JVM-zlib-specific — so this entry is rows-only; the
@@ -1757,6 +1790,24 @@ object TextOps {
          |SELECT query_id, (ck // 1000 - 1)::BIGINT AS doc_id, (ck % 1000)::BIGINT AS chunk_id,
          | rrf_score, rnk::INT AS rnk
          |FROM ranked WHERE rnk <= 10""".stripMargin,
+    "qt51_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, c
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '') AS cs FROM documents),
+         |    unnest(cs) AS t(c) WHERE c != ''),
+         | cc AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+         | tt AS (SELECT doc_id, sum(n)::BIGINT AS nc FROM cc GROUP BY 1),
+         | ent AS (SELECT doc_id,
+         |   round(-list_sum(list((n::DOUBLE / nc) * ln(n::DOUBLE / nc) ORDER BY c)), 6) AS char_entropy
+         |  FROM cc JOIN tt USING (doc_id) GROUP BY doc_id),
+         | tk AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+         |   len(list_distinct(ts))::BIGINT AS n_types
+         |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents))
+         |SELECT d.doc_id, coalesce(t2.nc, 0)::BIGINT AS n_chars,
+         | coalesce(e.char_entropy, 0.0) AS char_entropy,
+         | tk.n_tokens, tk.n_types,
+         | CASE WHEN tk.n_tokens > 0 THEN round(tk.n_types::DOUBLE / tk.n_tokens, 6) END AS ttr
+         |FROM documents d LEFT JOIN ent e USING (doc_id)
+         | LEFT JOIN tt t2 USING (doc_id) JOIN tk ON tk.doc_id = d.doc_id""".stripMargin,
     "qt50_heavy_hitters" ->
       s"""WITH tok AS (SELECT lang, t.term
          |  FROM (SELECT lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),
