@@ -69,12 +69,28 @@ object Dsir {
 
   /** Per-document log importance weights (rounded at 6 after the
     * bucket-ordered fold). Documents with zero tokens carry weight 0.
+    *
+    * One corpus pass: the (doc, bucket) count aggregation is the shared
+    * shuffle BOTH the model derivation and the per-doc scoring read —
+    * Catalyst plans the second reader as a ReusedExchange, so the
+    * explode+hash map work over the corpus runs exactly once (deriving
+    * the model from the raw token stream instead would re-scan it).
     */
   def importanceWeights(docs: DataFrame, isTarget: Column, idCol: String,
                         textCol: String, buckets: Int = 1024): DataFrame = {
-    val model = bucketLogRatios(docs, isTarget, textCol, buckets)
-    val perBucket = tokenBuckets(docs, isTarget, textCol, buckets)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+    val pdb = tokenBuckets(docs, isTarget, textCol, buckets)
+      .groupBy(col(idCol), col("__tgt"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val counts = pdb.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("__tgt"), col("n")).otherwise(lit(0L))).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log(((col("ct") + lit(1.0)) * (col("nr") + lit(buckets.toDouble))) /
+          ((col("cr") + lit(1.0)) * (col("nt") + lit(buckets.toDouble)))))
+      .select(col("bucket"), col("lr"))
+    val perBucket = pdb
       .join(broadcast(model), "bucket")
       .select(col(idCol), col("bucket"),
         (col("n").cast("double") * col("lr")).as("c"))
