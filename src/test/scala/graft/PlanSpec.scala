@@ -303,11 +303,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("DSIR: bucket model broadcast back onto the corpus, no product, no UDF") {
+  test("DSIR: bucket model broadcast back onto the corpus, shared exchange, no product, no UDF") {
     val p = plan(SparkEntry.queries("qt47_dsir")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"model table not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"DSIR grew a product:\n$p")
     assert(!p.toLowerCase.contains("scalaudf"), s"DSIR left Catalyst:\n$p")
+    // the model derivation and the per-doc scoring read ONE (doc,bucket)
+    // aggregation — the corpus explode+hash must not run twice
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"the shared (doc,bucket) exchange is not reused:\n$p")
   }
 
   test("funnel: every step aggregation joins equi-keyed on user_id, no product") {
