@@ -51,6 +51,17 @@ object Bench {
       System.gc()
       Thread.sleep(200)
     }
+    // cumulative JVM GC milliseconds — the per-run delta distinguishes
+    // plan cost from heap-pressure amplification (BENCH_r08's qc01 read
+    // 91.9 s on the driver vs 32.6 s for identical code in a quiet
+    // environment; the GC share is the witness an external reader needs)
+    def gcMs(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+      t
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -58,7 +69,7 @@ object Bench {
       // result, so re-running a known-failed (possibly slow-to-fail) query
       // runs-1 more times buys nothing
       isolate()
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       var failed = false
       // one UNTIMED warmup run per entry: first-run-only cost (parquet
       // footer reads, codegen compilation for this entry's plan shapes)
@@ -76,18 +87,29 @@ object Bench {
         // without this a sub-second entry occasionally eats a multi-second
         // stall on its first job and reads as a 5× spread
         spark.range(1).count()
+        val g0 = gcMs()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 } catch {
+        try {
+          fn(spark, sfDir).count()
+          times += (((System.nanoTime() - t0) / 1e9, (gcMs() - g0) / 1e3))
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
         }
         i += 1
       }
-      // (min, relative spread): min is the deterministic-cost estimator;
-      // (max-min)/min across the runs is the noise witness — a large value
-      // says this entry's number is scheduling/GC noise, not plan cost
-      name -> (if (failed) (-1.0, -1.0)
-               else (times.min, if (times.min > 0) (times.max - times.min) / times.min else 0.0))
+      // (min, relative spread, gc-of-min-run): min is the deterministic-
+      // cost estimator; (max-min)/min across the runs is the noise witness
+      // — a large value says this entry's number is scheduling/GC noise,
+      // not plan cost; the min run's GC seconds say how much of even the
+      // best run was collector time (heap-pressure witness)
+      name -> (if (failed) (-1.0, -1.0, 0.0)
+               else {
+                 val best = times.minBy(_._1)
+                 (best._1,
+                   if (best._1 > 0) (times.map(_._1).max - best._1) / best._1 else 0.0,
+                   best._2)
+               })
     }.toMap
     // The driver captures only the last ~2000 bytes of stdout; a queries map
     // keyed by full names with nanosecond-precision doubles overflows that
@@ -99,7 +121,7 @@ object Bench {
       "short query ids collide; bench line would drop a query")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, (v, _)) => "\"" + shortId(k) + "\":" + fmt(v) }
+      .map { case (k, (v, _, _)) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Noise report, budgeted for the driver's ~2000-byte stdout window:
     // the WORST relative spreads (capped at 8 entries, 2 decimals) plus the
@@ -108,15 +130,45 @@ object Bench {
     // line. -1 (failed) entries are excluded; they're already flagged.
     val spreads = results.toSeq.filter(_._2._2 >= 0)
     val worst = spreads.sortBy(-_._2._2).take(8)
-      .map { case (k, (_, s)) => "\"" + shortId(k) + "\":" + f"$s%.2f" }
+      .map { case (k, (_, s, _)) => "\"" + shortId(k) + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
     val spreadMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2._2).max
+    // GC witness: seconds the collector took INSIDE each entry's best
+    // timed run (top 6) + the sum over all entries. A healthy run carries
+    // near-zero; a memory-pressured environment shows the amplification
+    // here instead of leaving a 2-3× mystery in the totals.
+    val gcs = results.toSeq.filter(_._2._1 >= 0)
+    val gcWorst = gcs.sortBy(-_._2._3).take(6)
+      .map { case (k, (_, _, g)) => "\"" + shortId(k) + "\":" + f"$g%.2f" }
+      .mkString("{", ",", "}")
+    val gcTotal = gcs.map(_._2._3).sum
+    // machine-state stamp at report time: available memory + 1-min load
+    // (best-effort; absent on non-Linux)
+    def envStamp: String = try {
+      val mem = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong / 1048576.0 }.getOrElse(-1.0)
+      val load = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      f"""{"mem_avail_gb":$mem%.1f,"load1":$load%.2f}"""
+    } catch { case _: Throwable => "{}" }
     // any failure invalidates the run: report total=-1 (a smaller-but-
     // incomplete sum would read as a FASTER run to a total-only gate)
     val failures = results.count(_._2._1 < 0)
     val total = if (failures > 0) -1.0 else results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"spread_worst":$worst,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"spread_worst":$worst,""" +
+      s""""gc_sec":${f"$gcTotal%.2f"},"gc_worst":$gcWorst,"env":$envStamp,"sf":"$sfDir"}"""
+    // stdout shares a buffer with Spark warnings and the driver captures
+    // only its tail — the FILE is the canonical artifact (BENCH_r08 shipped
+    // parsed:null from a warning landing mid-line); the stdout line stays
+    // for human greps
+    val outFile = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+    println(s"[bench] metrics written to ${outFile.toAbsolutePath}")
     spark.stop()
   }
 }

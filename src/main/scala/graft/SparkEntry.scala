@@ -22,7 +22,9 @@ object SparkEntry {
     * sign-LSH hyperplanes derived from it — is re-derived in SQL, see
     * TextOps.HashSql; the Lloyd-trained IVF path is oracled via
     * order-deterministic oracle-mode means, see TextOps.ivfCtes). Every
-    * query entry has an oracle.
+    * query entry has an oracle; qt49's is an INVARIANT oracle (DuckDB
+    * predicts zlib-bound booleans from text length, Spark computes them
+    * from real DEFLATE output) since the raw ratio is JVM-zlib-specific.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Events.oracle ++ Extras.oracle ++ CurationQ.oracle

@@ -134,8 +134,14 @@ object Dsir {
     */
   def thresholdForFraction(weights: DataFrame, frac: Double): Double = {
     require(frac > 0.0 && frac <= 1.0, s"frac out of (0,1]: $frac")
-    weights.agg(percentile_approx(col("weight"), lit(1.0 - frac), lit(10000)))
-      .head().getDouble(0)
+    val row = weights
+      .agg(percentile_approx(col("weight"), lit(1.0 - frac), lit(10000)))
+      .head()
+    // percentile_approx of an empty frame is NULL — surface a contract
+    // error instead of the NPE getDouble would throw
+    require(!row.isNullAt(0),
+      "thresholdForFraction: weights frame is empty (no quantile exists)")
+    row.getDouble(0)
   }
 
   /** Map-side companion of [thresholdForFraction]. */

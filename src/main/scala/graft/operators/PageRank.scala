@@ -44,10 +44,16 @@ object PageRank {
         x => x.getField("v")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Normalized distinct edges, eagerly checkpointed. */
-  private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+  /** Normalized distinct edges, eagerly checkpointed. `assumeDistinct`
+    * skips the dedup shuffle when the caller serves from an
+    * already-distinct edge store (the persisted-graph seam) — outdegree
+    * and inflow would silently double-count on a caller who lies.
+    */
+  private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String,
+                        assumeDistinct: Boolean): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    (if (assumeDistinct) e else e.distinct()).localCheckpoint()
+  }
 
   private def nodeFrame(e: DataFrame): DataFrame =
     e.select(col("src").as("node"))
@@ -89,10 +95,11 @@ object PageRank {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               oracleMode: Boolean = false): DataFrame = {
+               oracleMode: Boolean = false,
+               assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
-    val e = edgeFrame(edges, srcCol, dstCol)
+    val e = edgeFrame(edges, srcCol, dstCol, assumeDistinct)
     val nodes = nodeFrame(e)
     val n = nodes.count()
     iterate(e, nodes, iters, oracleMode,
@@ -110,10 +117,11 @@ object PageRank {
                            srcCol: String, dstCol: String,
                            seedCol: String, iters: Int,
                            damping: Double = 0.85,
-                           oracleMode: Boolean = false): DataFrame = {
+                           oracleMode: Boolean = false,
+                           assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
-    val e = edgeFrame(edges, srcCol, dstCol)
+    val e = edgeFrame(edges, srcCol, dstCol, assumeDistinct)
     val nodes = nodeFrame(e)
     val sd = seeds.select(col(seedCol).as("node")).distinct()
     val ns = sd.join(nodes, "node").count()

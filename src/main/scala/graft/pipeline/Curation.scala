@@ -120,8 +120,22 @@ object Curation {
     * lazy so small single-output runs execute as one job and leak no
     * cache entries.
     */
+  /** `release = true` (persist mode only) unpersists each stage's cache as
+    * soon as the next stage's materialization has consumed it — the
+    * pipeline's peak cached footprint drops from every-stage-resident
+    * (~9 corpus-sized caches) to the 2-3 frames still live (split, packed,
+    * and the in-flight stage). A 100 TB run cannot hold nine corpus copies
+    * in cluster memory either; checkpoint-and-release is the production
+    * discipline. Lineage stays intact, so a caller who re-reads a released
+    * Stages frame recomputes it (correct, just uncached) — the stage
+    * counts observer reads `Stages.counts`, which is captured before any
+    * release. Released mode also shrinks GC/eviction churn under a tight
+    * heap — the mechanism that amplified the composed entries 2-3× under
+    * memory pressure (see docs/SCALE.md round-9 note).
+    */
   def stages(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
-             cfg: Config = Config(), persist: Boolean = false): Stages = {
+             cfg: Config = Config(), persist: Boolean = false,
+             release: Boolean = false): Stages = {
     // persist mode materializes each stage EAGERLY (count after persist):
     // a lazily-persisted stage is cold when the first multi-branch action
     // runs, and concurrent branches race-recompute the shared upstream
@@ -134,6 +148,11 @@ object Curation {
     val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def mark(name: String, df: DataFrame): DataFrame =
       if (persist) { val p = df.persist(); audit(name) = p.count(); p } else df
+    // drop an upstream stage's cache once the downstream materialization
+    // has consumed it (no-op outside persist+release mode); non-blocking —
+    // the store reclaims blocks as it goes, lineage stays recomputable
+    def drop(df: DataFrame): Unit =
+      if (persist && release) df.unpersist(blocking = false)
     // see curateDelta's lineageCut: eager one-shot materialization (under
     // AQE) for the pair frame connectedComponents' edge union reads twice
     def lineageCut(df: DataFrame): DataFrame = if (persist) df.localCheckpoint(true) else df
@@ -185,11 +204,13 @@ object Curation {
     // gate off → the spans frame IS the quality frame; the audit row still
     // exists so a silently (de)activated gate flips the observer's hash
     if (persist && !audit.contains("spans")) audit("spans") = audit("quality")
+    if (spanGated ne quality) drop(quality) // gate on: quality fed only the gate
 
     // 3. exact dedup (fingerprint aggregate), keep the min-id copy
     val exactKeep = Dedup.exactByFingerprint(spanGated, textCol, idCol)
       .select(col("keep_id").as(idCol))
     val exact = mark("exact", spanGated.join(exactKeep, Seq(idCol), "left_semi"))
+    drop(spanGated)
 
     // 4. near-dup clusters over the survivors, keep canonical members.
     // Prefix-filtered pair generation (exact — identical output to the
@@ -225,6 +246,7 @@ object Curation {
     val canonical = Dedup.nearDupClusters(exact, idCol, pairs)
       .filter(col("is_canonical")).select(id)
     val deduped = mark("neardup", exact.join(canonical, Seq(idCol), "left_semi"))
+    drop(exact) // pairs are checkpointed, clusters collected — exact is done
 
     // 5. decontaminate against the benchmark (containment, not Jaccard).
     // The benchmark goes through the SAME canonicalization as stage 1 —
@@ -238,9 +260,11 @@ object Curation {
       n = cfg.ngramN, threshold = cfg.contaminationMax)
       .select(col("doc_id").as(idCol)).distinct()
     val clean = mark("clean", deduped.join(contaminated, Seq(idCol), "left_anti"))
+    drop(deduped)
 
     // 6. deterministic split, 7. pack the configured train split
     val split = markSplit(Split.assignSplit(clean, id, cfg.splits), persist, audit)
+    drop(clean)
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val packed = markPacked(Pack.packSequences(trainTokens, idCol, "n_tokens",
@@ -368,12 +392,15 @@ object Curation {
     */
   def curateDelta(state: CorpusState, delta: DataFrame, benchmark: DataFrame,
                   idCol: String, textCol: String,
-                  cfg: Config = Config(), persist: Boolean = false): Stages = {
-    // eager per-arrow materialization in persist mode, count captured —
-    // see stages()
+                  cfg: Config = Config(), persist: Boolean = false,
+                  release: Boolean = false): Stages = {
+    // eager per-arrow materialization in persist mode, count captured;
+    // release drops each stage's cache once consumed — see stages()
     val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def mark(name: String, df: DataFrame): DataFrame =
       if (persist) { val p = df.persist(); audit(name) = p.count(); p } else df
+    def drop(df: DataFrame): Unit =
+      if (persist && release) df.unpersist(blocking = false)
     // Eager one-shot materialization for the verified pair frame: it fans
     // out FIVE ways (the connected-components edge union reads it twice,
     // corpusLinked twice, deltaPairs once) and its first consumer is CC's
@@ -420,6 +447,7 @@ object Curation {
         col("top_bigram_frac") <= cfg.maxTopBigramFrac)
       .select(id)
     val quality = mark("quality", gated.join(rep, Seq(idCol), "left_semi"))
+    drop(canon)
 
     // 2b. optional boilerplate gate, the incremental analog: a delta doc's
     // windows are counted against corpus ∪ delta (boilerplate shared with
@@ -438,9 +466,11 @@ object Curation {
       mark("spans", quality.join(keep, Seq(idCol), "left_semi"))
     }
     if (persist && !audit.contains("spans")) audit("spans") = audit("quality")
+    if (spanGated ne quality) drop(quality)
 
     // 3. exact dedup against the corpus fingerprint index
     val exact = mark("exact", Dedup.dedupDelta(spanGated, state.fingerprints, textCol, idCol))
+    drop(spanGated)
 
     // 4. near-dup against corpus + within delta, optional edit verify
     val rawPairs = Dedup.nearDupDelta(state.docs, exact, idCol, textCol,
@@ -480,6 +510,7 @@ object Curation {
     val deduped = mark("neardup", exact
       .join(corpusLinked, Seq(idCol), "left_anti")
       .join(canonical, Seq(idCol), "left_semi"))
+    drop(exact) // pairs checkpointed, clusters collected — exact is done
 
     // 5. decontaminate (same canonicalization on the benchmark side)
     val benchCanon = benchmark.select(col(idCol),
@@ -488,9 +519,11 @@ object Curation {
       n = cfg.ngramN, threshold = cfg.contaminationMax)
       .select(col("doc_id").as(idCol)).distinct()
     val clean = mark("clean", deduped.join(contaminated, Seq(idCol), "left_anti"))
+    drop(deduped)
 
     // 6-7. per-row split; pack CONTINUES the corpus's shard streams
     val split = markSplit(Split.assignSplit(clean, id, cfg.splits), persist, audit)
+    drop(clean)
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val packed = markPacked(Pack.packSequences(trainTokens, idCol, "n_tokens",

@@ -174,9 +174,14 @@ object CurationQ {
       // lazy, every branch re-executes the full upstream chain (~11× the
       // pipeline — the sf0.1 bench measured 115 s). The persist-at-every-
       // arrow mode materializes each stage once (the component loop that
-      // runs during construction warms the caches); the bench's
-      // inter-entry isolation reclaims the blocks.
-      stageCounts(Curation.stages(corpus, bench, "doc_id", "text", cfg, persist = true))
+      // runs during construction warms the caches). release = true drops
+      // each stage's cache the moment its consumer is materialized — the
+      // counts observer reads Stages.counts, so nothing re-reads a
+      // released frame, and peak cached footprint stays at ~2 stages
+      // instead of 9 (the working-set mass that made this entry amplify
+      // 2-3× under driver-side memory pressure, BENCH_r07/r08).
+      stageCounts(Curation.stages(corpus, bench, "doc_id", "text", cfg,
+        persist = true, release = true))
     }),
 
     // The INCREMENTAL twin: one day's delta through curateDelta against
@@ -188,7 +193,7 @@ object CurationQ {
     "qc02_curation_delta" -> ((s, d) => {
       val (_, bench, delta) = fixtureDelta(s, d)
       stageCounts(Curation.curateDelta(deltaState(s, d), delta, bench,
-        "doc_id", "text", cfgDelta, persist = true))
+        "doc_id", "text", cfgDelta, persist = true, release = true))
     }))
 
   /** The qc02 corpus state, built ONCE per fixture dir and PERSISTED to a

@@ -257,9 +257,10 @@ object Events {
         |FROM counts""".stripMargin,
     "q51_scd2" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us, event_id FROM events),
-        | lagged AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev FROM ev),
+        | lagged AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS rn FROM ev),
         | runs AS (SELECT user_id, event_type, us, event_id FROM lagged
-        |   WHERE prev IS NULL OR prev != event_type),
+        |   WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         | iv AS (SELECT user_id, event_type, us AS vf,
         |   lead(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS vt
         |  FROM runs)

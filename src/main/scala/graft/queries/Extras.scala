@@ -507,7 +507,26 @@ object Extras {
     // intermediate rank is bit-identical.
     "q50_pagerank" -> ((s, d) =>
       graft.operators.PageRank.pageRank(tradeGraph(s, d), "src", "dst",
-        iters = 3, oracleMode = true)),
+        iters = 3, oracleMode = true, assumeDistinct = true)),
+
+    // Production-mode probe (rows are still hash-oracled): plain
+    // combinable SUM folds instead of oracle-mode's sorted folds — the
+    // cost a real caller pays (the sorted fold was measured at 1.9×, see
+    // ScaleProbe pagerank / docs/SCALE.md). Output is the top-20 node SET
+    // with ranks recomputed over the 6-decimal-rounded scores (node-id
+    // tiebreak), so the ≤1-ulp partial-sum nondeterminism the production
+    // fold allows is absorbed by the rounding and the row set stays
+    // deterministic — which is what lets the probe keep a value-level
+    // DuckDB oracle instead of going rows-only.
+    "q50p_pagerank_prod" -> ((s, d) => {
+      val r = graft.operators.PageRank.pageRank(tradeGraph(s, d), "src", "dst",
+        iters = 3, assumeDistinct = true)
+      r.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("node").asc)))
+        .filter(col("rnk") <= 20)
+        .select(col("node"), col("rnk"))
+    }),
 
     // TrustRank (personalized PageRank): teleport pinned to the nation-3
     // suppliers — rank measures proximity to the trusted seed set; a node
@@ -517,20 +536,40 @@ object Extras {
       val seeds = T(s, d, "supplier").filter(col("s_nationkey") === 3)
         .select(concat(lit("s:"), col("s_suppkey")).as("node"))
       graft.operators.PageRank.personalizedPageRank(tradeGraph(s, d), seeds,
-        "src", "dst", "node", iters = 3, oracleMode = true)
+        "src", "dst", "node", iters = 3, oracleMode = true,
+        assumeDistinct = true)
     }))
 
-  /** q50/q53's shared edge list: both directions of every customer↔supplier
-    * trade relation in orders×lineitem, node ids prefix-tagged.
+  /** q50/q53/q50p's shared edge list: both directions of every
+    * customer↔supplier trade relation in orders×lineitem, node ids
+    * prefix-tagged. Built ONCE per (JVM, table dir) and persisted to a
+    * temp parquet — the BM25/PQ build-once/serve-many seam applied to the
+    * graph family: PageRank, TrustRank, and the production probe all
+    * serve from the same persisted DISTINCT edge store instead of each
+    * re-deriving the orders×lineitem join + distinct from scans (the DSIR
+    * shared-exchange discipline applied ACROSS entries). Parquet rather
+    * than a shared localCheckpoint deliberately: unpersisting a local
+    * checkpoint is unrecoverable (lineage is truncated), so checkpoint
+    * blocks cannot survive a caller's cache-isolation epilogue — and at
+    * cluster scale a shared graph store is a table, not executor memory.
     */
+  private val edgeStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def tradeGraph(s: SparkSession, d: String): DataFrame = {
-    val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(T(s, d, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
-      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
-        concat(lit("s:"), col("l_suppkey")).as("snode"))
-    ol.select(col("cnode").as("src"), col("snode").as("dst"))
-      .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
+    val path = edgeStore.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_trade_edges_")
+        .toString
+      val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(T(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
+        .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
+          concat(lit("s:"), col("l_suppkey")).as("snode"))
+      ol.select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
+        .distinct()
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
   }
 
   /** q50's DuckDB twin: `iters` PageRank rounds unrolled as chained CTEs,
@@ -539,7 +578,8 @@ object Extras {
     * ::DOUBLE — DuckDB's bare `1.0 - 0.85` is exact DECIMAL arithmetic,
     * which would diverge from IEEE by an ulp and compound per iteration.
     */
-  private def pagerankSql(iters: Int, personalized: Boolean = false): String = {
+  private def pagerankSql(iters: Int, personalized: Boolean = false,
+                          topK: Option[Int] = None): String = {
     val graph =
       """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT src, dst FROM (
@@ -585,11 +625,19 @@ object Extras {
          |   FROM $p r WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = r.node)),
          |$update"""
     }.mkString
-    (graph + init + its + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters").stripMargin
+    val select = topK match {
+      case None => s"\nSELECT node, round(rank, 6) AS rank FROM r$iters"
+      case Some(k) =>
+        s"""\nSELECT node, rnk::INT AS rnk FROM (
+           |  SELECT node, row_number() OVER (ORDER BY round(rank, 6) DESC, node ASC) AS rnk
+           |  FROM r$iters) WHERE rnk <= $k""".stripMargin
+    }
+    (graph + init + its + select).stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "q50_pagerank" -> pagerankSql(3),
+    "q50p_pagerank_prod" -> pagerankSql(3, topK = Some(20)),
     "q53_trustrank" -> pagerankSql(3, personalized = true),
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n

@@ -450,6 +450,46 @@ object TextOps {
       .select(col(c1), col(c2), col(c3), col("recall_vs_brute"))
   }
 
+  /** qr01/qr01c's composed RAG chain: token-window chunking → hash
+    * embeddings → dense cosine AND sparse BM25 over the SAME chunk store →
+    * RRF fusion, chunk keys unpacked back to (doc, chunk). The chunk store
+    * feeds BOTH legs (postings build + embedding) so it is materialized
+    * once (the PageRank edge-frame lesson; in production this is the
+    * persisted chunk table both indexes build from). `capped` applies the
+    * ⌊0.5·N⌋ df stopword prune (qt28c) to the sparse leg's query terms.
+    * Chunk keys pack (doc, chunk) with a 2^20 shift — room for 2^20
+    * chunks/doc (a 1000-multiplier would silently collide past 1000
+    * chunks ≈ 24k tokens at stride 24).
+    */
+  private def retrievalChain(s: SparkSession, d: String,
+                             capped: Boolean): DataFrame = {
+    val k = 10; val dim = 16
+    val docs = T(s, d, "documents")
+    val chunks = graft.operators.Pack.chunkTokens(docs, "doc_id", "text",
+        window = 32, stride = 24)
+      .select(((col("doc_id") + 1) * lit(1048576L) + col("chunk_id")).as("ck"),
+        col("chunk_text"))
+      .localCheckpoint()
+    val maxDf = if (capped)
+      Some(scala.math.floor(0.5 * chunks.count()).max(1)) else None
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val sparse = graft.operators.Retrieval.bm25TopK(chunks, queries, k = k,
+      maxDf = maxDf, idCol = "ck", textCol = "chunk_text")
+    val cEmb = chunks.select(col("ck").as("vid"),
+      graft.operators.Similarity.hashEmbedding(col("chunk_text"), dim).as("emb"))
+    val qEmb = queries.select(col("query_id").as("vid"),
+      graft.operators.Similarity.hashEmbedding(col("qtext"), dim).as("emb"))
+    val dense = graft.operators.Similarity.bruteForceTopK(cEmb, qEmb, k = k,
+        idCol = "vid", vecCol = "emb")
+      .select(col("query_id"), col("corpus_id").as("ck"), col("rnk"))
+    graft.operators.Retrieval.rrfFuse(
+        sparse.select(col("query_id"), col("ck"), col("rnk")), dense,
+        k = k, idCol = "ck")
+      .select(col("query_id"), expr("ck div 1048576 - 1").as("doc_id"),
+        expr("ck % 1048576").as("chunk_id"), col("rrf_score"), col("rnk"))
+  }
+
   /** Shared stopword list literal for the SQL oracles. */
   private val langProfilesSql: Map[String, String] =
     TextFns.LangId.profiles.toMap.map { case (k, ws) =>
@@ -997,6 +1037,18 @@ object TextOps {
         graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text"),
         "doc_id", nBuckets = 3)),
 
+    // The 100 TB bucketing path, driver-visible (qt46 above reports via a
+    // global ntile window): per-doc bucket assignment from sketch
+    // thresholds (one combinable approx-percentile aggregate, map-side
+    // compare — no window at all). Exact at fixture scale (sketch
+    // accuracy ≫ N), so the oracle pins every row's bucket through
+    // quantile_disc cut points.
+    "qt46a_lm_buckets_approx" -> ((s, d) =>
+      graft.operators.LmScore.bucketByApproxNll(
+        graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text"),
+        nBuckets = 3)
+        .select(col("doc_id"), col("n_bigrams"), col("nll"), col("bucket"))),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram bucket
     // model (1024 buckets), target = the English slice, raw = the whole
     // corpus; Laplace-smoothed log-ratio weight per document, top-25% rank
@@ -1010,6 +1062,23 @@ object TextOps {
         .select(col("doc_id"), col("weight"), col("rnk"), col("selected"))
     }),
 
+    // The 100 TB DSIR selection path, driver-visible (qt47 above runs the
+    // exact global-rank cut — a single-partition window a full-width
+    // corpus must not pay): threshold from the quantile sketch (ONE
+    // combinable aggregate) + a map-side compare. At fixture scale the
+    // sketch (accuracy 10000 ≫ N) is exact, so the cut IS the (1−frac)
+    // order statistic and the oracle pins the whole selection via
+    // quantile_disc; at corpus scale the identical code path trades only
+    // boundary-tie precision (DsirSpec pins the containment invariant).
+    "qt47t_dsir_threshold" -> ((s, d) => {
+      val w = graft.operators.Dsir.importanceWeights(
+        T(s, d, "documents"), col("lang") === "en", "doc_id", "text",
+        buckets = 1024).localCheckpoint()
+      val thr = graft.operators.Dsir.thresholdForFraction(w, 0.25)
+      graft.operators.Dsir.selectAboveThreshold(w, thr)
+        .select(col("doc_id"), col("weight"), col("selected"))
+    }),
+
     // Composed retrieval pipeline (the RAG serving chain end-to-end under
     // ONE oracle): token-window chunking → deterministic hash-embeddings
     // (Similarity.hashEmbedding — the encoder stand-in; production swaps
@@ -1017,34 +1086,14 @@ object TextOps {
     // AND sparse BM25 over the SAME chunk store → RRF fusion, chunk keys
     // mapped back to (doc, chunk). Every stage reuses an already-oracled
     // operator; the oracle replays the whole chain in one statement.
-    "qr01_retrieval" -> ((s, d) => {
-      val k = 10; val dim = 16
-      val docs = T(s, d, "documents")
-      // the chunk store feeds BOTH legs (postings build + embedding) —
-      // materialize once (the PageRank edge-frame lesson; in production
-      // this is the persisted chunk table both indexes build from)
-      val chunks = graft.operators.Pack.chunkTokens(docs, "doc_id", "text",
-          window = 32, stride = 24)
-        .select(((col("doc_id") + 1) * 1000 + col("chunk_id")).as("ck"),
-          col("chunk_text"))
-        .localCheckpoint()
-      val queries = docs.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
-      val sparse = graft.operators.Retrieval.bm25TopK(chunks, queries, k = k,
-        idCol = "ck", textCol = "chunk_text")
-      val cEmb = chunks.select(col("ck").as("vid"),
-        graft.operators.Similarity.hashEmbedding(col("chunk_text"), dim).as("emb"))
-      val qEmb = queries.select(col("query_id").as("vid"),
-        graft.operators.Similarity.hashEmbedding(col("qtext"), dim).as("emb"))
-      val dense = graft.operators.Similarity.bruteForceTopK(cEmb, qEmb, k = k,
-          idCol = "vid", vecCol = "emb")
-        .select(col("query_id"), col("corpus_id").as("ck"), col("rnk"))
-      graft.operators.Retrieval.rrfFuse(
-          sparse.select(col("query_id"), col("ck"), col("rnk")), dense,
-          k = k, idCol = "ck")
-        .select(col("query_id"), expr("ck div 1000 - 1").as("doc_id"),
-          expr("ck % 1000").as("chunk_id"), col("rrf_score"), col("rnk"))
-    }),
+    "qr01_retrieval" -> ((s, d) => retrievalChain(s, d, capped = false)),
+
+    // The capped twin (qt28c's maxDf = ⌊0.5·N⌋ stopword prune applied to
+    // the COMPOSED chain, not just the isolated BM25 entry): candidate
+    // generation on the sparse leg is bounded by the rare terms' posting
+    // lists — the knob a 100 TB RAG serve turns. The dense leg and RRF
+    // fusion are untouched; the oracle applies the identical cap.
+    "qr01c_retrieval_capped" -> ((s, d) => retrievalChain(s, d, capped = true)),
 
     // Heavy hitters via Misra–Gries candidates + verification counts: the
     // MG summary (bounded O(k) buffer per group, any vocabulary size)
@@ -1068,8 +1117,9 @@ object TextOps {
     }),
 
     // Character-entropy + type-token-ratio quality signals (the exact
-    // information-theoretic cousins of qt49's zlib proxy — and unlike it,
-    // fully cross-engine oracle-able): Shannon entropy over the per-doc
+    // information-theoretic cousins of qt49's zlib proxy — value-level
+    // cross-engine oracle-able where qt49 is invariant-oracled): Shannon
+    // entropy over the per-doc
     // character distribution (probabilities from integer counts, the
     // contribution fold ordered by character) and distinct/total token
     // ratio. Low entropy or low TTR = repetitive/templated text.
@@ -1100,17 +1150,42 @@ object TextOps {
             round(col("n_types").cast("double") / col("n_tokens"), 6)).as("ttr"))
     }),
 
-    // Compressibility quality signal (Rae et al. 2021's repetition rule):
-    // DEFLATE ratio per document + the repetitive flag. No DuckDB oracle —
-    // the ratio is JVM-zlib-specific — so this entry is rows-only; the
-    // semantics (repetition ⇒ lower ratio, determinism, empty-text guard)
-    // are TextFnsSpec-verified.
-    "qt49_compress" -> ((s, d) =>
-      T(s, d, "documents").select(col("doc_id"),
-        octet_length(col("text")).cast("long").as("n_bytes"),
-        graft.functions.Expressions.deflateLen(col("text"), 6).as("deflate_len"),
-        TextFns.compressionRatio(col("text")).as("ratio"))
-        .withColumn("repetitive", col("ratio") < 0.35)),
+    // Compressibility quality signal (Rae et al. 2021's repetition rule).
+    // The raw DEFLATE length/ratio is JVM-zlib-specific, so the oracle is
+    // an INVARIANT differential: the entry computes per-doc booleans from
+    // the real zlib output, DuckDB predicts them from text length alone —
+    //   len_within_bound: deflate_len ≤ zlib's documented deflateBound
+    //     (n + n>>12 + n>>14 + 13 — holds for ANY input byte stream);
+    //   ratio_positive + empty_guard: ratio ∈ (0,∞), exactly 1.0 on empty
+    //     text (the guard);
+    //   dup_no_worse: deflate(text‖text) ≤ 2·deflate(text) + 16 (the
+    //     doubled text never costs more than twice);
+    //   dup_second_copy_cheap: within the 32 KB LZ77 window the second
+    //     copy costs only match tokens — ≤ n/64 + 64 bytes (258-byte
+    //     max-match ⇒ ~n/86 of encoding, bounded with slack), i.e.
+    //     repetition ⇒ compression, the rule's premise.
+    // A zlib regression flipping any row breaks the hash. The raw
+    // per-doc ratio + repetitive flag remain the production surface
+    // (TextFns.compressionRatio, TextFnsSpec-verified).
+    "qt49_compress" -> ((s, d) => {
+      val n = octet_length(col("text")).cast("long")
+      val dl = graft.functions.Expressions.deflateLen(col("text"), 6)
+      val dl2 = graft.functions.Expressions.deflateLen(
+        concat(col("text"), col("text")), 6)
+      T(s, d, "documents").select(col("doc_id"), n.as("n_bytes"),
+          dl.as("__dl"), dl2.as("__dl2"),
+          TextFns.compressionRatio(col("text")).as("__ratio"))
+        .select(col("doc_id"), col("n_bytes"),
+          (col("__dl") > 0).as("len_positive"),
+          (col("__dl") <= col("n_bytes") + shiftright(col("n_bytes"), 12) +
+            shiftright(col("n_bytes"), 14) + 13).as("len_within_bound"),
+          (col("__ratio") > 0.0).as("ratio_positive"),
+          (col("n_bytes") > 0 || col("__ratio") === 1.0).as("empty_guard"),
+          (col("__dl2") <= col("__dl") * 2 + 16).as("dup_no_worse"),
+          when(col("n_bytes").between(1, 30000),
+            col("__dl2") <= col("__dl") + col("n_bytes") / 64 + 64)
+            .as("dup_second_copy_cheap"))
+    }),
 
     // Contrastive pair mining (DPR-style): per query vector, top-3
     // same-label positives and top-5 cross-label hard negatives by exact
@@ -1316,6 +1391,117 @@ object TextOps {
 
   // \s+ split matches TextFns.tokens (tabs/newlines are separators too)
   private val tokensSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+
+  /** qt47/qt47t's shared weight derivation: the hashed-unigram bucket
+    * model, Laplace-smoothed log ratios, and the bucket-ordered per-doc
+    * fold — everything up to the `allw` (doc_id, weight) frame.
+    */
+  private def dsirWeightCtes: String =
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, lang = 'en' AS tgt,
+       |   (${HashSql.fnv("t.term")} % 1024::UBIGINT)::BIGINT AS bucket
+       |  FROM (SELECT doc_id, lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),
+       | cb AS MATERIALIZED (SELECT bucket, count(*)::BIGINT AS cr,
+       |   sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct FROM tok GROUP BY 1),
+       | tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM cb),
+       | ratio AS (SELECT bucket,
+       |   ln(((ct + 1.0) * (nr + 1024.0)) / ((cr + 1.0) * (nt + 1024.0))) AS lr
+       |  FROM cb CROSS JOIN tot),
+       | pb AS (SELECT doc_id, bucket, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+       | wts AS (SELECT doc_id, round(list_sum(list(n::DOUBLE * lr ORDER BY bucket)), 6) AS weight
+       |  FROM pb JOIN ratio USING (bucket) GROUP BY doc_id),
+       | allw AS (SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
+       |  FROM documents d LEFT JOIN wts w USING (doc_id))""".stripMargin
+
+  /** qt46/qt46a's shared NLL derivation: the corpus-trained add-one bigram
+    * LM and the position-ordered per-doc average — up to the `per`
+    * (doc_id, n_bigrams, nll) frame (scored docs only).
+    */
+  private def bigramNllCtes: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       | bg AS (SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+       | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       | v AS (SELECT count(DISTINCT t.w)::DOUBLE AS v
+       |  FROM (SELECT unnest(ts) AS w FROM toks) t),
+       | contrib AS (SELECT b.doc_id, b.pos,
+       |   -ln((c.c12 + 1.0) / (u.c1 + v.v)) AS c
+       |  FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v),
+       | per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |   round(list_sum(list(c ORDER BY pos)) / count(*), 6) AS nll
+       |  FROM contrib GROUP BY doc_id)""".stripMargin
+
+  /** qr01/qr01c's DuckDB twin: the whole RAG chain (chunk → BM25 + hash-
+    * embed cosine → RRF) replayed in one statement; `capped` inserts the
+    * identical ⌊0.5·N⌋ df prune on the query-term side (qt28c's pattern).
+    */
+  private def retrievalOracle(capped: Boolean): String = {
+    val (qsrc, dfRef, capCte) =
+      if (!capped) ("qt q JOIN post p USING (term) JOIN dfreq f USING (term)", "f.df", "")
+      else ("qkept q JOIN post p USING (term)", "q.df",
+        """
+          | qkept AS (SELECT q.query_id, q.term, f.df FROM qt q JOIN dfreq f USING (term)
+          |   WHERE f.df <= greatest(floor(0.5 * (SELECT count(*) FROM chunks)), 1)),""")
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       | st AS (SELECT doc_id, ts, i AS start
+       |  FROM toks, unnest(range(0, len(ts), 24)) AS r(i) WHERE len(ts) >= 1),
+       | chunks AS MATERIALIZED (SELECT
+       |   ((doc_id + 1) * 1048576 + (start // 24))::BIGINT AS ck,
+       |   array_to_string(ts[start + 1 : start + 32], ' ') AS chunk_text FROM st),
+       | ctok AS MATERIALIZED (SELECT ck, t.term
+       |  FROM (SELECT ck, list_filter(regexp_split_to_array(chunk_text, '\\s+'), t -> t != '') AS ts2 FROM chunks),
+       |    unnest(ts2) AS t(term)),
+       | post AS MATERIALIZED (SELECT ck, term, count(*)::DOUBLE AS tf FROM ctok GROUP BY 1, 2),
+       | dl AS MATERIALIZED (SELECT ck, count(*)::DOUBLE AS dl FROM ctok GROUP BY 1),
+       | stq AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       | dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+       | qt AS (SELECT DISTINCT doc_id AS query_id, t.term
+       |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents WHERE doc_id < 5),
+       |    unnest(ts) AS t(term)),$capCte
+       | contrib AS (SELECT q.query_id, p.ck, p.term,
+       |    ln(1 + (stq.n - $dfRef + 0.5) / ($dfRef + 0.5)) * p.tf * 2.2 /
+       |      (p.tf + 1.2 * (0.25 + 0.75 * d.dl / stq.avgdl)) AS c
+       |   FROM $qsrc
+       |     JOIN dl d ON d.ck = p.ck CROSS JOIN stq),
+       | bsc AS (SELECT query_id, ck, round(list_sum(list(c ORDER BY term)), 6) AS score
+       |   FROM contrib GROUP BY query_id, ck),
+       | bm AS (SELECT query_id, ck, rnk FROM (
+       |   SELECT query_id, ck, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, ck ASC) AS rnk
+       |   FROM bsc) WHERE rnk <= 10),
+       | ch0 AS (SELECT ck, ${HashSql.fnv("chunk_text")} AS h0 FROM chunks),
+       | ch1 AS (SELECT ck, ${HashSql.mixCols("h0", "a")} FROM ch0),
+       | cg AS (SELECT ck, ma, i FROM ch1, unnest(range(0, 16)) AS r(i)),
+       | ch2 AS (SELECT ck, i,
+       |   ${HashSql.mixCols(s"xor(ma, ${HashSql.familySeed("i::UBIGINT")})", "b")} FROM cg),
+       | cemb AS (SELECT ck,
+       |   list(((mb % 2000001::UBIGINT)::DOUBLE / 1000000.0 - 1.0)::FLOAT ORDER BY i) AS emb
+       |  FROM ch2 GROUP BY ck),
+       | qh0 AS (SELECT doc_id AS query_id, ${HashSql.fnv("text")} AS q0 FROM documents WHERE doc_id < 5),
+       | qh1 AS (SELECT query_id, ${HashSql.mixCols("q0", "c")} FROM qh0),
+       | qg AS (SELECT query_id, mc, i FROM qh1, unnest(range(0, 16)) AS r(i)),
+       | qh2 AS (SELECT query_id, i,
+       |   ${HashSql.mixCols(s"xor(mc, ${HashSql.familySeed("i::UBIGINT")})", "d")} FROM qg),
+       | qemb AS (SELECT query_id,
+       |   list(((md % 2000001::UBIGINT)::DOUBLE / 1000000.0 - 1.0)::FLOAT ORDER BY i) AS emb
+       |  FROM qh2 GROUP BY query_id),
+       | dp AS (SELECT q.query_id, c.ck,
+       |   list_sum(list_transform(range(1, 17), i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE)) AS dot,
+       |   sqrt(list_sum(list_transform(q.emb, x -> x::DOUBLE * x::DOUBLE))) AS nq,
+       |   sqrt(list_sum(list_transform(c.emb, x -> x::DOUBLE * x::DOUBLE))) AS nc
+       |  FROM qemb q JOIN cemb c ON q.query_id != c.ck),
+       | ds AS (SELECT query_id, ck, round(dot/(nq*nc), 6) AS sim FROM dp),
+       | dn AS (SELECT query_id, ck, rnk FROM (
+       |   SELECT query_id, ck, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, ck ASC) AS rnk
+       |   FROM ds) WHERE rnk <= 10),
+       | fused AS (SELECT query_id, ck,
+       |    round(coalesce(1.0 / (60 + b.rnk), 0.0) + coalesce(1.0 / (60 + n.rnk), 0.0), 6) AS rrf_score
+       |   FROM bm b FULL JOIN dn n USING (query_id, ck)),
+       | ranked AS (SELECT query_id, ck, rrf_score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, ck ASC) AS rnk FROM fused)
+       |SELECT query_id, (ck // 1048576 - 1)::BIGINT AS doc_id, (ck % 1048576)::BIGINT AS chunk_id,
+       | rrf_score, rnk::INT AS rnk
+       |FROM ranked WHERE rnk <= 10""".stripMargin
+  }
 
   val oracle: Map[String, String] = withDerived(Map(
     "qt01_token_stats" ->
@@ -1711,85 +1897,30 @@ object TextOps {
          |SELECT gram, n::BIGINT AS n, pmi, rnk::INT AS rnk
          |FROM ranked WHERE rnk <= 20""".stripMargin,
     "qt47_dsir" ->
-      s"""WITH tok AS MATERIALIZED (SELECT doc_id, lang = 'en' AS tgt,
-         |   (${HashSql.fnv("t.term")} % 1024::UBIGINT)::BIGINT AS bucket
-         |  FROM (SELECT doc_id, lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),
-         | cb AS MATERIALIZED (SELECT bucket, count(*)::BIGINT AS cr,
-         |   sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct FROM tok GROUP BY 1),
-         | tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM cb),
-         | ratio AS (SELECT bucket,
-         |   ln(((ct + 1.0) * (nr + 1024.0)) / ((cr + 1.0) * (nt + 1024.0))) AS lr
-         |  FROM cb CROSS JOIN tot),
-         | pb AS (SELECT doc_id, bucket, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
-         | wts AS (SELECT doc_id, round(list_sum(list(n::DOUBLE * lr ORDER BY bucket)), 6) AS weight
-         |  FROM pb JOIN ratio USING (bucket) GROUP BY doc_id),
-         | allw AS (SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
-         |  FROM documents d LEFT JOIN wts w USING (doc_id)),
+      s"""$dsirWeightCtes,
          | ranked AS (SELECT doc_id, weight,
          |   row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rnk,
          |   count(*) OVER () AS nn FROM allw)
          |SELECT doc_id, weight, rnk::INT AS rnk, rnk <= ceil(0.25 * nn) AS selected
          |FROM ranked""".stripMargin,
-    "qr01_retrieval" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-         | st AS (SELECT doc_id, ts, i AS start
-         |  FROM toks, unnest(range(0, len(ts), 24)) AS r(i) WHERE len(ts) >= 1),
-         | chunks AS MATERIALIZED (SELECT
-         |   ((doc_id + 1) * 1000 + (start // 24))::BIGINT AS ck,
-         |   array_to_string(ts[start + 1 : start + 32], ' ') AS chunk_text FROM st),
-         | ctok AS MATERIALIZED (SELECT ck, t.term
-         |  FROM (SELECT ck, list_filter(regexp_split_to_array(chunk_text, '\\s+'), t -> t != '') AS ts2 FROM chunks),
-         |    unnest(ts2) AS t(term)),
-         | post AS MATERIALIZED (SELECT ck, term, count(*)::DOUBLE AS tf FROM ctok GROUP BY 1, 2),
-         | dl AS MATERIALIZED (SELECT ck, count(*)::DOUBLE AS dl FROM ctok GROUP BY 1),
-         | stq AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-         | dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
-         | qt AS (SELECT DISTINCT doc_id AS query_id, t.term
-         |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents WHERE doc_id < 5),
-         |    unnest(ts) AS t(term)),
-         | contrib AS (SELECT q.query_id, p.ck, p.term,
-         |    ln(1 + (stq.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * 2.2 /
-         |      (p.tf + 1.2 * (0.25 + 0.75 * d.dl / stq.avgdl)) AS c
-         |   FROM qt q JOIN post p USING (term) JOIN dfreq f USING (term)
-         |     JOIN dl d ON d.ck = p.ck CROSS JOIN stq),
-         | bsc AS (SELECT query_id, ck, round(list_sum(list(c ORDER BY term)), 6) AS score
-         |   FROM contrib GROUP BY query_id, ck),
-         | bm AS (SELECT query_id, ck, rnk FROM (
-         |   SELECT query_id, ck, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, ck ASC) AS rnk
-         |   FROM bsc) WHERE rnk <= 10),
-         | ch0 AS (SELECT ck, ${HashSql.fnv("chunk_text")} AS h0 FROM chunks),
-         | ch1 AS (SELECT ck, ${HashSql.mixCols("h0", "a")} FROM ch0),
-         | cg AS (SELECT ck, ma, i FROM ch1, unnest(range(0, 16)) AS r(i)),
-         | ch2 AS (SELECT ck, i,
-         |   ${HashSql.mixCols(s"xor(ma, ${HashSql.familySeed("i::UBIGINT")})", "b")} FROM cg),
-         | cemb AS (SELECT ck,
-         |   list(((mb % 2000001::UBIGINT)::DOUBLE / 1000000.0 - 1.0)::FLOAT ORDER BY i) AS emb
-         |  FROM ch2 GROUP BY ck),
-         | qh0 AS (SELECT doc_id AS query_id, ${HashSql.fnv("text")} AS q0 FROM documents WHERE doc_id < 5),
-         | qh1 AS (SELECT query_id, ${HashSql.mixCols("q0", "c")} FROM qh0),
-         | qg AS (SELECT query_id, mc, i FROM qh1, unnest(range(0, 16)) AS r(i)),
-         | qh2 AS (SELECT query_id, i,
-         |   ${HashSql.mixCols(s"xor(mc, ${HashSql.familySeed("i::UBIGINT")})", "d")} FROM qg),
-         | qemb AS (SELECT query_id,
-         |   list(((md % 2000001::UBIGINT)::DOUBLE / 1000000.0 - 1.0)::FLOAT ORDER BY i) AS emb
-         |  FROM qh2 GROUP BY query_id),
-         | dp AS (SELECT q.query_id, c.ck,
-         |   list_sum(list_transform(range(1, 17), i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE)) AS dot,
-         |   sqrt(list_sum(list_transform(q.emb, x -> x::DOUBLE * x::DOUBLE))) AS nq,
-         |   sqrt(list_sum(list_transform(c.emb, x -> x::DOUBLE * x::DOUBLE))) AS nc
-         |  FROM qemb q JOIN cemb c ON q.query_id != c.ck),
-         | ds AS (SELECT query_id, ck, round(dot/(nq*nc), 6) AS sim FROM dp),
-         | dn AS (SELECT query_id, ck, rnk FROM (
-         |   SELECT query_id, ck, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, ck ASC) AS rnk
-         |   FROM ds) WHERE rnk <= 10),
-         | fused AS (SELECT query_id, ck,
-         |    round(coalesce(1.0 / (60 + b.rnk), 0.0) + coalesce(1.0 / (60 + n.rnk), 0.0), 6) AS rrf_score
-         |   FROM bm b FULL JOIN dn n USING (query_id, ck)),
-         | ranked AS (SELECT query_id, ck, rrf_score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, ck ASC) AS rnk FROM fused)
-         |SELECT query_id, (ck // 1000 - 1)::BIGINT AS doc_id, (ck % 1000)::BIGINT AS chunk_id,
-         | rrf_score, rnk::INT AS rnk
-         |FROM ranked WHERE rnk <= 10""".stripMargin,
+    // qt47t: the sketch is exact at this N, so the threshold is the 0.75
+    // order statistic (quantile_disc) and selection is a plain compare —
+    // no window in either engine.
+    "qt47t_dsir_threshold" ->
+      s"""$dsirWeightCtes,
+         | thr AS (SELECT quantile_disc(weight, 0.75) AS t FROM allw)
+         |SELECT doc_id, weight, weight >= thr.t AS selected
+         |FROM allw CROSS JOIN thr""".stripMargin,
+    "qr01_retrieval" -> retrievalOracle(capped = false),
+    "qr01c_retrieval_capped" -> retrievalOracle(capped = true),
+    // qt49's invariant twin: DuckDB predicts every boolean from text
+    // length alone; the Spark side computes them from actual zlib output.
+    "qt49_compress" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        | TRUE AS len_positive, TRUE AS len_within_bound,
+        | TRUE AS ratio_positive, TRUE AS empty_guard, TRUE AS dup_no_worse,
+        | CASE WHEN strlen(text) BETWEEN 1 AND 30000 THEN TRUE END AS dup_second_copy_cheap
+        |FROM documents""".stripMargin,
     "qt51_entropy" ->
       s"""WITH ch AS (SELECT doc_id, c
          |  FROM (SELECT doc_id, regexp_split_to_array(text, '') AS cs FROM documents),
@@ -1848,19 +1979,7 @@ object TextOps {
         |      WHEN n_cyrillic >= n_han THEN 'cyrillic' ELSE 'han' END AS dominant
         |FROM c""".stripMargin,
     "qt46_lm_buckets" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-         | bg AS (SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
-         |  FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
-         | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         | v AS (SELECT count(DISTINCT t.w)::DOUBLE AS v
-         |  FROM (SELECT unnest(ts) AS w FROM toks) t),
-         | contrib AS (SELECT b.doc_id, b.pos,
-         |   -ln((c.c12 + 1.0) / (u.c1 + v.v)) AS c
-         |  FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v),
-         | per AS (SELECT doc_id,
-         |   round(list_sum(list(c ORDER BY pos)) / count(*), 6) AS nll
-         |  FROM contrib GROUP BY doc_id),
+      s"""$bigramNllCtes,
          | lab AS (SELECT doc_id, nll,
          |   ntile(3) OVER (ORDER BY nll ASC, doc_id ASC) AS nt FROM per)
          |SELECT CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
@@ -1868,6 +1987,21 @@ object TextOps {
          | count(*)::BIGINT AS n_docs, min(nll) AS min_nll, max(nll) AS max_nll,
          | round(avg(nll), 6) AS avg_nll
          |FROM lab GROUP BY 1""".stripMargin,
+    // qt46a: the sketch thresholds are exact at this N, so the cut points
+    // are the 1/3 and 2/3 order statistics (quantile_disc over the scored
+    // rows) and every row's bucket is a plain compare; unscored rows
+    // (< 2 tokens) carry a NULL bucket.
+    "qt46a_lm_buckets_approx" ->
+      s"""$bigramNllCtes,
+         | allr AS (SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams, p.nll
+         |  FROM documents d LEFT JOIN per p USING (doc_id)),
+         | cuts AS (SELECT quantile_disc(nll, [0.3333333333333333, 0.6666666666666666]) AS cs
+         |  FROM allr WHERE nll IS NOT NULL)
+         |SELECT doc_id, n_bigrams, nll,
+         | CASE WHEN nll IS NULL THEN NULL
+         |      WHEN nll <= cs[1] THEN 'head'
+         |      WHEN nll <= cs[2] THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM allr CROSS JOIN cuts""".stripMargin,
     "qt20_vocab" -> {
       val toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
       s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),
