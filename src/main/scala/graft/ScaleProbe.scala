@@ -321,9 +321,137 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Prices the two halves of the persisted trade-graph seam q50/q53/q50p
+    * share: BUILD (orders×lineitem join + both-direction union + distinct
+    * + parquet write — paid once per corpus version) vs SERVE (read the
+    * store, run 3 production PageRank iterations — paid per consumer).
+    * The bench entries record serve; this records what they amortized.
+    */
+  private def tradeGraphProbe(sfDir: String): Unit = {
+    val spark = GraftSession.get()
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_edges_").toString
+    val t0 = System.nanoTime()
+    val ol = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
+      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
+        concat(lit("s:"), col("l_suppkey")).as("snode"))
+    ol.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
+      .distinct()
+      .write.mode("overwrite").parquet(dir)
+    println(f"""{"probe":"tradegraph_build_persist","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    val t1 = System.nanoTime()
+    val served = graft.operators.PageRank.pageRank(
+      spark.read.parquet(dir), "src", "dst", iters = 3, assumeDistinct = true).count()
+    println(f"""{"probe":"tradegraph_serve_pagerank3","sec":${(System.nanoTime() - t1) / 1e9}%.2f,"rows":$served}""")
+    spark.stop()
+  }
+
+  /** Throughput record for the streaming curation gate (Streams
+    * .curateStream: NFC+PII scrub → quality gates → fingerprint + SimHash
+    * in-horizon dedup) under a rate source — the measured-economics
+    * treatment the batch family gets. 1-in-8 rows repeat a rotating
+    * template so the dedup state actually drops rows. Reports per-batch
+    * processedRowsPerSecond aggregated over a fixed wall window.
+    */
+  private def streamGateProbe(rowsPerSec: Int): Unit = {
+    val spark = GraftSession.get()
+    val filler = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do" +
+      " eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec).option("numPartitions", 8).load()
+      .select(col("value").as("doc_id"), col("timestamp").as("ts"),
+        when(col("value") % 8 === 0,
+          concat(lit("template boilerplate page"), lit(filler),
+            (col("value") % 3).cast("string")))
+          .otherwise(concat(lit("unique document number "),
+            col("value").cast("string"), lit(filler))).as("text"))
+    val gated = graft.streaming.Streams.curateStream(docs, "doc_id", "text", "ts",
+      minTokens = 10, minQuality = 0.3)
+    val q = gated.writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    Thread.sleep(30000)
+    val prog = q.recentProgress.toSeq
+    q.stop()
+    val rows = prog.map(_.numInputRows).sum
+    val secs = prog.map(_.batchDuration).sum / 1e3
+    val rps = prog.flatMap(p => Option(p.processedRowsPerSecond))
+      .filter(d => !d.isNaN && d > 0)
+    val med = if (rps.isEmpty) 0.0 else rps.sorted.apply(rps.size / 2)
+    println(f"""{"probe":"streamgate","rate_rows_per_sec":$rowsPerSec,"batches":${prog.size},""" +
+      f""""input_rows":$rows,"busy_sec":$secs%.1f,"median_processed_rows_per_sec":$med%.0f}""")
+    spark.stop()
+  }
+
+  /** Stage decomposition of the composed retrieval chain (qr01/qr01c):
+    * times each leg against the same checkpointed chunk store so the
+    * composed entries' cost attributes to a stage instead of a guess.
+    */
+  private def qr01Probe(sfDir: String): Unit = {
+    val spark = GraftSession.get()
+    def time(name: String)(act: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = act
+      println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    var chunks: org.apache.spark.sql.DataFrame = null
+    time("chunk_build_checkpoint") {
+      chunks = graft.operators.Pack.chunkTokens(docs, "doc_id", "text",
+          window = 32, stride = 24)
+        .select(((col("doc_id") + 1) * lit(1048576L) + col("chunk_id")).as("ck"),
+          col("chunk_text"))
+        .localCheckpoint()
+      chunks.count()
+    }
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    var idx: graft.operators.Retrieval.Bm25Index = null
+    time("bm25_index_build") {
+      idx = graft.operators.Retrieval.bm25Index(chunks, "ck", "chunk_text")
+      val frozen = idx.copy(
+        postings = idx.postings.localCheckpoint(),
+        docLens = idx.docLens.localCheckpoint(),
+        dfreq = idx.dfreq.localCheckpoint(),
+        stats = idx.stats.localCheckpoint())
+      idx = frozen
+      idx.postings.count()
+    }
+    time("bm25_serve_uncapped")(graft.operators.Retrieval
+      .bm25TopKIndexed(idx, queries, k = 10, idCol = "ck").count())
+    val cap = scala.math.floor(0.5 * chunks.count()).max(1)
+    time("bm25_serve_capped")(graft.operators.Retrieval
+      .bm25TopKIndexed(idx, queries, k = 10, maxDf = Some(cap), idCol = "ck").count())
+    var cEmb: org.apache.spark.sql.DataFrame = null
+    time("chunk_hash_embed") {
+      cEmb = chunks.select(col("ck").as("vid"),
+        graft.operators.Similarity.hashEmbedding(col("chunk_text"), 16).as("emb"))
+        .localCheckpoint()
+      cEmb.count()
+    }
+    val qEmb = queries.select(col("query_id").as("vid"),
+      graft.operators.Similarity.hashEmbedding(col("qtext"), 16).as("emb"))
+    time("dense_brute_topk")(graft.operators.Similarity
+      .bruteForceTopK(cEmb, qEmb, k = 10, idCol = "vid", vecCol = "emb").count())
+    time("full_chain_uncapped")(graft.queries.TextOps
+      .defs("qr01_retrieval")(spark, sfDir).count())
+    time("full_chain_capped")(graft.queries.TextOps
+      .defs("qr01c_retrieval_capped")(spark, sfDir).count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pagerank"))
       return pagerankProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+    if (args.headOption.contains("qr01"))
+      return qr01Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+    if (args.headOption.contains("tradegraph"))
+      return tradeGraphProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+    if (args.headOption.contains("streamgate"))
+      return streamGateProbe(args.lift(1).map(_.toInt).getOrElse(50000))
     if (args.headOption.contains("bm25"))
       return bm25Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("semdedup"))

@@ -13,6 +13,29 @@ object ExprImpl {
 
   def fnv1a64(s: UTF8String): Long = Dedup.fnv1a64(s.toString)
 
+  /** hash_embedding(string, dim) → float[dim]: the deterministic encoder
+    * stand-in (component i = remainderUnsigned(mix64(mix64(fnv1a64(text))
+    * xor i·0xC2B2AE3D27D4EB4F), 2000001)/10⁶ − 1, as a float) in one
+    * primitive loop — fnv+mix once per ROW, one mix64 + unsigned-mod per
+    * dimension. The Column HOF formulation interprets the whole hash
+    * chain per array element (Spark higher-order functions never enter
+    * codegen) and measured ~9 s of the 10 s composed-retrieval entry at
+    * sf0.1; this is the production twin, differential-gated bit-identical
+    * against the Column form in RetrievalSpec.
+    */
+  def hashEmbedding(s: UTF8String, dim: Int): ArrayData = {
+    val h = Dedup.mix64(Dedup.fnv1a64(s.toString))
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val v = Dedup.mix64(h ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+      out(i) =
+        ((java.lang.Long.remainderUnsigned(v, 2000001L).toDouble / 1000000.0) - 1.0).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** DEFLATE length of the UTF-8 bytes at the given level. Deterministic
     * for a fixed level on the JVM's zlib, which is all the compressibility
     * quality signal needs (the RATIO is the feature; it has no cross-stack

@@ -110,6 +110,32 @@ object Expressions {
     override def prettyName: String = "graft_lsh_probes"
   }
 
+  /** hash_embedding(string, dim) → array<float>: the deterministic
+    * encoder stand-in in one codegen'd pass (see ExprImpl.hashEmbedding)
+    * — replaces the Column HOF formulation that interpreted the full hash
+    * chain per element (kept as Similarity.hashEmbeddingColumns, the
+    * bit-identical differential baseline). `dim` is a plan-time parameter
+    * like LshBucket's planes.
+    */
+  case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_hash_embedding expects string, got ${other.sql}")
+      }
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.hashEmbedding(v.asInstanceOf[UTF8String], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.hashEmbedding($c, $dim)")
+    override protected def withNewChildInternal(c: Expression): HashEmbedding = copy(child = c)
+    override def prettyName: String = "graft_hash_embedding"
+  }
+
   /** shingle_set(string, n) → array<string>: the near-dup hot path's
     * tokenize+n-gram+distinct in one codegen'd pass (see ExprImpl.shingleSet)
     * — replaces a Scala UDF whose Seq[String] bridging dominated the
@@ -286,6 +312,7 @@ object Expressions {
   private def unwrap(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
   def fnv1a64(c: Column): Column = wrap(Fnv1a64(unwrap(c)))
+  def hashEmbedding(c: Column, dim: Int): Column = wrap(HashEmbedding(unwrap(c), dim))
   def deflateLen(c: Column, level: Int = 6): Column = wrap(DeflateLen(unwrap(c), level))
   def simhash64(c: Column): Column = wrap(SimHash64(unwrap(c)))
   def wktCentroid(c: Column): Column = wrap(WktCentroid(unwrap(c)))

@@ -184,7 +184,17 @@ object Similarity {
     * real encoder's column here; everything downstream (ANN, fusion,
     * dedup) is indifferent to where the floats came from.
     */
-  def hashEmbedding(text: Column, dim: Int): Column = {
+  def hashEmbedding(text: Column, dim: Int): Column =
+    graft.functions.Expressions.hashEmbedding(text, dim)
+
+  /** Column-expression formulation of [hashEmbedding] — same bits, kept
+    * only as an independent implementation for differential testing
+    * (RetrievalSpec). As the production path it interpreted the whole
+    * fnv+mix chain per array element (HOF lambdas never reach codegen):
+    * ~9 s of the composed retrieval entry's 10 s at sf0.1, the lshBucket
+    * Column-form story repeated.
+    */
+  private[graft] def hashEmbeddingColumns(text: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1: $dim")
     val h = mix64Col(graft.functions.Expressions.fnv1a64(text))
     transform(sequence(lit(0), lit(dim - 1)), i =>

@@ -120,6 +120,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0).forall(v => v >= -1.0f && v <= 1.0f))
   }
 
+  test("hashEmbedding: native codegen'd expression bit-identical to the Column form") {
+    import graft.operators.Similarity
+    // the differential gate the lshBucket conversion established: the
+    // production path changed engines (HOF Columns → native expression),
+    // the DuckDB oracle did not — so the two must agree to the bit, on
+    // plain text, unicode, whitespace runs, and the empty string
+    val texts = Seq("alpha beta gamma", "", "  ", "héllo wörld ünïcode",
+      "a", ("tok " * 200).trim)
+    val df = texts.toDF("t").select(
+      Similarity.hashEmbedding($"t", 16).as("native"),
+      Similarity.hashEmbeddingColumns($"t", 16).as("cols"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Float](0) === r.getSeq[Float](1))
+    }
+  }
+
   test("qr01 composed retrieval: full rank lists per query, bounded scores, deterministic") {
     // the hash-embedding dense leg is deterministic but semantically
     // arbitrary (it hashes the text, it doesn't understand it), so the

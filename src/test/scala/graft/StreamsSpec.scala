@@ -58,6 +58,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream append mode emits ONLY windows finalized by the watermark") {
+    implicit val sq = spark.sqlContext
+    // the production shape the docstring describes: watermarked window agg
+    // then stream-static broadcast join, append output — a window is
+    // emitted once (completed), never restated
+    val history = (0 until 4).flatMap(h =>
+      Seq(Event(h * 10L, ts(h * 60), 1, "click", 1.0),
+        Event(h * 10L + 1, ts(h * 60 + 5), 2, "click", 1.0))) ++
+      (0 until 6).map(i => Event(100L + i, ts(4 * 60 + i), 3, "click", 1.0))
+    val stats = Streams.anomalyStats(history.toDF())
+    val input = MemoryStream[Event]
+    val q = Streams.anomalyStream(input.toDF(), stats, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("anomA").outputMode("append").start()
+    try {
+      input.addData((0 until 10).map(i =>
+        Event(200L + i, ts(10 * 60 + i), 4, "click", 1.0)): _*)
+      q.processAllAvailable()
+      // spike window [10:00, 11:00) is still open — append withholds it
+      assert(spark.table("anomA").isEmpty)
+      // an event at 11:30 moves the watermark to 11:20, past the window end
+      input.addData(Event(300L, ts(11 * 60 + 30), 5, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anomA")
+        .select("n", "is_anomaly").as[(Long, Boolean)].collect().toSeq
+      assert(got === Seq((10L, true))) // finalized spike only; 11:00 window still open
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps > 30 min and matches batch semantics") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
