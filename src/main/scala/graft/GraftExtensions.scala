@@ -64,6 +64,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
         Expressions.DotF32(args.head, args(1))
       }))
+    e.injectFunction((FunctionIdentifier("graft_dot_i32"),
+      info("graft_dot_i32",
+        "graft_dot_i32(a, b) - integer dot product of two int vectors as a long " +
+          "(the int8-quantized scoring kernel); null on ragged lengths or null elements."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_dot_i32 takes 2 arguments, got ${args.length}")
+        Expressions.DotI32(args.head, args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("graft_fold_sum"),
+      info("graft_fold_sum",
+        "graft_fold_sum(arr, idx) - left-to-right sum of struct field idx (DOUBLE) over an " +
+          "array in array order (pass array_sort(collect_list(struct(k, v)))); idx must be " +
+          "an integer literal. The deterministic ordered-fold kernel of every oracle-mode sum."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_fold_sum takes 1-2 arguments (arr[, idx]), got ${args.length}")
+        val idx = if (args.length == 1) 1 else intLit("graft_fold_sum", "idx")(args(1))
+        Expressions.FoldSumField(args.head, idx)
+      }))
+    e.injectFunction((FunctionIdentifier("graft_hash_embedding"),
+      info("graft_hash_embedding",
+        "graft_hash_embedding(text, dim) - deterministic hash-derived float[dim] embedding " +
+          "(the encoder stand-in); dim must be an integer literal."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_hash_embedding takes 2 arguments (text, dim), got ${args.length}")
+        Expressions.HashEmbedding(args.head, intLit("graft_hash_embedding", "dim")(args(1)))
+      }))
     e.injectFunction((FunctionIdentifier("graft_lsh_probes"),
       info("graft_lsh_probes",
         "graft_lsh_probes(vec, planes, family, probes) - multi-probe sign-LSH bucket array " +

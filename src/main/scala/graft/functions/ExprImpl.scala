@@ -220,6 +220,50 @@ object ExprImpl {
     java.lang.Double.valueOf(s)
   }
 
+  /** Left-to-right sum of struct field `idx` (double) over an array —
+    * the ordered-fold kernel behind every oracle-mode deterministic sum
+    * (BM25 score, PageRank inflow, DSIR/LM folds, entropy). The call
+    * sites feed it `array_sort(collect_list(struct(key, value)))`, so the
+    * accumulation order is the sort order: bit-identical to the
+    * `aggregate(transform(...))` Column HOF it replaces (which ran
+    * interpreted per element — HOF lambdas never enter codegen) and to
+    * DuckDB's `list_sum(list(v ORDER BY k))`. Null element or null field
+    * poisons to null, matching the HOF's acc + NULL semantics; empty
+    * array → 0.0 (the fold's init).
+    */
+  def foldSumField(arr: ArrayData, idx: Int, numFields: Int): java.lang.Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val row = arr.getStruct(i, numFields)
+      if (row.isNullAt(idx)) return null
+      s += row.getDouble(idx)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Σ aᵢ·bᵢ over two int arrays as a long — the int8-quantized scoring
+    * kernel (|q| ≤ 127 ⇒ products ≤ 16129; long sum overflow-safe to dim
+    * ~5.7e14). Exact integer arithmetic: no fp-order caveats. Ragged
+    * lengths or null elements → null, mirroring the zip_with Column form
+    * (kept as Similarity.intDotColumns, the differential baseline).
+    */
+  def dotI32(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   private val combiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
 
   /** ALL word n-gram occurrences in order (non-distinct — the frequency

@@ -215,6 +215,67 @@ object Expressions {
     override def prettyName: String = "graft_dot"
   }
 
+  /** fold_sum_field(array<struct<...>>) → double: left-to-right sum of the
+    * struct's field `idx` in ARRAY ORDER (see ExprImpl.foldSumField) — the
+    * codegen'd kernel of every oracle-mode ordered fold. Callers pass an
+    * already-sorted array (`array_sort(collect_list(struct(k, v)))`); the
+    * summed field must be DOUBLE at plan time.
+    */
+  case class FoldSumField(child: Expression, idx: Int) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def numFields: Int = child.dataType match {
+      case ArrayType(s: StructType, _) => s.length
+      case _ => -1
+    }
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(s: StructType, _)
+            if idx >= 0 && idx < s.length && s(idx).dataType == DoubleType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_fold_sum expects array<struct> with a DOUBLE at field $idx, got ${other.sql}")
+      }
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.foldSumField(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        idx, numFields)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Double ${ev.value}_r = graft.functions.ExprImpl.foldSumField($c, $idx, $numFields);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
+    override protected def withNewChildInternal(c: Expression): FoldSumField = copy(child = c)
+    override def prettyName: String = "graft_fold_sum"
+  }
+
+  /** dot_i32(array<int>, array<int>) → long: primitive-loop integer dot
+    * product, the int8-quantized scoring kernel (see ExprImpl.dotI32).
+    */
+  case class DotI32(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_dot_i32 expects (array<int>, array<int>), got (${l.sql}, ${r.sql})")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprImpl.dotI32(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Long ${ev.value}_r = graft.functions.ExprImpl.dotI32($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.longValue(); }""")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotI32 =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot_i32"
+  }
+
   /** ngrams(string, n) → array<string>: ALL word n-gram occurrences in
     * order (the frequency-count twin of `shingle_set`; see ExprImpl.ngrams
     * for the CollapseProject hazard that makes the Column form quadratic).
@@ -321,6 +382,14 @@ object Expressions {
   def lshProbes(c: Column, planes: Int, family: Int, probes: Int): Column =
     wrap(LshProbes(unwrap(c), planes, family, probes))
   def dotF32(a: Column, b: Column): Column = wrap(DotF32(unwrap(a), unwrap(b)))
+  def dotI32(a: Column, b: Column): Column = wrap(DotI32(unwrap(a), unwrap(b)))
+
+  /** Ordered fold: Σ over `sortedArr`'s struct field `idx` (double),
+    * left-to-right in array order. Pass `array_sort(collect_list(
+    * struct(key, value)))`.
+    */
+  def foldSumField(sortedArr: Column, idx: Int = 1): Column =
+    wrap(FoldSumField(unwrap(sortedArr), idx))
   def shingleSet(c: Column, n: Int): Column = wrap(ShingleSet(unwrap(c), n))
   def ngrams(c: Column, n: Int): Column = wrap(Ngrams(unwrap(c), n))
   def windowHashes(c: Column, w: Int): Column = wrap(WindowHashes(unwrap(c), w))

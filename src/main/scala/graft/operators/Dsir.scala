@@ -95,10 +95,8 @@ object Dsir {
       .select(col(idCol), col("bucket"),
         (col("n").cast("double") * col("lr")).as("c"))
     val folded = perBucket.groupBy(col(idCol))
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("bucket"), col("c")))),
-          x => x.getField("c")),
-        lit(0.0), (acc, v) => acc + v), 6).as("weight"))
+      .agg(round(graft.functions.Expressions.foldSumField(
+        array_sort(collect_list(struct(col("bucket"), col("c"))))), 6).as("weight"))
     // empty documents never reach the explode — restore them at weight 0
     docs.select(col(idCol)).join(folded, Seq(idCol), "left")
       .withColumn("weight", coalesce(col("weight"), lit(0.0)))

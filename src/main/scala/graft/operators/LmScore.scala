@@ -49,11 +49,9 @@ object LmScore {
     val perDoc = contrib.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_bigrams"),
       round(
-        aggregate(
-          transform(
-            array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))),
-            s => s.getField("c")),
-          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6).as("nll"))
+        graft.functions.Expressions.foldSumField(
+          array_sort(collect_list(struct(col("pos").as("p"), col("c").as("c")))))
+          / count(lit(1)), 6).as("nll"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))

@@ -39,10 +39,8 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   private def sortedFold(key: Column, value: Column) =
-    aggregate(
-      transform(array_sort(collect_list(struct(key.as("k"), value.as("v")))),
-        x => x.getField("v")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Expressions.foldSumField(
+      array_sort(collect_list(struct(key.as("k"), value.as("v")))))
 
   /** Normalized distinct edges. `assumeDistinct` says the caller serves
     * from an already-distinct MATERIALIZED edge store (the persisted-graph

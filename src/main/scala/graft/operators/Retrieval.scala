@@ -169,10 +169,8 @@ object Retrieval {
       .select(col("__query"), col("__doc"), col("term"), contrib)
     val score = matched
       .groupBy(col("__query"), col("__doc"))
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("term"), col("c")))),
-          x => x.getField("c")),
-        lit(0.0), (acc, v) => acc + v), 6).as("score"))
+      .agg(round(graft.functions.Expressions.foldSumField(
+        array_sort(collect_list(struct(col("term"), col("c"))))), 6).as("score"))
     val w = Window.partitionBy(col("__query"))
       .orderBy(col("score").desc, col("__doc").asc)
     score.withColumn("rnk", row_number().over(w))

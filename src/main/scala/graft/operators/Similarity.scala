@@ -261,12 +261,10 @@ object Similarity {
       // the training slice, which `trainFraction` caps at scale.
       val meanAgg =
         if (oracleMode)
-          (aggregate(
-            transform(
-              array_sort(collect_list(struct(col("corpus_id").as("id"),
-                col("col").cast("double").as("v")))),
-              x => x.getField("v")),
-            lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("m")
+          (graft.functions.Expressions.foldSumField(
+            array_sort(collect_list(struct(col("corpus_id").as("id"),
+              col("col").cast("double").as("v")))))
+            / count(lit(1))).as("m")
         else avg(col("col").cast("double")).as("m")
       var iter = 0
       while (iter < lloydIters) {
@@ -418,9 +416,19 @@ object Similarity {
     * with no fp-order caveats at all.
     */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    graft.functions.Expressions.dotI32(a, b)
 
   private def intNorm2(a: Column): Column =
+    graft.functions.Expressions.dotI32(a, a)
+
+  /** Column HOF formulations of [intDot]/[intNorm2] — kept only as the
+    * bit-identical differential baselines (SimilaritySpec); as production
+    * paths they ran interpreted per element (HOFs never enter codegen).
+    */
+  private[graft] def intDotColumns(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+
+  private[graft] def intNorm2Columns(a: Column): Column =
     aggregate(transform(a, x => (x * x).cast("long")), lit(0L), (acc, v) => acc + v)
 
   /** Quantized scoring frame: (prefix_qid, prefix q, prefix qn) — the int8
@@ -600,12 +608,10 @@ object Similarity {
         seedVecs.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
       val meanAgg =
         if (oracleMode)
-          (aggregate(
-            transform(
-              array_sort(collect_list(struct(col("corpus_id").as("id"),
-                col("col").cast("double").as("v")))),
-              x => x.getField("v")),
-            lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("mv")
+          (graft.functions.Expressions.foldSumField(
+            array_sort(collect_list(struct(col("corpus_id").as("id"),
+              col("col").cast("double").as("v")))))
+            / count(lit(1))).as("mv")
         else avg(col("col").cast("double")).as("mv")
       var iter = 0
       while (iter < lloydIters) {

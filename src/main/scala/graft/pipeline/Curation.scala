@@ -163,6 +163,17 @@ object Curation {
     // reads it twice (gate filter + repetition signals), and NFC+PII regex
     // scrubbing is the most expensive row-local pass in the pipeline —
     // without the cache it runs once per consumer.
+    // Parallelism note (measured, round 9): the fixture's documents.parquet
+    // is ONE row group, so this scan — and every row-local pass over it —
+    // runs on one core (the canon+quality block is ~7.6 s of qc01's 32 s).
+    // A repartition(defaultParallelism) here parallelizes the regex 32×
+    // but REGRESSES the entry to 40.4 s: the pipeline's ~25 downstream
+    // jobs then schedule 32 tasks each over kilobyte partitions, and task
+    // overhead swamps the regex win at this corpus size. Partition count
+    // must track data volume — at 100 TB the scan has thousands of real
+    // splits and no repartition is needed; forcing one at demo scale is a
+    // fixture-tuned pessimization, so the input partitioning is left to
+    // the source.
     val scrubbed = docs.select(id,
       TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
     // 1b. optional line-level boilerplate strip (CCNet paragraph dedup) —
@@ -416,7 +427,8 @@ object Curation {
     val id = col(idCol)
 
     // 1-2. canonicalize + row-local gates: identical to the batch stages
-    // (canon persisted for the same double-read reason)
+    // (canon persisted for the same double-read reason; input partitioning
+    // left to the source for the same task-overhead reason — see stages())
     val scrubbedDelta = delta.select(id,
       TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
     // 1b. optional line strip, incremental analog: line doc-frequencies

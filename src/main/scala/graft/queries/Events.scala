@@ -200,10 +200,9 @@ object Events {
         // SUM of hundreds of doubles could straddle a cent boundary
         // differently per partitioning
         .agg(count(lit(1)).as("n_purchases"),
-          round(aggregate(
-            transform(array_sort(collect_list(struct(col("event_id"), col("value")))),
-              x => x.getField("value")),
-            lit(0.0), (acc, v) => acc + v), 2).as("attributed_value"))
+          round(graft.functions.Expressions.foldSumField(
+            array_sort(collect_list(struct(col("event_id"), col("value"))))),
+            2).as("attributed_value"))
     }))
 
   val oracle: Map[String, String] = Map(

@@ -1134,10 +1134,8 @@ object TextOps {
         .select(col("doc_id"), col("nc"), col("ch"), (p * log(p)).as("c"))
         .groupBy(col("doc_id"))
         .agg(first(col("nc")).as("n_chars"),
-          round(-aggregate(
-            transform(array_sort(collect_list(struct(col("ch"), col("c")))),
-              x => x.getField("c")),
-            lit(0.0), (acc, v) => acc + v), 6).as("char_entropy"))
+          round(-graft.functions.Expressions.foldSumField(
+            array_sort(collect_list(struct(col("ch"), col("c"))))), 6).as("char_entropy"))
       val tk = docs.select(col("doc_id"),
         graft.functions.Expressions.ngrams(col("text"), 1).as("ts"))
         .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),

@@ -137,6 +137,61 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaSql > 0)
   }
 
+  test("native DotI32: bit-equal to the Column form; null semantics; codegen-safe") {
+    val q = graft.operators.Similarity
+      .quantizeInt8(graft.sources.Tables.table(spark, sf, "embeddings"))
+      .select($"vec_id", $"quantized".as("q"))
+    val pairs = q.as("a").crossJoin(q.as("b"))
+      .filter($"a.vec_id" < 6 && $"b.vec_id" < 6)
+      .select(Expressions.dotI32($"a.q", $"b.q").as("native"),
+        graft.operators.Similarity.intDotColumns($"a.q", $"b.q").as("cols"))
+    assert(pairs.filter($"native" =!= $"cols").count() === 0)
+    assert(pairs.filter($"native".isNull).count() === 0)
+    val self = q.select(Expressions.dotI32($"q", $"q").as("native"),
+      graft.operators.Similarity.intNorm2Columns($"q").as("cols"))
+    assert(self.filter($"native" =!= $"cols").count() === 0)
+    // ragged lengths → null (mirrors zip_with padding)
+    val deg = Seq((Seq(1, 2), Seq(1, 2, 3)), (Seq(2, 3), Seq(4, 5)))
+      .toDF("a", "b")
+      .select(Expressions.dotI32($"a", $"b").as("d")).as[Option[Long]].collect().toSeq
+    assert(deg === Seq(None, Some(23L)))
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(q.select(Expressions.dotI32($"q", $"q")).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("native FoldSumField: bit-equal to the aggregate(transform(...)) HOF; empty/null; codegen-safe") {
+    // the ordered-fold kernel every oracle-mode sum now runs: must match
+    // the interpreted HOF it replaced bit-for-bit on the same sorted input
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val contrib = docs
+      .select($"lang", explode(Expressions.ngrams($"text", 1)).as("t"))
+      .select($"lang", $"t", (length($"t").cast("double") * lit(0.1)).as("c"))
+    val sorted = array_sort(collect_list(struct($"t", $"c")))
+    val both = contrib.groupBy($"lang").agg(
+      Expressions.foldSumField(sorted).as("native"),
+      aggregate(transform(sorted, x => x.getField("c")),
+        lit(0.0), (acc, v) => acc + v).as("viaCols"))
+    assert(both.count() > 0)
+    assert(both.filter($"native" =!= $"viaCols").count() === 0)
+    // empty array → 0.0 (the fold's init); null field poisons to null
+    val edge = Seq(
+      (Seq.empty[(Long, Option[Double])], 1),
+      (Seq((1L, Option(2.0)), (2L, Option.empty[Double])), 2))
+      .toDF("arr", "id")
+      .select($"id", Expressions.foldSumField($"arr").as("s"))
+      .orderBy($"id").as[(Int, Option[Double])].collect().toSeq
+    assert(edge === Seq((1, Some(0.0)), (2, None)))
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(contrib.groupBy($"lang")
+        .agg(Expressions.foldSumField(sorted).as("s")).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native LshProbes: base bucket first, one-bit flips ordered by margin, codegen-safe") {
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
     val rows = e.orderBy("vec_id").select(
