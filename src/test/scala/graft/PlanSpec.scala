@@ -334,6 +334,29 @@ class PlanSpec extends SparkSpec {
       s"corpus must stream, never shuffle for the pair scan:\n$p")
   }
 
+  test("native kernels reach the executed plans — no interpreted HOF left on a hot path") {
+    // HOF lambdas (transform/aggregate/zip_with) never enter whole-stage
+    // codegen; each conversion to a native expression is gated here so a
+    // refactor can't silently reintroduce the interpreted form (the
+    // hashEmbedding regression was 9.4 of the entry's 10.3 s). The
+    // OPTIMIZED plan is the gate surface: the physical summary elides
+    // aggregate result expressions (score rides ObjectHashAggregate's
+    // output list), so the executed-plan string never shows them.
+    def logical(q: String): String =
+      SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+    val bm25 = logical("qt28_bm25")
+    assert(bm25.contains("graft_fold_sum"),
+      s"BM25 score fold lost the native kernel:\n${bm25.take(4000)}")
+    val rag = logical("qr01_retrieval")
+    assert(rag.contains("graft_hash_embedding"),
+      "composed retrieval lost the native embedding expression")
+    assert(rag.contains("graft_fold_sum"),
+      "composed retrieval lost the native fold kernel")
+    val int8 = logical("qt25_ivf_int8_recall")
+    assert(int8.contains("graft_dot_i32"),
+      "int8 scoring lost the native integer-dot kernel")
+  }
+
   test("SCD2: one shuffle — both windows ride the same (key, ts) partitioning") {
     val ev = Tables.events(spark, sf).select($"user_id", $"event_type",
       expr("ts_ns div 1000").as("us"), $"event_id")
