@@ -144,12 +144,15 @@ object Bench {
     val gcTotal = gcs.map(_._2._3).sum
     // machine-state stamp at report time: available memory + 1-min load
     // (best-effort; absent on non-Linux)
+    def readFile(p: String): String = {
+      val src = scala.io.Source.fromFile(p)
+      try src.mkString finally src.close()
+    }
     def envStamp: String = try {
-      val mem = scala.io.Source.fromFile("/proc/meminfo").getLines()
+      val mem = readFile("/proc/meminfo").linesIterator
         .collectFirst { case l if l.startsWith("MemAvailable:") =>
           l.split("\\s+")(1).toLong / 1048576.0 }.getOrElse(-1.0)
-      val load = scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
+      val load = readFile("/proc/loadavg").split("\\s+")(0).toDouble
       f"""{"mem_avail_gb":$mem%.1f,"load1":$load%.2f}"""
     } catch { case _: Throwable => "{}" }
     // any failure invalidates the run: report total=-1 (a smaller-but-

@@ -330,16 +330,11 @@ object ScaleProbe {
   private def tradeGraphProbe(sfDir: String): Unit = {
     val spark = GraftSession.get()
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_edges_").toString
+    graft.sources.Tables.deleteOnExit(dir)
     val t0 = System.nanoTime()
-    val ol = graft.sources.Tables.table(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(graft.sources.Tables.table(spark, sfDir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
-      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
-        concat(lit("s:"), col("l_suppkey")).as("snode"))
-    ol.select(col("cnode").as("src"), col("snode").as("dst"))
-      .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
-      .distinct()
+    // the entries' exact edge frame (shared definition — the probe cannot
+    // silently price a different pipeline than q50/q53/q50p serve)
+    graft.queries.Extras.buildTradeEdges(spark, sfDir)
       .write.mode("overwrite").parquet(dir)
     println(f"""{"probe":"tradegraph_build_persist","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     val t1 = System.nanoTime()
@@ -398,13 +393,13 @@ object ScaleProbe {
       println(f"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
     }
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    // the entries' exact chunk store + parameters (shared definitions —
+    // the probe cannot silently decompose a different pipeline)
+    val k = graft.queries.TextOps.RagK
+    val dim = graft.queries.TextOps.RagDim
     var chunks: org.apache.spark.sql.DataFrame = null
     time("chunk_build_checkpoint") {
-      chunks = graft.operators.Pack.chunkTokens(docs, "doc_id", "text",
-          window = 32, stride = 24)
-        .select(((col("doc_id") + 1) * lit(1048576L) + col("chunk_id")).as("ck"),
-          col("chunk_text"))
-        .localCheckpoint()
+      chunks = graft.queries.TextOps.ragChunkStore(spark, sfDir).localCheckpoint()
       chunks.count()
     }
     val queries = docs.filter(col("doc_id") < 5)
@@ -421,21 +416,21 @@ object ScaleProbe {
       idx.postings.count()
     }
     time("bm25_serve_uncapped")(graft.operators.Retrieval
-      .bm25TopKIndexed(idx, queries, k = 10, idCol = "ck").count())
+      .bm25TopKIndexed(idx, queries, k = k, idCol = "ck").count())
     val cap = scala.math.floor(0.5 * chunks.count()).max(1)
     time("bm25_serve_capped")(graft.operators.Retrieval
-      .bm25TopKIndexed(idx, queries, k = 10, maxDf = Some(cap), idCol = "ck").count())
+      .bm25TopKIndexed(idx, queries, k = k, maxDf = Some(cap), idCol = "ck").count())
     var cEmb: org.apache.spark.sql.DataFrame = null
     time("chunk_hash_embed") {
       cEmb = chunks.select(col("ck").as("vid"),
-        graft.operators.Similarity.hashEmbedding(col("chunk_text"), 16).as("emb"))
+        graft.operators.Similarity.hashEmbedding(col("chunk_text"), dim).as("emb"))
         .localCheckpoint()
       cEmb.count()
     }
     val qEmb = queries.select(col("query_id").as("vid"),
-      graft.operators.Similarity.hashEmbedding(col("qtext"), 16).as("emb"))
+      graft.operators.Similarity.hashEmbedding(col("qtext"), dim).as("emb"))
     time("dense_brute_topk")(graft.operators.Similarity
-      .bruteForceTopK(cEmb, qEmb, k = 10, idCol = "vid", vecCol = "emb").count())
+      .bruteForceTopK(cEmb, qEmb, k = k, idCol = "vid", vecCol = "emb").count())
     time("full_chain_uncapped")(graft.queries.TextOps
       .defs("qr01_retrieval")(spark, sfDir).count())
     time("full_chain_capped")(graft.queries.TextOps

@@ -200,6 +200,8 @@ object Curation {
         col("top_bigram_frac") <= cfg.maxTopBigramFrac)
       .select(id)
     val quality = mark("quality", gated.join(rep, Seq(idCol), "left_semi"))
+    drop(canon) // quality (gate + repetition) was canon's only consumer —
+    // and canon is the pipeline's LARGEST cache (full corpus text)
 
     // 2b. optional boilerplate gate: drop docs mostly covered by windows
     // duplicated across >= dupSpanMinDocs documents (substring-granular —

@@ -214,6 +214,7 @@ object CurationQ {
   private def deltaState(s: SparkSession, d: String): Curation.CorpusState = {
     val dir = stateMemo.getOrElseUpdate(d, {
       val out = java.nio.file.Files.createTempDirectory("graft_qc02_state").toString
+      Tables.deleteOnExit(out)
       val (corpusRaw, bench, _) = fixtureDelta(s, d)
       Curation.saveState(Curation.stateOf(
         Curation.stages(corpusRaw, bench, "doc_id", "text", cfgDelta, persist = true),

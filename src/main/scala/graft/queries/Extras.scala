@@ -554,19 +554,28 @@ object Extras {
     * cluster scale a shared graph store is a table, not executor memory.
     */
   private val edgeStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The distinct both-direction edge frame itself — ONE definition, shared
+    * by the store builder below and by ScaleProbe's build-cost probe, so
+    * what the probe prices is by construction what the entries serve.
+    */
+  private[graft] def buildTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(T(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
+      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
+        concat(lit("s:"), col("l_suppkey")).as("snode"))
+    ol.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
+      .distinct()
+  }
+
   private def tradeGraph(s: SparkSession, d: String): DataFrame = {
     val path = edgeStore.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_trade_edges_")
         .toString
-      val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(T(s, d, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
-        .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
-          concat(lit("s:"), col("l_suppkey")).as("snode"))
-      ol.select(col("cnode").as("src"), col("snode").as("dst"))
-        .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
-        .distinct()
-        .write.mode("overwrite").parquet(dir)
+      graft.sources.Tables.deleteOnExit(dir) // temp store dies with the JVM
+      buildTradeEdges(s, d).write.mode("overwrite").parquet(dir)
       dir
     })
     s.read.parquet(path)

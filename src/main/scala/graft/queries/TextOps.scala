@@ -461,15 +461,27 @@ object TextOps {
     * chunks/doc (a 1000-multiplier would silently collide past 1000
     * chunks ≈ 24k tokens at stride 24).
     */
+  private[graft] val RagWindow = 32
+  private[graft] val RagStride = 24
+  private[graft] val RagKeyShift = 1048576L // 2^20: room for 2^20 chunks/doc
+  private[graft] val RagDim = 16
+  private[graft] val RagK = 10
+
+  /** qr01's chunk store, pre-checkpoint — ONE definition shared with
+    * ScaleProbe's qr01 decomposition so the probe prices exactly the
+    * store the entries build.
+    */
+  private[graft] def ragChunkStore(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pack.chunkTokens(T(s, d, "documents"), "doc_id", "text",
+        window = RagWindow, stride = RagStride)
+      .select(((col("doc_id") + 1) * lit(RagKeyShift) + col("chunk_id")).as("ck"),
+        col("chunk_text"))
+
   private def retrievalChain(s: SparkSession, d: String,
                              capped: Boolean): DataFrame = {
-    val k = 10; val dim = 16
+    val k = RagK; val dim = RagDim
     val docs = T(s, d, "documents")
-    val chunks = graft.operators.Pack.chunkTokens(docs, "doc_id", "text",
-        window = 32, stride = 24)
-      .select(((col("doc_id") + 1) * lit(1048576L) + col("chunk_id")).as("ck"),
-        col("chunk_text"))
-      .localCheckpoint()
+    val chunks = ragChunkStore(s, d).localCheckpoint()
     val maxDf = if (capped)
       Some(scala.math.floor(0.5 * chunks.count()).max(1)) else None
     val queries = docs.filter(col("doc_id") < 5)

@@ -20,6 +20,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Register a temp directory for recursive deletion at JVM exit — the
+    * cleanup half of the build-once/serve-many parquet memos (trade-edge
+    * store, qc02 corpus state): File.deleteOnExit is non-recursive, and a
+    * bench/test JVM would otherwise leave one store copy per process.
+    */
+  def deleteOnExit(dir: String): Unit = exitDirs.add(dir)
+  private val exitDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    exitDirs.forEach { d =>
+      try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () } })
+      } catch { case _: Throwable => () }
+    }))
+
   /** `events` normalized to two columns regardless of the fixture's physical
     * encoding of `ts` — the driver has shipped it both as INT64
     * TIMESTAMP(NANOS) (read as long via
