@@ -90,6 +90,28 @@ class PackSpec extends SparkSpec {
       "just plain words 42 here"))
   }
 
+  test("scrubPii prefilter: identical output to the raw regex chain, incl. null/edge rows") {
+    import graft.functions.TextFns
+    // the [@0-9] fast path must be OUTPUT-INVISIBLE: every PII pattern
+    // requires an '@' or an ASCII digit, so prefiltered and raw chains
+    // must agree on digit-free prose, digit-bearing non-PII, real PII,
+    // unicode digits (NOT ASCII — must take the slow path only if [0-9]
+    // matches; '٣' does not), empty, and null
+    val raw = (t: org.apache.spark.sql.Column) =>
+      regexp_replace(regexp_replace(regexp_replace(t,
+        TextFns.Pii.email, "<EMAIL>"), TextFns.Pii.ipv4, "<IP>"),
+        TextFns.Pii.phone, "<PHONE>")
+    val df = Seq(
+      Some("clean prose with no digits at all"),
+      Some("version 2 of 3 things"),
+      Some("mail a@b.co or ping 10.0.0.1 or +1 555 123 4567"),
+      Some("arabic digits ٣٤٥ only"),
+      Some(""), None).toDF("t")
+    val both = df.select(TextFns.scrubPii($"t").as("fast"), raw($"t").as("slow"))
+      .as[(Option[String], Option[String])].collect()
+    both.foreach { case (f, s) => assert(f === s) }
+  }
+
   test("chunkTokens: overlapping windows, clamped tail, empty doc emits nothing") {
     val d = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "solo"), (3L, "  ")).toDF("id", "text")
     val got = graft.operators.Pack.chunkTokens(d, "id", "text", window = 3, stride = 2)
