@@ -368,8 +368,14 @@ object ScaleProbe {
     val q = gated.writeStream.format("noop")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
       .start()
-    Thread.sleep(30000)
-    val prog = q.recentProgress.toSeq
+    // steady-state wait: the first micro-batch carries stream startup, so
+    // poll until >= 4 NON-EMPTY batches completed (2-minute deadline)
+    // instead of sleeping a fixed window that can race the startup
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q.recentProgress.count(_.numInputRows > 0) < 4 &&
+           System.nanoTime() < deadline)
+      Thread.sleep(1000)
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     q.stop()
     val rows = prog.map(_.numInputRows).sum
     val secs = prog.map(_.batchDuration).sum / 1e3

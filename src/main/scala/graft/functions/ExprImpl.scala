@@ -340,8 +340,15 @@ object ExprImpl {
     * row. UTF8String round-trips through java.lang.String because the
     * normalization tables live there.
     */
-  def normalizeText(s: UTF8String, form: Int): UTF8String =
-    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, normForms(form)))
+  def normalizeText(s: UTF8String, form: Int): UTF8String = {
+    val str = s.toString
+    // isNormalized runs the quick-check pass only (YES on pure ASCII and
+    // most already-composed text) — skips the allocating normalize walk
+    // and returns the input buffer untouched; output identical since
+    // normalize() is the identity exactly when isNormalized() holds
+    if (java.text.Normalizer.isNormalized(str, normForms(form))) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, normForms(form)))
+  }
 
   /** Accent stripping: canonical decomposition (NFD) then removal of all
     * combining marks — café → cafe, ế → e. Matches DuckDB/utf8proc
