@@ -348,8 +348,11 @@ object ScaleProbe {
     * .curateStream: NFC+PII scrub → quality gates → fingerprint + SimHash
     * in-horizon dedup) under a rate source — the measured-economics
     * treatment the batch family gets. 1-in-8 rows repeat a rotating
-    * template so the dedup state actually drops rows. Reports per-batch
-    * processedRowsPerSecond aggregated over a fixed wall window.
+    * template so the dedup state actually drops rows. Polls until 5
+    * non-empty micro-batches complete (2-min deadline), DROPS the first
+    * (it carries stream startup: state-store init, codegen, the
+    * accumulated source backlog), and reports the median per-batch
+    * processedRowsPerSecond over the steady-state remainder.
     */
   private def streamGateProbe(rowsPerSec: Int): Unit = {
     val spark = GraftSession.get()
@@ -368,22 +371,26 @@ object ScaleProbe {
     val q = gated.writeStream.format("noop")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
       .start()
-    // steady-state wait: the first micro-batch carries stream startup, so
-    // poll until >= 4 NON-EMPTY batches completed (2-minute deadline)
-    // instead of sleeping a fixed window that can race the startup
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (q.recentProgress.count(_.numInputRows > 0) < 4 &&
+    // steady-state wait: under an over-capacity rate the source backlog
+    // makes batches balloon, so only a few huge batches complete — poll
+    // until >= 3 NON-EMPTY batches (3-minute deadline) and DROP the first
+    // (it carries stream startup); bail early if the query died so a
+    // failure surfaces instead of a spin ending in an all-zero record
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (q.exception.isEmpty &&
+           q.recentProgress.count(_.numInputRows > 0) < 3 &&
            System.nanoTime() < deadline)
       Thread.sleep(1000)
-    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    q.exception.foreach(throw _)
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0).drop(1)
     q.stop()
     val rows = prog.map(_.numInputRows).sum
     val secs = prog.map(_.batchDuration).sum / 1e3
-    val rps = prog.flatMap(p => Option(p.processedRowsPerSecond))
-      .filter(d => !d.isNaN && d > 0)
-    val med = if (rps.isEmpty) 0.0 else rps.sorted.apply(rps.size / 2)
+    // aggregate rows/busy-second over the steady batches: more stable
+    // than a median over a 2-3 element pool of backlogged mega-batches
+    val sustained = if (secs > 0) rows / secs else 0.0
     println(f"""{"probe":"streamgate","rate_rows_per_sec":$rowsPerSec,"batches":${prog.size},""" +
-      f""""input_rows":$rows,"busy_sec":$secs%.1f,"median_processed_rows_per_sec":$med%.0f}""")
+      f""""input_rows":$rows,"busy_sec":$secs%.1f,"sustained_rows_per_sec":$sustained%.0f}""")
     spark.stop()
   }
 

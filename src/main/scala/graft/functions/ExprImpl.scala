@@ -343,10 +343,14 @@ object ExprImpl {
   def normalizeText(s: UTF8String, form: Int): UTF8String = {
     val str = s.toString
     // isNormalized runs the quick-check pass only (YES on pure ASCII and
-    // most already-composed text) — skips the allocating normalize walk
-    // and returns the input buffer untouched; output identical since
-    // normalize() is the identity exactly when isNormalized() holds
-    if (java.text.Normalizer.isNormalized(str, normForms(form))) s
+    // most already-composed text) — skips the normalize table walk.
+    // BOTH paths still round-trip through String: returning the raw
+    // UTF8String buffer would skip the invalid-byte → U+FFFD laundering
+    // the toString/fromString round-trip performs, and identical dirty
+    // docs would then hash differently depending on unrelated content
+    // (the fingerprint/dedup keys must see ONE byte representation).
+    if (java.text.Normalizer.isNormalized(str, normForms(form)))
+      UTF8String.fromString(str)
     else UTF8String.fromString(java.text.Normalizer.normalize(str, normForms(form)))
   }
 

@@ -118,8 +118,14 @@ object TextFns {
     * Prefilter: every pattern requires an '@' or an ASCII digit, so a doc
     * containing neither is returned untouched after ONE char-class scan
     * instead of three complex-regex passes — output identical by
-    * construction (TextFnsSpec pins the equivalence), and on clean prose
-    * (most of a curated corpus) the scrub cost collapses to the scan.
+    * construction (PackSpec's scrub tests pin the equivalence on PII,
+    * digit-bearing, unicode-digit, empty, and null rows), and on clean
+    * prose (most of a curated corpus) the scrub cost collapses to the
+    * scan. The `text` subtree appears in the condition and both branches;
+    * whole-stage codegen's subexpression elimination evaluates it once —
+    * under interpreted fallback a PII-bearing row pays it twice, which is
+    * still cheaper than three unconditional regex passes on the clean
+    * majority.
     */
   def scrubPii(text: Column): Column =
     when(!text.rlike("[@0-9]"), text).otherwise(
