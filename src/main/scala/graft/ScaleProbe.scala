@@ -348,8 +348,8 @@ object ScaleProbe {
     * .curateStream: NFC+PII scrub → quality gates → fingerprint + SimHash
     * in-horizon dedup) under a rate source — the measured-economics
     * treatment the batch family gets. 1-in-8 rows repeat a rotating
-    * template so the dedup state actually drops rows. Polls until 5
-    * non-empty micro-batches complete (2-min deadline), DROPS the first
+    * template so the dedup state actually drops rows. Polls until 3
+    * non-empty micro-batches complete (3-min deadline), DROPS the first
     * (it carries stream startup: state-store init, codegen, the
     * accumulated source backlog), and reports the median per-batch
     * processedRowsPerSecond over the steady-state remainder.

@@ -424,12 +424,17 @@ object Similarity {
   /** Column HOF formulations of [intDot]/[intNorm2] — kept only as the
     * bit-identical differential baselines (SimilaritySpec); as production
     * paths they ran interpreted per element (HOFs never enter codegen).
+    * Operands are widened to long BEFORE the multiply, matching dotI32's
+    * long arithmetic, so bit-identity holds for the full int domain, not
+    * just |x| ≤ ~46340 where an int multiply happens not to overflow.
     */
   private[graft] def intDotColumns(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
 
   private[graft] def intNorm2Columns(a: Column): Column =
-    aggregate(transform(a, x => (x * x).cast("long")), lit(0L), (acc, v) => acc + v)
+    aggregate(transform(a, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, v) => acc + v)
 
   /** Quantized scoring frame: (prefix_qid, prefix q, prefix qn) — the int8
     * store plus precomputed integer norms, shared by the quantized ANN

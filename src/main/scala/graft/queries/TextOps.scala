@@ -459,7 +459,9 @@ object TextOps {
     * ⌊0.5·N⌋ df stopword prune (qt28c) to the sparse leg's query terms.
     * Chunk keys pack (doc, chunk) with a 2^20 shift — room for 2^20
     * chunks/doc (a 1000-multiplier would silently collide past 1000
-    * chunks ≈ 24k tokens at stride 24).
+    * chunks ≈ 24k tokens at stride 24). The packing enforces its own
+    * headroom: a chunk_id ≥ 2^20 raises in the executor (raise_error)
+    * instead of silently corrupting (doc, chunk) unpacking.
     */
   private[graft] val RagWindow = 32
   private[graft] val RagStride = 24
@@ -474,7 +476,11 @@ object TextOps {
   private[graft] def ragChunkStore(s: SparkSession, d: String): DataFrame =
     graft.operators.Pack.chunkTokens(T(s, d, "documents"), "doc_id", "text",
         window = RagWindow, stride = RagStride)
-      .select(((col("doc_id") + 1) * lit(RagKeyShift) + col("chunk_id")).as("ck"),
+      .select(((col("doc_id") + 1) * lit(RagKeyShift) +
+          when(col("chunk_id") < lit(RagKeyShift), col("chunk_id"))
+            .otherwise(raise_error(concat(
+              lit("ragChunkStore: chunk_id overflows the 2^20 key shift: "),
+              col("chunk_id").cast("string"))).cast("long"))).as("ck"),
         col("chunk_text"))
 
   private def retrievalChain(s: SparkSession, d: String,
@@ -1165,7 +1171,9 @@ object TextOps {
     // an INVARIANT differential: the entry computes per-doc booleans from
     // the real zlib output, DuckDB predicts them from text length alone —
     //   len_within_bound: deflate_len ≤ zlib's documented deflateBound
-    //     (n + n>>12 + n>>14 + 13 — holds for ANY input byte stream);
+    //     (n + n>>12 + n>>14 + n>>25 + 13 — holds for ANY input byte
+    //     stream at any size, including documents ≥ 32 MB where the
+    //     n>>25 term starts contributing);
     //   ratio_positive + empty_guard: ratio ∈ (0,∞), exactly 1.0 on empty
     //     text (the guard);
     //   dup_no_worse: deflate(text‖text) ≤ 2·deflate(text) + 16 (the
@@ -1188,7 +1196,8 @@ object TextOps {
         .select(col("doc_id"), col("n_bytes"),
           (col("__dl") > 0).as("len_positive"),
           (col("__dl") <= col("n_bytes") + shiftright(col("n_bytes"), 12) +
-            shiftright(col("n_bytes"), 14) + 13).as("len_within_bound"),
+            shiftright(col("n_bytes"), 14) + shiftright(col("n_bytes"), 25) +
+            13).as("len_within_bound"),
           (col("__ratio") > 0.0).as("ratio_positive"),
           (col("n_bytes") > 0 || col("__ratio") === 1.0).as("empty_guard"),
           (col("__dl2") <= col("__dl") * 2 + 16).as("dup_no_worse"),
