@@ -159,19 +159,40 @@ object Bench {
     // incomplete sum would read as a FASTER run to a total-only gate)
     val failures = results.count(_._2._1 < 0)
     val total = if (failures > 0) -1.0 else results.values.map(_._1).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+    // Two artifacts, two budgets. The FILE is canonical and unbounded:
+    // full 3-decimal timings plus the complete per-entry GC map (the
+    // contention fingerprint rides the artifact, not just its top-6).
+    // The STDOUT line must survive the driver's ~2000-byte tail capture
+    // WITH sbt's trailing "[success] Total time..." line inside the same
+    // window — BENCH_r09 shipped parsed:null because the full line plus
+    // those trailers overflowed it and the head of the JSON fell off. So
+    // stdout gets a compact twin (2-decimal, no per-entry maps — those
+    // live in the file), printed as the VERY LAST line after spark.stop()
+    // so nothing can land between it and process exit except sbt's own
+    // epilogue, which the budget now accounts for.
+    val gcByQuery = gcs.sortBy(_._1)
+      .map { case (k, (_, _, g)) => "\"" + shortId(k) + "\":" + f"$g%.3f" }
+      .mkString("{", ",", "}")
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"spread_worst":$worst,""" +
-      s""""gc_sec":${f"$gcTotal%.2f"},"gc_worst":$gcWorst,"env":$envStamp,"sf":"$sfDir"}"""
-    // stdout shares a buffer with Spark warnings and the driver captures
-    // only its tail — the FILE is the canonical artifact (BENCH_r08 shipped
-    // parsed:null from a warning landing mid-line); the stdout line stays
-    // for human greps
+      s""""gc_sec":${f"$gcTotal%.2f"},"gc_worst":$gcWorst,"gc_by_query":$gcByQuery,""" +
+      s""""env":$envStamp,"sf":"$sfDir"}"""
+    def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val qs2 = results.toSeq.sortBy(_._1)
+      .map { case (k, (v, _, _)) => "\"" + shortId(k) + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    val stdoutLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2,""" +
+      s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"gc_sec":${f"$gcTotal%.2f"},""" +
+      s""""env":$envStamp,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.write(outFile,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
-    println(s"[bench] metrics written to ${outFile.toAbsolutePath}")
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full metrics written to ${outFile.toAbsolutePath}")
     spark.stop()
+    // single write + flush: the whole line lands in one syscall so a
+    // concurrent logger cannot interleave mid-line
+    System.out.print(stdoutLine + "\n")
+    System.out.flush()
   }
 }
