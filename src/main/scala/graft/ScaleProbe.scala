@@ -451,7 +451,112 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe contended <entry> [ballastMb] [churnMbPerS]
+    * [bwThreads]`: measured contention-robustness for a catalog entry. The
+    * driver's bench environment amplified the persist-heavy composed
+    * entries 2-3× while per-entry medians sat at ~1.1× (BENCH_r08/r09 +
+    * docs/SCALE.md) — and its own stamps (gc_worst[qc01] 1.45 s of a
+    * 68.6 s entry) say the dominant mechanism is EXTERNAL: sibling
+    * processes stealing CPU cycles, memory bandwidth, and page cache, with
+    * in-JVM GC as the secondary amplifier. The adversary models both:
+    *   - a live heap ballast (default 2048 MB of the bench JVM's 8 GB
+    *     heap, retained) + churn threads allocating short-lived 1 MB
+    *     arrays at a paced rate (default 512 MB/s) — the GC amplifier;
+    *   - `bwThreads` no-allocation memory-bandwidth hogs (default 8), each
+    *     spinning System.arraycopy over a private 256 MB long buffer —
+    *     LLC-defeating copies that steal cores and DRAM bandwidth the way
+    *     a co-tenant container does, without touching this JVM's GC.
+    * Runs the entry 3× quiet (min), then 3× under the adversary; reports
+    * min seconds + GC seconds per regime and the amplification ratio,
+    * stamped with the active SPARK_GRAFT_CACHE_LEVEL so storage-level
+    * A/Bs read directly off the output. Entry semantics are untouched.
+    */
+  private def contendedProbe(entry: String, ballastMb: Int, churnMbPerS: Int,
+                             bwThreads: Int): Unit = {
+    val spark = GraftSession.get()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fn = graft.SparkEntry.queries.getOrElse(entry,
+      sys.error(s"unknown catalog entry: $entry"))
+    def gcMs(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+      t
+    }
+    def isolate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+    }
+    def runOnce(): (Double, Double) = {
+      isolate()
+      val g0 = gcMs(); val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, (gcMs() - g0) / 1e3)
+    }
+    runOnce() // untimed warmup (codegen, parquet footers), as in Bench
+    val quiet = (1 to 3).map(_ => runOnce())
+    // adversary on: live ballast + paced allocation churn
+    val ballast = new java.util.ArrayList[Array[Long]]()
+    var i = 0
+    while (i < ballastMb) { ballast.add(new Array[Long](131072)); i += 1 }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churnThreads = 4
+    val perThreadMbS = math.max(1, churnMbPerS / churnThreads)
+    val allocators = (1 to churnThreads).map { t =>
+      val th = new Thread(() => {
+        val nsPerMb = (1e9 / perThreadMbS).toLong
+        var sink = 0L // live use of each array so the allocation survives DCE
+        while (!stop.get()) {
+          val t0 = System.nanoTime()
+          val a = new Array[Byte](1 << 20)
+          a((t0 % (1 << 20)).toInt) = 1
+          sink += a.length
+          val left = nsPerMb - (System.nanoTime() - t0)
+          if (left > 1000000L) Thread.sleep(left / 1000000L)
+        }
+        if (sink == Long.MinValue) println(sink) // defeat DCE, never true
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    // bandwidth hogs: allocation-free bulk-copy spin over OFF-HEAP direct
+    // buffers far larger than LLC — steals cores + DRAM bandwidth the way
+    // a co-tenant container does, while adding zero load to this JVM's
+    // heap or collector (on-heap hog buffers would themselves shrink the
+    // heap under test and conflate the two mechanisms)
+    val hogs = (1 to bwThreads).map { t =>
+      val th = new Thread(() => {
+        val a = java.nio.ByteBuffer.allocateDirect(128 << 20)
+        val b = java.nio.ByteBuffer.allocateDirect(128 << 20)
+        while (!stop.get()) {
+          a.clear(); b.clear(); a.put(b)
+          b.clear(); a.clear(); b.put(a)
+        }
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    val threads = allocators ++ hogs
+    val contended = try (1 to 3).map(_ => runOnce())
+    finally { stop.set(true); threads.foreach(_.join(2000)); ballast.clear() }
+    val (qMin, qGc) = quiet.minBy(_._1)
+    val (cMin, cGc) = contended.minBy(_._1)
+    val level = sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")
+    println(f"""{"probe":"contended","entry":"$entry","cache_level":"$level",""" +
+      f""""ballast_mb":$ballastMb,"churn_mb_s":$churnMbPerS,"bw_threads":$bwThreads,""" +
+      f""""quiet_min_sec":$qMin%.2f,"quiet_gc_sec":$qGc%.2f,""" +
+      f""""contended_min_sec":$cMin%.2f,"contended_gc_sec":$cGc%.2f,""" +
+      f""""amplification":${cMin / qMin}%.2f}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("contended"))
+      return contendedProbe(args.lift(1).getOrElse("qc01_curation"),
+        args.lift(2).map(_.toInt).getOrElse(2048),
+        args.lift(3).map(_.toInt).getOrElse(512),
+        args.lift(4).map(_.toInt).getOrElse(8))
     if (args.headOption.contains("pagerank"))
       return pagerankProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("qr01"))

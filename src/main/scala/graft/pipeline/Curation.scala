@@ -26,6 +26,25 @@ import graft.operators.{Dedup, Pack, Split}
   */
 object Curation {
 
+  /** Storage level for the persist-mode stage caches. The columnar SQL
+    * cache holds corpus-sized byte-array batches on the heap; under memory
+    * pressure those blocks are exactly what the collector scans and what
+    * amplified the composed entries 2-3× in contended environments
+    * (docs/SCALE.md round-9/10 contention notes). Env-selectable
+    * (`SPARK_GRAFT_CACHE_LEVEL`) so the ScaleProbe `contended` harness can
+    * A/B levels without a rebuild. Default chosen by that harness's
+    * round-10 qc01 measurements under the calibrated adversary (2 GB
+    * ballast + 512 MB/s churn + 16 bandwidth hogs on 32 cpus):
+    * MEMORY_AND_DISK 31.3→39.4 s (1.26×), MEMORY_AND_DISK_SER 28.8→32.5 s
+    * (1.13×), DISK_ONLY 31.7→47.0 s (1.48× — spilled reads traverse the
+    * same contended memory subsystem, and lose the cache hits too).
+    * Serialized wins BOTH regimes: compact batches shrink the scannable
+    * heap (GC) and the resident bytes the adversary can evict.
+    */
+  private[graft] def stageStorageLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK_SER"))
+
   case class Config(
       minTokens: Int = 10,
       minQuality: Double = 0.5,
@@ -147,7 +166,7 @@ object Curation {
     // second action per stage.
     val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def mark(name: String, df: DataFrame): DataFrame =
-      if (persist) { val p = df.persist(); audit(name) = p.count(); p } else df
+      if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p } else df
     // drop an upstream stage's cache once the downstream materialization
     // has consumed it (no-op outside persist+release mode); non-blocking —
     // the store reclaims blocks as it goes, lineage stays recomputable
@@ -155,7 +174,8 @@ object Curation {
       if (persist && release) df.unpersist(blocking = false)
     // see curateDelta's lineageCut: eager one-shot materialization (under
     // AQE) for the pair frame connectedComponents' edge union reads twice
-    def lineageCut(df: DataFrame): DataFrame = if (persist) df.localCheckpoint(true) else df
+    def lineageCut(df: DataFrame): DataFrame =
+      if (persist) df.localCheckpoint(true, stageStorageLevel) else df
     val id = col(idCol)
 
     // 1. canonicalize: one byte representation (NFC) with PII gone, BEFORE
@@ -293,7 +313,7 @@ object Curation {
   private def markSplit(df: DataFrame, persist: Boolean,
                         audit: scala.collection.mutable.Map[String, Long]): DataFrame =
     if (!persist) df else {
-      val p = df.persist()
+      val p = df.persist(stageStorageLevel)
       p.groupBy(col("split")).count().collect()
         .foreach(r => audit("split_" + r.getString(0)) = r.getLong(1))
       p
@@ -309,7 +329,7 @@ object Curation {
   private def markPacked(df: DataFrame, persist: Boolean,
                          audit: scala.collection.mutable.Map[String, Long]): DataFrame =
     if (!persist) df else {
-      val p = df.persist()
+      val p = df.persist(stageStorageLevel)
       val r = p.agg(count(lit(1)).as("pieces"),
         countDistinct(col("shard"), col("seq")).as("sequences"),
         sum(col("tok_len")).cast("long").as("tokens")).collect()(0)
@@ -342,11 +362,13 @@ object Curation {
     */
   def stateOf(st: Stages, idCol: String, textCol: String): CorpusState =
     CorpusState(
-      docs = st.clean.select(col(idCol), col(textCol)).localCheckpoint(true),
+      docs = st.clean.select(col(idCol), col(textCol))
+        .localCheckpoint(true, stageStorageLevel),
       fingerprints = st.clean
         .select(TextFns.fingerprint(col(textCol)).as("fp")).distinct()
-        .localCheckpoint(true),
-      shardOffsets = Pack.shardOffsets(st.packed).localCheckpoint(true))
+        .localCheckpoint(true, stageStorageLevel),
+      shardOffsets = Pack.shardOffsets(st.packed)
+        .localCheckpoint(true, stageStorageLevel))
 
   /** Persist a [CorpusState] under `dir` (docs/ fingerprints/
     * shard_offsets/) — the artifact a batch run leaves behind and the next
@@ -411,7 +433,7 @@ object Curation {
     // release drops each stage's cache once consumed — see stages()
     val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def mark(name: String, df: DataFrame): DataFrame =
-      if (persist) { val p = df.persist(); audit(name) = p.count(); p } else df
+      if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p } else df
     def drop(df: DataFrame): Unit =
       if (persist && release) df.unpersist(blocking = false)
     // Eager one-shot materialization for the verified pair frame: it fans
@@ -425,7 +447,8 @@ object Curation {
     // without AQE's runtime re-planning — measured 57.1 s, WORSE than no
     // caching at all (and the round's earlier 3-consumer persist attempt
     // measured the same effect, 44.8 vs 37.7 s).
-    def lineageCut(df: DataFrame): DataFrame = if (persist) df.localCheckpoint(true) else df
+    def lineageCut(df: DataFrame): DataFrame =
+      if (persist) df.localCheckpoint(true, stageStorageLevel) else df
     val id = col(idCol)
 
     // 1-2. canonicalize + row-local gates: identical to the batch stages
