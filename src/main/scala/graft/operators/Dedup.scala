@@ -618,6 +618,38 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Exact near-dup pairs restricted to pairs TOUCHING a deterministic
+    * query panel (`idCol % mod == res`): the sampled ground truth for the
+    * recall probes (qt12r/qt26r). The full exact baseline is N²/2 dot
+    * products — affordable as its own priced entry (qt12) but wasteful to
+    * recompute inside every recall probe, and impossible at 10× fixture
+    * scale. Recall over the panel-touching subset is an unbiased estimate
+    * of pair recall (the panel is a uniform residue class, independent of
+    * the LSH/cluster hashes being graded), with cost |panel|·N: the panel
+    * side broadcasts and each corpus partition scans it — no shuffle, no
+    * quadratic term. The modulus/residue pair IS the seed, derivable in
+    * SQL (`vec_id % mod = res`), so the estimate stays oracle-checkable.
+    *
+    * Both-in-panel pairs emerge once per side of the q×corpus join;
+    * `distinct()` over (id_a, id_b, cos_sim) collapses them (cos_sim is
+    * rounded identically on both evaluations, so the triple is stable).
+    */
+  def embeddingNearDupPairsSampled(df: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double, mod: Int, res: Int): DataFrame = {
+    val q = df.filter(pmod(col(idCol), lit(mod)) === res)
+      .select(col(idCol).as("id_q"), col(vecCol).as("v_q"),
+        Similarity.norm(col(vecCol)).as("n_q"))
+    val b = df.select(col(idCol).as("id_o"), col(vecCol).as("v_o"),
+      Similarity.norm(col(vecCol)).as("n_o"))
+    broadcast(q).join(b, col("id_q") =!= col("id_o"))
+      .withColumn("cos_sim",
+        round(Similarity.dotProduct(col("v_q"), col("v_o")) / (col("n_q") * col("n_o")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("id_q"), col("id_o")).as("id_a"),
+        greatest(col("id_q"), col("id_o")).as("id_b"), col("cos_sim"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup at scale: sign-LSH bucketing generates the
     * candidate pairs (same-bucket in any of `tables` hash tables, each
     * vector probing its `probes` most-plausible buckets per table), exact
@@ -731,6 +763,36 @@ object Dedup {
                     oracleMode: Boolean = false): DataFrame =
     semPairs(semAssign(df, idCol, vecCol, nlist, lloydIters, trainFraction, oracleMode), tau)
       .select(col("id_a"), col("id_b"))
+
+  /** [semDedupPairs] restricted to pairs touching the `idCol % mod == res`
+    * query panel — the sampled counterpart for the recall probe (qt26r),
+    * same panel discipline as [embeddingNearDupPairsSampled]: training and
+    * cell assignment run on the FULL corpus (they are what is being
+    * graded), but the within-cell pair join puts only panel members on its
+    * left side, so pair volume is |panel|·avg-cell instead of Σ|cell|².
+    * This is also the shape a production recall monitor runs at 100 TB:
+    * a fixed panel priced per batch, never the full pair set.
+    */
+  def semDedupPairsSampled(df: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, tau: Double, lloydIters: Int = 2,
+                           trainFraction: Double = 1.0,
+                           oracleMode: Boolean = false,
+                           mod: Int = 31, res: Int = 7): DataFrame = {
+    val assigned =
+      semAssign(df, idCol, vecCol, nlist, lloydIters, trainFraction, oracleMode)
+    val panel = assigned.filter(pmod(col("__id"), lit(mod)) === res)
+      .select(col("cell"), col("__id").as("id_q"), col("__v").as("v_q"),
+        col("__n").as("n_q"))
+    broadcast(panel)
+      .join(assigned.select(col("cell"), col("__id").as("id_o"),
+        col("__v").as("v_o"), col("__n").as("n_o")), Seq("cell"))
+      .filter(col("id_q") =!= col("id_o"))
+      .filter(round(Similarity.dotProduct(col("v_q"), col("v_o")) /
+        (col("n_q") * col("n_o")), 6) >= tau)
+      .select(least(col("id_q"), col("id_o")).as("id_a"),
+        greatest(col("id_q"), col("id_o")).as("id_b"))
+      .distinct()
+  }
 
   /** Cross-document duplicate SPAN detection — the window-granular, Spark-
     * native analog of suffix-array exact-substring dedup (Lee et al. 2021,

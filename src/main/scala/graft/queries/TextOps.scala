@@ -826,14 +826,24 @@ object TextOps {
     "qt30_ivfpq_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
+      // The three operating points share (nlist=16, m=4, ksub=16, Lloyd-1),
+      // so ONE index serves all of them — build once, freeze the code store
+      // (localCheckpoint = the in-JVM stand-in for the persisted parquet
+      // index a cluster would serve from), sweep (nProbe, rerank) on the
+      // serve side. Round 10: previously each variant rebuilt the identical
+      // index, tripling the entry's cost for zero information.
+      val idx = Similarity.ivfPqIndex(e, nlist = 16, m = 4, ksub = 16,
+        lloydIters = 1, oracleMode = true)
+      val frozen = Similarity.IvfPqIndex(idx.centroids,
+        idx.pq.copy(codes = idx.pq.codes.localCheckpoint(true)))
       recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
         Seq("query_id", "corpus_id"), ("n_probe", "nlist", "rerank"),
-        Seq(((4, 16, 0), Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nProbe = 4,
-            m = 4, ksub = 16, lloydIters = 1, rerank = 0, oracleMode = true)),
-          ((4, 16, 25), Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nProbe = 4,
-            m = 4, ksub = 16, lloydIters = 1, rerank = 25, oracleMode = true)),
-          ((14, 16, 25), Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nProbe = 14,
-            m = 4, ksub = 16, lloydIters = 1, rerank = 25, oracleMode = true))))
+        Seq(((4, 16, 0), Similarity.ivfPqTopKIndexed(frozen, e, q, k = 5,
+            nProbe = 4, rerank = 0)),
+          ((4, 16, 25), Similarity.ivfPqTopKIndexed(frozen, e, q, k = 5,
+            nProbe = 4, rerank = 25)),
+          ((14, 16, 25), Similarity.ivfPqTopKIndexed(frozen, e, q, k = 5,
+            nProbe = 14, rerank = 25))))
     }),
 
     // Embedding-cosine near-dup, exact all-pairs (quadratic baseline —
@@ -853,7 +863,13 @@ object TextOps {
     // tables — the cheap knob at 100 TB (see lshTopK's scaladoc).
     "qt12r_embed_neardup_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
-      val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      // SAMPLED ground truth (round 10): exact pairs touching the vec_id %
+      // 31 == 7 panel (~64 queries at sf0.1) — |panel|·N dots instead of
+      // N²/2. The full exact baseline stays priced as qt12; the recall
+      // estimate here is unbiased over the panel-touching pair subset and
+      // the panel predicate is the oracle's too.
+      val exact = Dedup.embeddingNearDupPairsSampled(e, "vec_id", "embedding",
+        threshold = 0.4, mod = 31, res = 7)
       recallQuery(exact, Seq("id_a", "id_b"), ("planes", "tables", "probes"),
         Seq(((8, 4, 1), Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
             planes = 8, tables = 4, probes = 1)),
@@ -885,13 +901,15 @@ object TextOps {
     // accepts, here hash-verified instead of assumed.
     "qt26r_semdedup_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
-      val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      // sampled ground truth, same panel discipline as qt12r (see there)
+      val exact = Dedup.embeddingNearDupPairsSampled(e, "vec_id", "embedding",
+        threshold = 0.4, mod = 31, res = 7)
       recallQuery(exact, Seq("id_a", "id_b"), ("nlist", "lloyd_iters", "tau_pct"),
-        Seq(((4, 1, 40), Dedup.semDedupPairs(e, "vec_id", "embedding",
+        Seq(((4, 1, 40), Dedup.semDedupPairsSampled(e, "vec_id", "embedding",
             nlist = 4, tau = 0.4, lloydIters = 1, oracleMode = true)),
-          ((16, 1, 40), Dedup.semDedupPairs(e, "vec_id", "embedding",
+          ((16, 1, 40), Dedup.semDedupPairsSampled(e, "vec_id", "embedding",
             nlist = 16, tau = 0.4, lloydIters = 1, oracleMode = true)),
-          ((64, 1, 40), Dedup.semDedupPairs(e, "vec_id", "embedding",
+          ((64, 1, 40), Dedup.semDedupPairsSampled(e, "vec_id", "embedding",
             nlist = 64, tau = 0.4, lloydIters = 1, oracleMode = true))))
     }),
 
@@ -1364,18 +1382,23 @@ object TextOps {
     }),
 
     // Incremental NEAR-dup (the qt21 treatment for the near-dup family):
-    // docs < 250 play the already-deduped corpus, the delta is the rest
-    // plus 100 re-submitted copies of corpus docs under new ids. Pair
-    // generation is delta×corpus ∪ delta×delta only, prefix-filtered
-    // under a rarest-first order FROZEN from the corpus posting index —
-    // the oracle is the full re-dedup of corpus ∪ delta restricted to
-    // pairs touching the delta, which exactness makes identical.
+    // every 25th doc plays the day's arrival batch, joined by re-submitted
+    // copies of the %25==1 docs under new ids; everything else is the
+    // already-deduped corpus. Pair generation is delta×corpus ∪ delta×delta
+    // only, prefix-filtered under a rarest-first order FROZEN from the
+    // corpus posting index — the oracle is the full re-dedup of corpus ∪
+    // delta restricted to pairs touching the delta, which exactness makes
+    // identical. Round 10 inverted the split (was corpus=250, delta=rest):
+    // a delta LARGER than the corpus re-priced full re-dedup, not the
+    // incremental operation — the production shape is a small arrival
+    // batch (~8% here) against a corpus that grows with SF, and that is
+    // what the delta×corpus candidate volume now reflects.
     "qt24_neardup_delta" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
-      val delta = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
-        .unionByName(docs.filter(col("doc_id") < 100)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val corpus = docs.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text")
+      val delta = docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") % 25 === 1)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       Dedup.nearDupDelta(corpus, delta, "doc_id", "text", n = 3, threshold = 0.7)
     }),
 
@@ -1714,7 +1737,8 @@ object TextOps {
          |   FROM embeddings WHERE embedding IS NOT NULL),
          | exactp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |  WHERE (a.vec_id % 31 = 7 OR b.vec_id % 31 = 7)
+         |    AND round(list_sum(list_transform(range(1, len(a.embedding) + 1),
          |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
          |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
          |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4),
@@ -2659,7 +2683,8 @@ object TextOps {
       s"""WITH ${lshDotsCtes(maxTables = 4, maxPlanes = 8)},
          | exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |   WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |   WHERE (a.vec_id % 31 = 7 OR b.vec_id % 31 = 7)
+         |     AND round(list_sum(list_transform(range(1, len(a.embedding) + 1),
          |       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
          |     (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
          |      sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4),
@@ -2717,7 +2742,7 @@ object TextOps {
            |JOIN documents b ON p.id_b = b.doc_id""".stripMargin) +
       ("qt24_neardup_delta" ->
         s"""WITH u AS (SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+           |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 25 = 1),
            | toks AS (SELECT doc_id, $tokensSql AS ts FROM u),
            | sh AS (SELECT doc_id,
            |   CASE WHEN len(ts) = 0 THEN []
@@ -2734,7 +2759,8 @@ object TextOps {
            |  GROUP BY 1, 2, 3, 4)
            |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
            |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.7
-           |  AND (id_a >= 250 OR id_b >= 250)""".stripMargin) +
+           |  AND (id_a % 25 = 0 OR id_a >= 100000
+           |    OR id_b % 25 = 0 OR id_b >= 100000)""".stripMargin) +
       ("qt22_quantize_int8" ->
         """WITH m AS (SELECT vec_id,
           |   CASE WHEN len(embedding) = 0 THEN 0.0
