@@ -104,6 +104,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit("graft_lsh_probes", "family")(args(2)),
           intLit("graft_lsh_probes", "probes")(args(3)))
       }))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(shingles, k) - k-hash MinHash signature (array<bigint>) of a " +
+          "shingle array (pair with graft_shingle_set); k must be an integer literal."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_minhash_sig takes 2 arguments (shingles, k), got ${args.length}")
+        Expressions.MinHashSig(args.head, intLit("graft_minhash_sig", "k")(args(1)))
+      }))
     e.injectFunction((FunctionIdentifier("graft_ngrams"),
       info("graft_ngrams",
         "graft_ngrams(text, n) - ALL word n-gram occurrences in order (non-distinct); " +

@@ -354,12 +354,12 @@ object ScaleProbe {
     * accumulated source backlog), and reports the median per-batch
     * processedRowsPerSecond over the steady-state remainder.
     */
-  private def streamGateProbe(rowsPerSec: Int): Unit = {
+  private def streamGateProbe(rowsPerSec: Int, partitions: Int): Unit = {
     val spark = GraftSession.get()
     val filler = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do" +
       " eiusmod tempor incididunt ut labore et dolore magna aliqua"
     val docs = spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSec).option("numPartitions", 8).load()
+      .option("rowsPerSecond", rowsPerSec).option("numPartitions", partitions).load()
       .select(col("value").as("doc_id"), col("timestamp").as("ts"),
         when(col("value") % 8 === 0,
           concat(lit("template boilerplate page"), lit(filler),
@@ -389,7 +389,7 @@ object ScaleProbe {
     // aggregate rows/busy-second over the steady batches: more stable
     // than a median over a 2-3 element pool of backlogged mega-batches
     val sustained = if (secs > 0) rows / secs else 0.0
-    println(f"""{"probe":"streamgate","rate_rows_per_sec":$rowsPerSec,"batches":${prog.size},""" +
+    println(f"""{"probe":"streamgate","rate_rows_per_sec":$rowsPerSec,"partitions":$partitions,"batches":${prog.size},""" +
       f""""input_rows":$rows,"busy_sec":$secs%.1f,"sustained_rows_per_sec":$sustained%.0f}""")
     spark.stop()
   }
@@ -542,7 +542,9 @@ object ScaleProbe {
     finally { stop.set(true); threads.foreach(_.join(2000)); ballast.clear() }
     val (qMin, qGc) = quiet.minBy(_._1)
     val (cMin, cGc) = contended.minBy(_._1)
-    val level = sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")
+    // the level Curation actually resolves (env override or its default) —
+    // reading the env here with a probe-local default drifted once already
+    val level = graft.pipeline.Curation.stageStorageLevel.description
     println(f"""{"probe":"contended","entry":"$entry","cache_level":"$level",""" +
       f""""ballast_mb":$ballastMb,"churn_mb_s":$churnMbPerS,"bw_threads":$bwThreads,""" +
       f""""quiet_min_sec":$qMin%.2f,"quiet_gc_sec":$qGc%.2f,""" +
@@ -551,7 +553,166 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe exponent [sfDir] [copies] [entries.csv]`:
+    * measured time-scaling exponents. No sf1 fixture exists, so the probe
+    * SYNTHESIZES one: each scalable table unioned `copies` times with its
+    * key columns offset by i·2^40 per copy (disjoint key spaces, identical
+    * per-key density — 10 independent shards of the same distribution,
+    * which is what "10× the corpus" means), dims (region/nation/part) and
+    * events copied verbatim, TPC-H foreign keys offset consistently so the
+    * join graph is `copies` disjoint copies sharing the fixed dims.
+    * Fixture modulus predicates survive scaling: 2^40 ≡ 1 (mod 25, 17,
+    * 31, 13), so `doc_id % 25 == 0`-style splits select the same FRACTION
+    * of every copy (residues shift by i, sizes don't drift).
+    *
+    * Each entry then runs warmup+timed at 1× and at `copies`×; the
+    * reported exponent is log(t_N/t_1)/log(N) — ~1 is linear, ~2
+    * quadratic; log-factor terms (sorts) read as slightly >1. Fixed-panel
+    * query sets (`vec_id < 20`) stay fixed under scaling; the recall
+    * probes' `% 31` panels grow WITH the corpus by construction, so their
+    * sampled-exact terms are expected ~2 — the fixed-panel production
+    * variant is the linear form (see SCALE.md round-10).
+    */
+  private def exponentProbe(sfDir: String, copies: Int, entriesCsv: String): Unit = {
+    val spark = GraftSession.get()
+    val off = 1L << 40
+    val keyCols = Map(
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_suppkey"),
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"))
+    val verbatim = Seq("region", "nation", "part", "events")
+    val scaledDir = s"/tmp/graft_scale_${copies}x"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir))
+    new java.io.File(scaledDir).mkdirs()
+    val t0 = System.nanoTime()
+    keyCols.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$sfDir/$t.parquet")
+      (0 until copies).map { i =>
+        keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
+    }
+    verbatim.foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$scaledDir/$t.parquet"))
+    }
+    println(f"""{"probe":"exponent_setup","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    def isolate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+    }
+    def timeOne(entry: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(entry)
+      isolate(); fn(spark, dir).count() // untimed warmup (codegen, memos)
+      isolate()
+      val t = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t) / 1e9
+    }
+    entriesCsv.split(",").map(_.trim).filter(_.nonEmpty).foreach { entry =>
+      val t1 = timeOne(entry, sfDir)
+      val tN = timeOne(entry, scaledDir)
+      val expo = math.log(tN / t1) / math.log(copies.toDouble)
+      println(f"""{"probe":"exponent","entry":"$entry","copies":$copies,""" +
+        f""""t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$expo%.2f}""")
+    }
+    spark.stop()
+  }
+
+  private val exponentDefaults = "qc01_curation,qc02_curation_delta," +
+    "q50_pagerank,q50p_pagerank_prod,q53_trustrank,qr01_retrieval," +
+    "qt26r_semdedup_recall,qt24_neardup_delta,qt28_bm25,qt05p_ngram_jaccard_prefix"
+
+  /** `runMain graft.ScaleProbe gatebench [nRows]`: per-stage batch cost of
+    * the curation/stream gate's text functions, native kernels vs their
+    * retained Column-form twins, on the streamgate generator's synthetic
+    * docs. The streaming harness measures one backlogged mega-batch per
+    * run (±15 % between identical binaries), so kernel conversions are
+    * priced HERE, deterministically (min of 3, persisted input, xxhash64
+    * consumer so nothing folds away), and the stream number is read as
+    * corroboration only.
+    */
+  private def gateBench(n: Int): Unit = {
+    val spark = GraftSession.get()
+    import graft.functions.{Expressions, TextFns}
+    val filler = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do" +
+      " eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val docs = spark.range(n).select(col("id"),
+        when(col("id") % 8 === 0,
+          concat(lit("template boilerplate page"), lit(filler),
+            (col("id") % 3).cast("string")))
+          .otherwise(concat(lit("unique document number "),
+            col("id").cast("string"), lit(filler))).as("text"))
+      .persist()
+    docs.count()
+    def time(name: String)(c: org.apache.spark.sql.Column): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        docs.select(xxhash64(c).as("h")).agg(sum(col("h"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup (codegen)
+      val best = (1 to 3).map(_ => once()).min
+      println(f"""{"probe":"gatebench","stage":"$name","n":$n,"sec":$best%.2f}""")
+    }
+    val stops = TextFns.LangId.profiles.flatMap(_._2).distinct
+    time("scrub_native")(TextFns.scrubPii(col("text")))
+    time("scrub_columns")(TextFns.scrubPiiColumns(col("text")))
+    time("token_count_native")(TextFns.tokenCount(col("text")))
+    time("token_count_columns")(TextFns.tokenCountColumns(col("text")))
+    time("stopword_ratio_native")(TextFns.stopwordRatio(col("text"), stops))
+    time("stopword_ratio_columns")(TextFns.stopwordRatioColumns(col("text"), stops))
+    time("lang_id_native")(TextFns.LangId.langId(col("text")))
+    time("lang_id_columns")(TextFns.LangId.langIdColumns(col("text")))
+    time("quality_native")(TextFns.qualityScore(col("text")))
+    time("nfc_normalize")(Expressions.normalizeText(col("text"), "NFC"))
+    time("fingerprint64")(TextFns.fingerprint64(col("text")))
+    time("simhash64")(Expressions.simhash64(col("text")))
+    time("full_gate_chain")(struct(
+      TextFns.qualityScore(TextFns.scrubPii(
+        Expressions.normalizeText(col("text"), "NFC"))),
+      TextFns.LangId.langId(col("text")),
+      TextFns.fingerprint64(col("text")),
+      Expressions.simhash64(col("text"))))
+    // the PRODUCTION shape: canon projected as a column first (one
+    // evaluation, attribute-bound downstream), then the gate reads it —
+    // quality's ~6 references to its argument re-evaluate a NESTED
+    // argument subtree wherever codegen CSE misses, which is what the
+    // chain row above (deliberately nested) prices
+    def timeTwoStep(name: String): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        docs.withColumn("canon", TextFns.scrubPii(
+            Expressions.normalizeText(col("text"), "NFC")))
+          .select(xxhash64(struct(
+            TextFns.qualityScore(col("canon")),
+            TextFns.LangId.langId(col("canon")),
+            TextFns.fingerprint64(col("canon")),
+            Expressions.simhash64(col("canon")))).as("h"))
+          .agg(sum(col("h"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val best = (1 to 3).map(_ => once()).min
+      println(f"""{"probe":"gatebench","stage":"$name","n":$n,"sec":$best%.2f}""")
+    }
+    timeTwoStep("full_gate_projected")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("gatebench"))
+      return gateBench(args.lift(1).map(_.toInt).getOrElse(1000000))
+    if (args.headOption.contains("exponent"))
+      return exponentProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(10),
+        args.lift(3).getOrElse(exponentDefaults))
     if (args.headOption.contains("contended"))
       return contendedProbe(args.lift(1).getOrElse("qc01_curation"),
         args.lift(2).map(_.toInt).getOrElse(2048),
@@ -564,7 +725,8 @@ object ScaleProbe {
     if (args.headOption.contains("tradegraph"))
       return tradeGraphProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("streamgate"))
-      return streamGateProbe(args.lift(1).map(_.toInt).getOrElse(50000))
+      return streamGateProbe(args.lift(1).map(_.toInt).getOrElse(50000),
+        args.lift(2).map(_.toInt).getOrElse(8))
     if (args.headOption.contains("bm25"))
       return bm25Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("semdedup"))

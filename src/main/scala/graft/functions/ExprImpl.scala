@@ -354,6 +354,119 @@ object ExprImpl {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, normForms(form)))
   }
 
+  // \s of the Column tokenizers' split regex — ASCII-only in Java regex
+  private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** Whitespace token count in ONE allocation-free byte scan ('\s' is
+    * ASCII-only in Java regex, and the six whitespace bytes never occur
+    * as UTF-8 continuation bytes, so the byte walk equals the char walk).
+    * The Column form (`size(filter(split(text, "\\s+"), _ =!= ""))`) puts
+    * an interpreted HOF lambda on every caller's hot path — qualityScore,
+    * the curation gates, the stream gate — plus the split's array
+    * materialization; differential-gated equal in TextFnsSpec.
+    */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWsByte(s.getByte(i))
+      if (!ws && !inTok) count += 1
+      inTok = !ws
+      i += 1
+    }
+    count
+  }
+
+  /** Build the word → profile-indexes matcher [profileHits] scans with —
+    * one HashMap the Expression bakes in at plan time (words shared by
+    * several profiles, like es/fr "de", carry every index).
+    */
+  def buildProfileMatcher(profiles: Seq[Seq[String]]): java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  /** One-pass token-profile counter: lowercase once (the same
+    * `UTF8String.toLowerCase` Spark's `lower()` runs), walk the tokens,
+    * count per-profile stopword hits. Returns [n_tokens, hits(profile 0),
+    * …, hits(profile k−1)]. Replaces k+1 interpreted HOF passes — langId
+    * evaluated `filter(tokens(lower(text)), isin(words))` per profile and
+    * stopwordRatio one more — with a single kernel; whole-stage codegen's
+    * subexpression elimination then shares THIS call across every
+    * consumer in the projection. Differential-gated against the Column
+    * forms in TextFnsSpec (including the non-ASCII "für" profile word and
+    * decomposed-accent tokens, where both forms compare exact code units).
+    */
+  def profileHits(s: UTF8String, matcher: java.util.HashMap[String, Array[Int]],
+                  k: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val counts = new Array[Int](k + 1)
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWsChar(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWsChar(str.charAt(i))) i += 1
+      if (i > start) {
+        counts(0) += 1
+        val hits = matcher.get(str.substring(start, i))
+        if (hits != null) {
+          var j = 0
+          while (j < hits.length) { counts(hits(j) + 1) += 1; j += 1 }
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  // Pre-compiled PII patterns — the strings live in TextFns.Pii (single
+  // source of truth for both the native and the Column scrub). Lazy so
+  // class-init order between ExprImpl/TextFns/Expressions can't cycle.
+  private lazy val piiEmail = java.util.regex.Pattern.compile(TextFns.Pii.email)
+  private lazy val piiIpv4 = java.util.regex.Pattern.compile(TextFns.Pii.ipv4)
+  private lazy val piiPhone = java.util.regex.Pattern.compile(TextFns.Pii.phone)
+
+  /** One-pass PII scrub: byte-scan prefilter + three pre-compiled regex
+    * passes over ONE String materialization. Bit-identical to the Column
+    * form (`TextFns.scrubPiiColumns`, the retained differential baseline):
+    * same patterns, same order (emails before IPs before phones), same
+    * literal replacements, and the same prefilter predicate — '@' and the
+    * ASCII digits never occur as UTF-8 continuation bytes, so the byte
+    * scan equals the Column form's `rlike("[@0-9]")` char test. What the
+    * native form saves on the PII-bearing path is the per-pass
+    * UTF8String↔String round-trips (Spark's chained RegExpReplace
+    * re-materializes a String per regex) and the branch plumbing; on
+    * clean text it is a single allocation-free byte scan.
+    */
+  def scrubPii(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var hit = false
+    while (i < n && !hit) {
+      val b = s.getByte(i)
+      if (b == '@' || (b >= '0' && b <= '9')) hit = true
+      i += 1
+    }
+    if (!hit) return s
+    UTF8String.fromString(
+      piiPhone.matcher(
+        piiIpv4.matcher(
+          piiEmail.matcher(s.toString).replaceAll("<EMAIL>"))
+          .replaceAll("<IP>"))
+        .replaceAll("<PHONE>"))
+  }
+
   /** Accent stripping: canonical decomposition (NFD) then removal of all
     * combining marks — café → cafe, ế → e. Matches DuckDB/utf8proc
     * `strip_accents` on Latin text (differentially tested in the qt13

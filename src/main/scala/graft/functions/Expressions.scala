@@ -339,6 +339,54 @@ object Expressions {
     override def prettyName: String = "graft_strip_accents"
   }
 
+  /** token_count(string) → int: whitespace token count as one
+    * allocation-free byte scan (see ExprImpl.tokenCount).
+    */
+  case class TokenCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.tokenCount(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.tokenCount($c)")
+    override protected def withNewChildInternal(c: Expression): TokenCount = copy(c)
+    override def prettyName: String = "graft_token_count"
+  }
+
+  /** profile_hits(string) → array<int>: [n_tokens, hits per word list] in
+    * one lowercase+tokenize pass (see ExprImpl.profileHits). The word
+    * lists are baked in at plan time; the matcher rides into generated
+    * code as a reference object.
+    */
+  case class ProfileHits(child: Expression, profiles: Seq[Seq[String]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val matcher = ExprImpl.buildProfileMatcher(profiles)
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.profileHits(v.asInstanceOf[UTF8String], matcher, profiles.length)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("profileMatcher", matcher,
+        "java.util.HashMap<String, int[]>")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.ExprImpl.profileHits($c, $m, ${profiles.length})")
+    }
+    override protected def withNewChildInternal(c: Expression): ProfileHits =
+      copy(child = c)
+    override def prettyName: String = "graft_profile_hits"
+  }
+
+  /** scrub_pii(string) → string: one-pass email/IPv4/phone redaction (see
+    * ExprImpl.scrubPii for the exact contract vs the Column form).
+    */
+  case class ScrubPii(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.scrubPii(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.scrubPii($c)")
+    override protected def withNewChildInternal(c: Expression): ScrubPii = copy(c)
+    override def prettyName: String = "graft_scrub_pii"
+  }
+
   /** simhash64(string) → long, with full whole-stage codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -396,5 +444,9 @@ object Expressions {
   def normalizeText(c: Column, form: String = "NFC"): Column =
     wrap(NormalizeText(unwrap(c), form))
   def stripAccents(c: Column): Column = wrap(StripAccents(unwrap(c)))
+  def scrubPii(c: Column): Column = wrap(ScrubPii(unwrap(c)))
+  def tokenCount(c: Column): Column = wrap(TokenCount(unwrap(c)))
+  def profileHits(c: Column, profiles: Seq[Seq[String]]): Column =
+    wrap(ProfileHits(unwrap(c), profiles))
   def minhashSig(c: Column, numHashes: Int): Column = wrap(MinHashSig(unwrap(c), numHashes))
 }

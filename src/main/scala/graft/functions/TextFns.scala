@@ -20,7 +20,13 @@ object TextFns {
     * counting function here guards explicitly so null in = null out, the
     * same contract the DuckDB oracles' len()/list functions have.
     */
-  def tokenCount(text: Column): Column =
+  def tokenCount(text: Column): Column = Expressions.tokenCount(text)
+
+  /** The Column form of [tokenCount] — the differential baseline (the
+    * filter lambda is an interpreted HOF; the native byte scan replaced
+    * it on the hot paths, TextFnsSpec pins equality).
+    */
+  def tokenCountColumns(text: Column): Column =
     when(text.isNotNull, size(tokens(text)))
 
   /** BPE-ish sub-word count: splits on word/number/punct boundaries like a
@@ -43,6 +49,16 @@ object TextFns {
     * Null text → null (see [tokenCount] for the legacy size(null) hazard).
     */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val h = Expressions.profileHits(text, Seq(stopwords))
+    when(text.isNull, lit(null).cast("double"))
+      .when(h.getItem(0) === 0, lit(0.0))
+      .otherwise(h.getItem(1).cast("double") / h.getItem(0))
+  }
+
+  /** Column form of [stopwordRatio] — differential baseline (interpreted
+    * HOF filter; see [tokenCountColumns]).
+    */
+  def stopwordRatioColumns(text: Column, stopwords: Seq[String]): Column = {
     val ts = tokens(lower(text))
     when(text.isNull, lit(null).cast("double"))
       .when(size(ts) === 0, lit(0.0))
@@ -88,6 +104,22 @@ object TextFns {
       * and the first profile would win the argmax).
       */
     def langId(text: Column): Column = {
+      // ONE native pass counts every profile's hits; codegen's
+      // subexpression elimination shares the call across the argmax
+      // when-chain (the Column-form twin below re-filtered the token
+      // array per profile, interpreted)
+      val h = Expressions.profileHits(text, profiles.map(_._2))
+      val scores = profiles.zipWithIndex.map { case ((lang, _), i) =>
+        (lang, h.getItem(i + 1)) }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldLeft(
+        when(text.isNull, lit(null).cast("string")).when(best === 0, lit("und"))) {
+        case (acc, (lang, s)) => acc.when(s === best, lit(lang))
+      }.otherwise(lit("und"))
+    }
+
+    /** Column form of [langId] — differential baseline (TextFnsSpec). */
+    def langIdColumns(text: Column): Column = {
       val scores = profiles.map { case (lang, ws) => (lang, score(text, ws)) }
       val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
       scores.foldLeft(
@@ -112,22 +144,25 @@ object TextFns {
     * typed placeholder tokens — the minimum-viable scrub pass a training
     * corpus needs before anything else touches it. Order matters: emails
     * first (their local parts can contain digits), then IPs (dotted quads
-    * would otherwise be eaten as phone digits), then phones. Pure chained
-    * `regexp_replace` — codegen'd, streaming-safe, no UDF.
+    * would otherwise be eaten as phone digits), then phones.
     *
+    * Production path is the native expression (one byte-scan prefilter +
+    * three pre-compiled regex passes over a single String
+    * materialization — see ExprImpl.scrubPii); [scrubPiiColumns] below is
+    * the same semantics as chained built-ins, retained as the independent
+    * differential baseline (PackSpec pins equality on PII, digit-bearing,
+    * unicode-digit, empty, and null rows).
+    */
+  def scrubPii(text: Column): Column = Expressions.scrubPii(text)
+
+  /** The chained-built-ins form of [scrubPii] — the differential baseline.
     * Prefilter: every pattern requires an '@' or an ASCII digit, so a doc
     * containing neither is returned untouched after ONE char-class scan
-    * instead of three complex-regex passes — output identical by
-    * construction (PackSpec's scrub tests pin the equivalence on PII,
-    * digit-bearing, unicode-digit, empty, and null rows), and on clean
-    * prose (most of a curated corpus) the scrub cost collapses to the
-    * scan. The `text` subtree appears in the condition and both branches;
-    * whole-stage codegen's subexpression elimination evaluates it once —
-    * under interpreted fallback a PII-bearing row pays it twice, which is
-    * still cheaper than three unconditional regex passes on the clean
-    * majority.
+    * instead of three complex-regex passes; on a PII-bearing row the three
+    * `regexp_replace`s each re-materialize a String, which is what the
+    * native form collapses.
     */
-  def scrubPii(text: Column): Column =
+  def scrubPiiColumns(text: Column): Column =
     when(!text.rlike("[@0-9]"), text).otherwise(
       regexp_replace(
         regexp_replace(

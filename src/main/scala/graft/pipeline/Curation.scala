@@ -45,6 +45,19 @@ object Curation {
     org.apache.spark.storage.StorageLevel.fromString(
       sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK_SER"))
 
+  /** Storage level for the DELTA pipeline's stage caches. Measured the
+    * other way from the batch default on the same adversary: qc02 at
+    * MEMORY_AND_DISK 15.7→24.7 s (1.57×) vs MEMORY_AND_DISK_SER
+    * 16.4→28.9 s (1.76×). Delta-sized frames are small (footprint is not
+    * the binding constraint) but re-read by several consumers, so
+    * serialized caching just adds a deserialization pass per read — CPU
+    * the contended regime has least to spare. Corpus-sized state is NOT
+    * affected: it arrives via [loadState] as parquet scans.
+    */
+  private[graft] def deltaStorageLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_DELTA_CACHE_LEVEL", "MEMORY_AND_DISK"))
+
   case class Config(
       minTokens: Int = 10,
       minQuality: Double = 0.5,
@@ -311,9 +324,10 @@ object Curation {
     * observer's `05_split_*` rows ride the materialization for free.
     */
   private def markSplit(df: DataFrame, persist: Boolean,
-                        audit: scala.collection.mutable.Map[String, Long]): DataFrame =
+                        audit: scala.collection.mutable.Map[String, Long],
+                        level: org.apache.spark.storage.StorageLevel = stageStorageLevel): DataFrame =
     if (!persist) df else {
-      val p = df.persist(stageStorageLevel)
+      val p = df.persist(level)
       p.groupBy(col("split")).count().collect()
         .foreach(r => audit("split_" + r.getString(0)) = r.getLong(1))
       p
@@ -327,9 +341,10 @@ object Curation {
     * key's absence.
     */
   private def markPacked(df: DataFrame, persist: Boolean,
-                         audit: scala.collection.mutable.Map[String, Long]): DataFrame =
+                         audit: scala.collection.mutable.Map[String, Long],
+                         level: org.apache.spark.storage.StorageLevel = stageStorageLevel): DataFrame =
     if (!persist) df else {
-      val p = df.persist(stageStorageLevel)
+      val p = df.persist(level)
       val r = p.agg(count(lit(1)).as("pieces"),
         countDistinct(col("shard"), col("seq")).as("sequences"),
         sum(col("tok_len")).cast("long").as("tokens")).collect()(0)
@@ -433,7 +448,7 @@ object Curation {
     // release drops each stage's cache once consumed — see stages()
     val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def mark(name: String, df: DataFrame): DataFrame =
-      if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p } else df
+      if (persist) { val p = df.persist(deltaStorageLevel); audit(name) = p.count(); p } else df
     def drop(df: DataFrame): Unit =
       if (persist && release) df.unpersist(blocking = false)
     // Eager one-shot materialization for the verified pair frame: it fans
@@ -448,7 +463,7 @@ object Curation {
     // caching at all (and the round's earlier 3-consumer persist attempt
     // measured the same effect, 44.8 vs 37.7 s).
     def lineageCut(df: DataFrame): DataFrame =
-      if (persist) df.localCheckpoint(true, stageStorageLevel) else df
+      if (persist) df.localCheckpoint(true, deltaStorageLevel) else df
     val id = col(idCol)
 
     // 1-2. canonicalize + row-local gates: identical to the batch stages
@@ -559,12 +574,12 @@ object Curation {
     drop(deduped)
 
     // 6-7. per-row split; pack CONTINUES the corpus's shard streams
-    val split = markSplit(Split.assignSplit(clean, id, cfg.splits), persist, audit)
+    val split = markSplit(Split.assignSplit(clean, id, cfg.splits), persist, audit, deltaStorageLevel)
     drop(clean)
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val packed = markPacked(Pack.packSequences(trainTokens, idCol, "n_tokens",
-      cfg.seqBudget, cfg.packShards, shardOffsets = Some(state.shardOffsets)), persist, audit)
+      cfg.seqBudget, cfg.packShards, shardOffsets = Some(state.shardOffsets)), persist, audit, deltaStorageLevel)
     Stages(canon, quality, spanGated, exact, deduped, clean, split, packed,
       counts = audit.toMap)
   }

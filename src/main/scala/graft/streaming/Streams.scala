@@ -202,9 +202,14 @@ object Streams {
     import graft.functions.{TextFns, Expressions}
     val canon = docs.withColumn(textCol,
       TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")))
+    // quality is computed ONCE, before the gate, and carried through as a
+    // column: the gate filters on it and the output reports it — the
+    // previous shape recomputed the full regex ensemble after the dedup
+    // operators (stateful boundaries defeat subexpression elimination)
     val gated0 = canon
+      .withColumn("quality", TextFns.qualityScore(col(textCol)))
       .filter(TextFns.tokenCount(col(textCol)) >= minTokens &&
-        TextFns.qualityScore(col(textCol)) >= minQuality)
+        col("quality") >= minQuality)
     // optional blocklist ratio gate — a stateless map
     // (Blocklist.keepPredicate), so it streams as-is
     val gated = if (blockTerms.isEmpty) gated0
@@ -223,7 +228,6 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp")
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__fp", "__simhash")
-      .withColumn("quality", TextFns.qualityScore(col(textCol)))
       .withColumn("lang", TextFns.LangId.langId(col(textCol)))
   }
 

@@ -90,13 +90,16 @@ class PackSpec extends SparkSpec {
       "just plain words 42 here"))
   }
 
-  test("scrubPii prefilter: identical output to the raw regex chain, incl. null/edge rows") {
+  test("scrubPii: native expression ≡ prefiltered Column form ≡ raw regex chain") {
     import graft.functions.TextFns
-    // the [@0-9] fast path must be OUTPUT-INVISIBLE: every PII pattern
-    // requires an '@' or an ASCII digit, so prefiltered and raw chains
+    // three independent implementations must agree row-for-row: the
+    // native one-pass expression (production path), the prefiltered
+    // chained-built-ins form (differential baseline), and the raw chain
+    // with no prefilter. The [@0-9] fast path must be OUTPUT-INVISIBLE:
+    // every PII pattern requires an '@' or an ASCII digit, so all forms
     // must agree on digit-free prose, digit-bearing non-PII, real PII,
-    // unicode digits (NOT ASCII — must take the slow path only if [0-9]
-    // matches; '٣' does not), empty, and null
+    // adjacent multi-PII, unicode digits (NOT ASCII — must take the slow
+    // path only if [0-9] matches; '٣' does not), empty, and null
     val raw = (t: org.apache.spark.sql.Column) =>
       regexp_replace(regexp_replace(regexp_replace(t,
         TextFns.Pii.email, "<EMAIL>"), TextFns.Pii.ipv4, "<IP>"),
@@ -105,11 +108,14 @@ class PackSpec extends SparkSpec {
       Some("clean prose with no digits at all"),
       Some("version 2 of 3 things"),
       Some("mail a@b.co or ping 10.0.0.1 or +1 555 123 4567"),
+      Some("a@b.co c@d.org back to back 1.2.3.4 5.6.7.8"),
+      Some("digits inside email local 99bottles@wall.example then 0800 555 0199"),
       Some("arabic digits ٣٤٥ only"),
       Some(""), None).toDF("t")
-    val both = df.select(TextFns.scrubPii($"t").as("fast"), raw($"t").as("slow"))
-      .as[(Option[String], Option[String])].collect()
-    both.foreach { case (f, s) => assert(f === s) }
+    val all = df.select(TextFns.scrubPii($"t").as("native"),
+        TextFns.scrubPiiColumns($"t").as("cols"), raw($"t").as("slow"))
+      .as[(Option[String], Option[String], Option[String])].collect()
+    all.foreach { case (n, c, s) => assert(n === c && c === s) }
   }
 
   test("chunkTokens: overlapping windows, clamped tail, empty doc emits nothing") {

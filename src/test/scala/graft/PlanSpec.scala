@@ -355,6 +355,17 @@ class PlanSpec extends SparkSpec {
     val int8 = logical("qt25_ivf_int8_recall")
     assert(int8.contains("graft_dot_i32"),
       "int8 scoring lost the native integer-dot kernel")
+    val scrub = logical("qt17_scrub")
+    assert(scrub.contains("graft_scrub_pii"),
+      "PII scrub lost the native one-pass expression (regex-chain regression)")
+    val quality = logical("qt11_quality")
+    assert(quality.contains("graft_token_count"),
+      "quality gate lost the native token counter (interpreted filter-HOF regression)")
+    assert(quality.contains("graft_profile_hits"),
+      "stopword ratio lost the native profile-hits kernel")
+    val lang = logical("qt02_langid")
+    assert(lang.contains("graft_profile_hits"),
+      "langId lost the native profile-hits kernel (per-profile HOF regression)")
   }
 
   test("SCD2: one shuffle — both windows ride the same (key, ts) partitioning") {

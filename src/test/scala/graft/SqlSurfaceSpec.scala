@@ -84,6 +84,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("graft_minhash_sig is SQL-callable and identical to the expression API") {
+    Tables.registerAll(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val E = graft.functions.Expressions
+    val sql = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(graft_shingle_set(text, 3), 16) AS sig
+        |FROM documents""".stripMargin)
+    val api = Tables.table(spark, sf, "documents").select(col("doc_id"),
+      E.minhashSig(E.shingleSet(col("text"), 3), 16).as("sig"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty,
+      "SQL-registered graft_minhash_sig diverged from the expression API")
+  }
+
   test("script profiling is SQL-callable and identical to the Column API") {
     Tables.registerAll(spark, sf)
     import org.apache.spark.sql.functions.col

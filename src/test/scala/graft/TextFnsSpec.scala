@@ -12,6 +12,37 @@ class TextFnsSpec extends SparkSpec {
     assert(got === Seq(3, 0, 0, 1))
   }
 
+  test("native tokenCount/stopwordRatio/langId ≡ Column-form twins on edge rows") {
+    // the native kernels (byte-scan count, one-pass profile hits) against
+    // the interpreted-HOF Column forms they replaced, on the hazards:
+    // multi-byte UTF-8 (no false whitespace inside continuation bytes),
+    // the non-ASCII profile word "für" (needs real Unicode lowercase),
+    // decomposed accents (exact code-unit comparison on both sides),
+    // tabs/newlines/vertical-tab separators, empty, blank, null
+    val rows = Seq(
+      Some("the quick brown fox and the lazy dog"),
+      Some("FÜR alle Daten ist der Weg und die Zeit"),
+      Some("für decomposed umlaut und der test"),
+      Some("el gato\tde la casa\ny los perros"),
+      Some("multibyte éé café 中文 tokens"),
+      Some("   "), Some(""), None)
+    val df = rows.toDF("t")
+    val stops = TextFns.LangId.profiles.flatMap(_._2).distinct
+    val got = df.select(
+        TextFns.tokenCount($"t").as("n"), TextFns.tokenCountColumns($"t").as("nc"),
+        TextFns.stopwordRatio($"t", stops).as("r"),
+        TextFns.stopwordRatioColumns($"t", stops).as("rc"),
+        TextFns.LangId.langId($"t").as("l"),
+        TextFns.LangId.langIdColumns($"t").as("lc"))
+      .as[(Option[Int], Option[Int], Option[Double], Option[Double],
+           Option[String], Option[String])].collect()
+    got.zip(rows).foreach { case ((n, nc, r, rc, l, lc), in) =>
+      assert(n === nc, s"tokenCount diverged on $in")
+      assert(r === rc, s"stopwordRatio diverged on $in")
+      assert(l === lc, s"langId diverged on $in")
+    }
+  }
+
   test("punctRatio counts ASCII punctuation share") {
     val got = Seq("ab,.", "abcd").toDF("t")
       .select(TextFns.punctRatio($"t").as("r")).as[Double].collect().toSeq
