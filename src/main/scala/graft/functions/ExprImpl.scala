@@ -389,7 +389,9 @@ object ExprImpl {
   def buildProfileMatcher(profiles: Seq[Seq[String]]): java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()
     profiles.zipWithIndex.foreach { case (words, i) =>
-      words.foreach { w =>
+      // distinct per profile: the Column forms (isin / array_contains) are
+      // duplicate-insensitive, so a word listed twice must not count twice
+      words.distinct.foreach { w =>
         val prev = m.get(w)
         m.put(w, if (prev == null) Array(i) else prev :+ i)
       }

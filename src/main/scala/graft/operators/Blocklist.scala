@@ -59,6 +59,19 @@ object Blocklist {
     */
   def keepPredicate(text: Column, terms: Seq[String], maxRatio: Double): Column = {
     require(terms.nonEmpty, "empty blocklist: gate would be a no-op, omit it instead")
+    // one native pass (graft_profile_hits with the banned list as the
+    // single profile) — the Column twin below kept an interpreted
+    // filter-HOF on the row-local gate path (BlocklistSpec pins equality)
+    val h = graft.functions.Expressions.profileHits(text,
+      Seq(terms.map(_.toLowerCase)))
+    val ratio = round(when(h.getItem(0) > 0,
+      h.getItem(1).cast("double") / h.getItem(0)).otherwise(lit(0.0)), 6)
+    ratio <= lit(maxRatio)
+  }
+
+  /** Column form of [keepPredicate] — the differential baseline. */
+  private[graft] def keepPredicateColumns(text: Column, terms: Seq[String],
+                                          maxRatio: Double): Column = {
     val banned = array(terms.map(t => lit(t.toLowerCase)): _*)
     val ts = TextFns.tokens(lower(text))
     val ratio = round(when(size(ts) > 0,

@@ -20,4 +20,22 @@ class BlocklistSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(clean === Set(2L, 3L))
   }
+
+  test("keepPredicate: native profile-hits form ≡ Column filter-HOF form") {
+    import org.apache.spark.sql.functions.col
+    // duplicate + mixed-case banned terms: both forms must be
+    // duplicate-insensitive (isin/array_contains vs the matcher's
+    // per-profile distinct) and lowercase-matched; null/empty kept
+    val terms = Seq("Casino", "casino", "JACKPOT")
+    val df = Seq(
+      Some("casino jackpot casino prize casino bets"),
+      Some("one stray casino word in a long clean document"),
+      Some("CASINO SHOUTY HEADER then regular prose follows here"),
+      Some("perfectly clean"), Some(""), None).toDF("t")
+    val got = df.select(
+        Blocklist.keepPredicate(col("t"), terms, 0.2).as("native"),
+        Blocklist.keepPredicateColumns(col("t"), terms, 0.2).as("cols"))
+      .as[(Option[Boolean], Option[Boolean])].collect()
+    got.foreach { case (n, c) => assert(n === c) }
+  }
 }
