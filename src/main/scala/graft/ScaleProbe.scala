@@ -588,10 +588,42 @@ object ScaleProbe {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir))
     new java.io.File(scaledDir).mkdirs()
     val t0 = System.nanoTime()
+    // Content must be re-keyed along with the ids: unioned copies with
+    // IDENTICAL text are 90 % exact duplicates — a dedup pipeline kills
+    // them at its first stage and the "10×" run measures ~1× (first probe
+    // draft read exponent −0.12 for qc01 exactly this way). Per copy i:
+    //   - documents: prefix every NON-STOPWORD token with the copy tag (a
+    //     token-identity bijection that FIXES the langid/quality stopword
+    //     union — the second probe draft tagged every token, the quality
+    //     gate's stopword ratio read 0 on all scaled copies, and the
+    //     curation entries killed 90 % of the "10×" corpus at their first
+    //     filter). Intra-copy dup/near-dup structure is preserved exactly;
+    //     quality/langid profiles are unchanged; cross-copy docs share
+    //     only their stopword runs — so hot all-stopword shingles grow
+    //     df×10, which is precisely the hot-posting stress the prefix
+    //     filter exists for, while cross-copy Jaccard stays under the
+    //     dedup thresholds;
+    //   - embeddings: flip element signs by a deterministic (copy, dim)
+    //     mask — norms and intra-copy cosines are preserved bit-exactly
+    //     (the flips cancel inside every same-copy dot), cross-copy cosine
+    //     decorrelates instead of being 1.0.
     keyCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$sfDir/$t.parquet")
       (0 until copies).map { i =>
-        keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
+        val rekeyed = keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
+        val stopAlt = graft.functions.TextFns.LangId.profiles.flatMap(_._2)
+          .distinct.map(java.util.regex.Pattern.quote).mkString("|")
+        val tagPat = s"(?<!\\S)(?!(?:$stopAlt)(?!\\S))(\\S+)"
+        val retexted =
+          if (t == "documents" && i > 0)
+            rekeyed.withColumn("text",
+              regexp_replace(col("text"), tagPat, s"c$i$$1"))
+          else if (t == "embeddings" && i > 0)
+            rekeyed.withColumn("embedding",
+              transform(col("embedding"), (x, j) =>
+                when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
+          else rekeyed
+        retexted
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
     }
@@ -607,20 +639,51 @@ object ScaleProbe {
       System.gc()
       Thread.sleep(200)
     }
-    def timeOne(entry: String, dir: String): Double = {
+    def timeOne(entry: String, dir: String): (Double, Long) = {
       val fn = graft.SparkEntry.queries(entry)
-      isolate(); fn(spark, dir).count() // untimed warmup (codegen, memos)
       isolate()
-      val t = System.nanoTime()
-      fn(spark, dir).count()
-      (System.nanoTime() - t) / 1e9
+      val w0 = System.nanoTime()
+      var rows = fn(spark, dir).count() // untimed warmup (codegen, parquet footers, memos)
+      val warm = (System.nanoTime() - w0) / 1e9
+      def timed(): Double = {
+        isolate()
+        val t = System.nanoTime()
+        rows = fn(spark, dir).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      // sub-minute entries take min-of-2 (single-run scheduler jitter of
+      // ±0.5-1 s would dominate their exponents); heavy ones run once
+      ((1 to (if (warm < 60) 2 else 1)).map(_ => timed()).min, rows)
     }
     entriesCsv.split(",").map(_.trim).filter(_.nonEmpty).foreach { entry =>
-      val t1 = timeOne(entry, sfDir)
-      val tN = timeOne(entry, scaledDir)
+      val (t1, rows1) = timeOne(entry, sfDir)
+      val (tN, rowsN) = timeOne(entry, scaledDir)
       val expo = math.log(tN / t1) / math.log(copies.toDouble)
+      // rows_N / rows_1 ≈ copies is the synthesis-honesty check: if a gate
+      // killed the scaled copies (the two failure modes in the synthesis
+      // comment above), the exponent would read flat for the wrong reason
+      // and the row ratio exposes it.
       println(f"""{"probe":"exponent","entry":"$entry","copies":$copies,""" +
-        f""""t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$expo%.2f}""")
+        f""""t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$expo%.2f,""" +
+        f""""rows_1":$rows1,"rows_N":$rowsN}""")
+    }
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe survival <entry> [sfDir] [scaledDir]`: the
+    * synthesis-honesty companion for REPORT-shaped entries (qc01/qc02
+    * return a 12-row stage-count frame, so the exponent probe's rows_N
+    * column can't show whether the scaled copies survive the gates —
+    * the counts INSIDE the report can). Prints the report at 1× and at
+    * the scaled dir; every corpus-derived stage count scaling by ~copies
+    * is the proof the gates pass the synthetic copies.
+    */
+  private def survivalProbe(entry: String, sfDir: String, scaledDir: String): Unit = {
+    val spark = GraftSession.get()
+    val fn = graft.SparkEntry.queries(entry)
+    Seq("base" -> sfDir, "scaled" -> scaledDir).foreach { case (tag, dir) =>
+      val rows = fn(spark, dir).limit(40).collect()
+      rows.foreach(r => println(s"""{"probe":"survival","entry":"$entry","dir":"$tag","row":"${r.toSeq.mkString("|")}"}"""))
     }
     spark.stop()
   }
@@ -713,6 +776,10 @@ object ScaleProbe {
       return exponentProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10),
         args.lift(3).getOrElse(exponentDefaults))
+    if (args.headOption.contains("survival"))
+      return survivalProbe(args.lift(1).getOrElse("qc01_curation"),
+        args.lift(2).getOrElse("/root/testdata/sf0.1"),
+        args.lift(3).getOrElse("/tmp/graft_scale_10x"))
     if (args.headOption.contains("contended"))
       return contendedProbe(args.lift(1).getOrElse("qc01_curation"),
         args.lift(2).map(_.toInt).getOrElse(2048),
