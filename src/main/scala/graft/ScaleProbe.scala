@@ -641,6 +641,14 @@ object ScaleProbe {
     }
     def timeOne(entry: String, dir: String): (Double, Long) = {
       val fn = graft.SparkEntry.queries(entry)
+      // the spill-aware sizing rule applied, not dodged: shuffle partition
+      // count scales with the input (32 at ≤10×, 32·copies/10 above), the
+      // way a cluster sizes partitions to the data. At 100× on 32
+      // partitions the 60M-row graph joins sort ~2M rows per task and the
+      // single-JVM execution pool throws UNABLE_TO_ACQUIRE_MEMORY
+      // (measured) — partition sizing IS the knob under test.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        (32 * math.max(1, (if (dir == scaledDir) copies else 1) / 10)).toString)
       isolate()
       val w0 = System.nanoTime()
       var rows = fn(spark, dir).count() // untimed warmup (codegen, parquet footers, memos)
@@ -656,16 +664,22 @@ object ScaleProbe {
       ((1 to (if (warm < 60) 2 else 1)).map(_ => timed()).min, rows)
     }
     entriesCsv.split(",").map(_.trim).filter(_.nonEmpty).foreach { entry =>
-      val (t1, rows1) = timeOne(entry, sfDir)
-      val (tN, rowsN) = timeOne(entry, scaledDir)
-      val expo = math.log(tN / t1) / math.log(copies.toDouble)
-      // rows_N / rows_1 ≈ copies is the synthesis-honesty check: if a gate
-      // killed the scaled copies (the two failure modes in the synthesis
-      // comment above), the exponent would read flat for the wrong reason
-      // and the row ratio exposes it.
-      println(f"""{"probe":"exponent","entry":"$entry","copies":$copies,""" +
-        f""""t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$expo%.2f,""" +
-        f""""rows_1":$rows1,"rows_N":$rowsN}""")
+      try {
+        val (t1, rows1) = timeOne(entry, sfDir)
+        val (tN, rowsN) = timeOne(entry, scaledDir)
+        val expo = math.log(tN / t1) / math.log(copies.toDouble)
+        // rows_N / rows_1 ≈ copies is the synthesis-honesty check: if a gate
+        // killed the scaled copies (the two failure modes in the synthesis
+        // comment above), the exponent would read flat for the wrong reason
+        // and the row ratio exposes it.
+        println(f"""{"probe":"exponent","entry":"$entry","copies":$copies,""" +
+          f""""t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$expo%.2f,""" +
+          f""""rows_1":$rows1,"rows_N":$rowsN}""")
+      } catch { // one entry's failure is a finding, not the run's end
+        case e: Throwable =>
+          println(s"""{"probe":"exponent","entry":"$entry","copies":$copies,""" +
+            s""""error":"${e.getClass.getSimpleName}"}""")
+      }
     }
     spark.stop()
   }

@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * with t = 1/N uniform (classic) or 1/|S| on the seed set (personalized).
   *
-  * Lineage is truncated with an eager `localCheckpoint` per iteration —
-  * and on the edge frame itself, which a derived edge list would otherwise
-  * recompute iters+2 times (measured 2.1× on q50). The node count collects
-  * one scalar to the driver — bounded by construction.
+  * Lineage is truncated with an eager `localCheckpoint` per iteration;
+  * the edge frame itself is hash-partitioned on src and PERSISTED instead
+  * (a derived edge list would otherwise be recomputed iters+2 times —
+  * measured 2.1× on q50 — and re-shuffled once per iteration; the cached
+  * partitioning makes every iteration's join and the outdegree groupBy
+  * exchange-free on the edge side, PlanSpec-gated). The node count
+  * collects one scalar to the driver — bounded by construction.
   *
   * `oracleMode` folds each per-node inflow sorted by source, and the
   * dangling mass sorted by node, so every intermediate double is
@@ -54,7 +57,26 @@ object PageRank {
   private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String,
                         assumeDistinct: Boolean): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    if (assumeDistinct) e else e.distinct().localCheckpoint()
+    // hash-partition on src and PERSIST (not localCheckpoint: under AQE a
+    // checkpointed RDD scans back as UnknownPartitioning — measured in
+    // PlanSpec — while InMemoryRelation keeps the cached plan's
+    // partitioning visible): every iteration's edge⨝rank join and the
+    // outdegree groupBy then read co-partitioned edges instead of
+    // re-shuffling the (corpus-sized) edge frame once per iteration —
+    // distinct() alone leaves hash(src,dst), which satisfies neither.
+    // The one-time explicit-count repartition (AQE won't coalesce
+    // REPARTITION_BY_NUM, which would erase the guarantee) costs one edge
+    // shuffle and saves iters of them; the cache also stops the derived
+    // edge list recomputing per iteration, the job localCheckpoint did
+    // here before (the measured 2.1×). The store-served path
+    // (assumeDistinct) gets the same property from the bucketed edge
+    // table instead; see Extras.tradeGraph.
+    if (assumeDistinct) e
+    else {
+      val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      e.distinct().repartition(parts, col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
   }
 
   private def nodeFrame(e: DataFrame): DataFrame =

@@ -380,4 +380,56 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"SCD2 should shuffle once on user_id, saw $exchanges:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("trade-edge store is bucketed: iteration join + outdegree leave the edge side unshuffled") {
+    // force the store build + catalog registration through the real entry
+    SparkEntry.queries("q50p_pagerank_prod")(spark, sf).collect()
+    val tbl = ("graft_trade_edges_" + sf.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase
+    val e = spark.table(tbl)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the power iteration's join shape: edges ⨝ rank on src, inflow by dst
+      val ranks = spark.range(64)
+        .select(concat(lit("c:"), $"id").as("src"), lit(1.0).as("rank"))
+      val j = e.join(ranks, "src").groupBy($"dst").agg(sum($"rank").as("inflow"))
+      val pj = plan(j).split("== Initial Plan ==").head
+      assert(pj.contains("SelectedBucketsCount"), s"edge scan is not a bucketed read:\n$pj")
+      // the only hash(src) exchange allowed is the RANK side; the edge side
+      // rides its buckets (the groupBy(dst) exchange is the iteration's one
+      // intended shuffle and keys on dst, not src)
+      val srcEx = "Exchange hashpartitioning\\(src".r.findAllIn(pj).length
+      assert(srcEx <= 1, s"edge side re-shuffled on src:\n$pj")
+      val po = plan(e.groupBy($"src").agg(count(lit(1)).as("odeg")))
+        .split("== Initial Plan ==").head
+      assert(!po.contains("Exchange hashpartitioning(src"),
+        s"outdegree shuffles a table bucketed on its own key:\n$po")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("derived-edge PageRank: repartition(src)+persist survives as co-partitioning") {
+    // NOT localCheckpoint: under AQE the checkpointed RDD scans back as
+    // UnknownPartitioning (measured — both join sides re-shuffled); an
+    // explicit-count repartition inside a persisted frame keeps
+    // HashPartitioning(src) visible to every iteration's join
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("s", "t")
+      .select($"s".as("src"), $"t".as("dst")).distinct()
+      .repartition(parts, $"src").persist()
+    e.count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ranks = Seq(("a", 1.0), ("b", 1.0)).toDF("src", "rank")
+      val pj = plan(e.join(ranks, "src")).split("== Initial Plan ==").head
+      // the one-time REPARTITION_BY_NUM build shuffle prints INSIDE the
+      // InMemoryRelation subtree; the property under test is that nothing
+      // re-shuffles the edge side BETWEEN the join and the cache scan
+      val aboveCache = pj.split("InMemoryTableScan").head
+      assert(aboveCache.contains("SortMergeJoin") || aboveCache.contains("ShuffledHashJoin"),
+        s"unexpected join shape:\n$pj")
+      assert(!aboveCache.contains("Exchange hashpartitioning(src"),
+        s"persisted edge frame lost its src partitioning (edge side re-shuffled):\n$pj")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
