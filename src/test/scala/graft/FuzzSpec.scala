@@ -183,4 +183,70 @@ class FuzzSpec extends SparkSpec {
           s"source $lang kept ${kept.getOrElse(lang, 0L)} of $nSrc at quota $quota") }
     }
   }
+
+  // --- 7. PageRank / personalized: non-default (damping, iters) vs a ----
+  // driver-side Scala power iteration (the catalog oracle unrolls exactly
+  // 3 iterations at d=0.85 in SQL; this is the independent reference at
+  // other parameter points, production-mode folds, tolerance one ulp of
+  // the 6-decimal rounding)
+
+  private def refPageRank(edges: Seq[(String, String)], d: Double, iters: Int,
+                          seeds: Option[Set[String]]): Map[String, Double] = {
+    val dist = edges.distinct
+    val nodes = (dist.map(_._1) ++ dist.map(_._2)).distinct
+    val odeg = dist.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val n = nodes.size
+    val t: Map[String, Double] = seeds match {
+      case Some(s) =>
+        val present = s.intersect(nodes.toSet); val ns = present.size
+        nodes.map(x => x -> (if (present(x)) 1.0 / ns else 0.0)).toMap
+      case None => nodes.map(x => x -> 1.0 / n).toMap
+    }
+    var rank = t
+    for (_ <- 1 to iters) {
+      val inflow = dist.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / odeg(s) }.sum
+      }
+      val dmass = nodes.filterNot(odeg.contains).map(rank).sum
+      rank = seeds match {
+        case Some(_) => nodes.map(x => x ->
+          ((1 - d) * t(x) + d * (inflow.getOrElse(x, 0.0) + dmass * t(x)))).toMap
+        case None => nodes.map(x => x ->
+          ((1 - d) / n + d * (inflow.getOrElse(x, 0.0) + dmass / n))).toMap
+      }
+    }
+    rank
+  }
+
+  private def tradeEdges(): Seq[(String, String)] =
+    graft.queries.Extras.buildTradeEdges(spark, sf)
+      .as[(String, String)].collect().toSeq
+
+  for ((d, iters) <- Seq((0.7, 5), (0.9, 2))) {
+    test(s"fuzz pagerank d=$d iters=$iters: Spark ≡ Scala power iteration") {
+      val edges = tradeEdges()
+      val got = graft.operators.PageRank.pageRank(
+          edges.toDF("src", "dst"), "src", "dst", iters = iters, damping = d)
+        .as[(String, Double)].collect().toMap
+      val ref = refPageRank(edges, d, iters, None)
+      assert(got.keySet === ref.keySet, "node set diverged")
+      ref.foreach { case (node, r) =>
+        assert(math.abs(got(node) - r) <= 1e-6,
+          s"rank diverged at $node: spark=${got(node)} ref=$r (d=$d iters=$iters)") }
+    }
+  }
+
+  test("fuzz personalized pagerank d=0.6 iters=4: Spark ≡ Scala power iteration") {
+    val edges = tradeEdges()
+    val seedSet = edges.map(_._1).filter(_.startsWith("s:")).distinct.sorted.take(5).toSet
+    val got = graft.operators.PageRank.personalizedPageRank(
+        edges.toDF("src", "dst"), seedSet.toSeq.toDF("node"),
+        "src", "dst", "node", iters = 4, damping = 0.6)
+      .as[(String, Double)].collect().toMap
+    val ref = refPageRank(edges, 0.6, 4, Some(seedSet))
+    assert(got.keySet === ref.keySet, "node set diverged")
+    ref.foreach { case (node, r) =>
+      assert(math.abs(got(node) - r) <= 1e-6,
+        s"rank diverged at $node: spark=${got(node)} ref=$r") }
+  }
 }
