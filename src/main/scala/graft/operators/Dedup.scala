@@ -405,9 +405,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // hash-partitioned on dst and PERSISTED, not localCheckpoint'd: the
+    // per-round join keys edges on dst, and a checkpointed RDD scans back
+    // as UnknownPartitioning under AQE (measured on PageRank, PlanSpec),
+    // re-shuffling the edge frame every round. The cached explicit-count
+    // repartition keeps HashPartitioning(dst) visible, so rounds shuffle
+    // only the label frame (+ the groupBy(src), the round's real shuffle);
+    // the cache also keeps a derived pair graph from recomputing per round
+    // — the job the eager checkpoint did here before.
+    val parts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(parts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
     var changed = 1L
