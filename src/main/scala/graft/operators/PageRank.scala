@@ -79,9 +79,19 @@ object PageRank {
     }
   }
 
-  private def nodeFrame(e: DataFrame): DataFrame =
+  /** Node universe, hash-partitioned on node and persisted (not
+    * checkpointed — the same AQE partitioning loss as the edge frame):
+    * the per-iteration nodes⨝inflow join then meets inflow already
+    * hash(node)-partitioned from its groupBy, exchange-free on both
+    * sides.
+    */
+  private def nodeFrame(e: DataFrame): DataFrame = {
+    val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(parts, col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
 
   /** The shared power iteration. `nodes` may carry extra columns (the
     * personalized teleport weight rides along); `init` is the rank-0
@@ -92,7 +102,12 @@ object PageRank {
                       oracleMode: Boolean,
                       init: Column,
                       next: (Column, Column) => Column): DataFrame = {
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).localCheckpoint()
+    // persisted, not checkpointed: the aggregation inherits e's hash(src)
+    // partitioning (bucketed store or pre-partitioned derived frame), and
+    // persist keeps it visible to every iteration's join — checkpoint
+    // would re-shuffle this node-sized frame once per iteration
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var rank = nodes.withColumn("rank", init)
     for (_ <- 1 to iters) {
       val contribs = e
@@ -150,9 +165,12 @@ object PageRank {
     val sd = seeds.select(col(seedCol).as("node")).distinct()
     val ns = sd.join(nodes, "node").count()
     require(ns > 0, "no seed is present in the graph")
+    // persist (partitioning flows from the persisted node frame through
+    // the broadcast seed join and the projection); checkpoint would drop it
     val nt = nodes.join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
       .withColumn("t", when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)))
-      .drop("__s").localCheckpoint()
+      .drop("__s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     iterate(e, nt, iters, oracleMode,
       init = col("t"),
       next = (inflow, dmass) =>

@@ -236,6 +236,37 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  // --- 8. connected components: seeded random pair graphs vs a Scala ---
+  // union-find (the catalog exercises CC only on near-dup pair shapes;
+  // this is the independent reference on arbitrary sparse graphs,
+  // including chains longer than any near-dup cluster produces)
+
+  for (seed <- Seq(7, 42)) {
+    test(s"fuzz connected components seed=$seed: Spark min-label ≡ Scala union-find") {
+      val rnd = new scala.util.Random(seed)
+      val n = 150
+      val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(ra) = rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(x => find(x.toInt)).values
+        .flatMap { ns => val m = ns.min; ns.map(_ -> m) }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"component labeling diverged from union-find (seed=$seed)")
+    }
+  }
+
   test("fuzz personalized pagerank d=0.6 iters=4: Spark ≡ Scala power iteration") {
     val edges = tradeEdges()
     val seedSet = edges.map(_._1).filter(_.startsWith("s:")).distinct.sorted.take(5).toSet
