@@ -223,6 +223,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream at fixture scale: survivors are batch-equivalent (gates, scrub, dedup)") {
+    import graft.functions.{TextFns, Expressions}
+    implicit val sq = spark.sqlContext
+    // all 500 sf0.001 documents through the streaming gate in doc_id order
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"text").orderBy($"doc_id").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(docs.zipWithIndex.map { case ((id, t), i) => (id, ts(i / 60), t) }.toSeq)
+    val q = Streams.curateStream(input.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("cur_fx").outputMode("append").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("cur_fx").select($"doc_id", $"text").as[(Long, String)].collect()
+    } finally q.stop()
+    // the BATCH expression of the same semantics on the same input
+    val canon = graft.sources.Tables.table(spark, sf, "documents")
+      .select($"doc_id",
+        TextFns.scrubPii(Expressions.normalizeText($"text", "NFC")).as("text"))
+    val gated = canon
+      .filter(TextFns.tokenCount($"text") >= 20 &&
+        TextFns.qualityScore($"text") >= 0.5)
+      .select($"doc_id", $"text",
+        TextFns.fingerprint64($"text").as("fp"),
+        Expressions.simhash64($"text").as("sh"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(gated.nonEmpty && got.nonEmpty, "fixture produced no gated documents")
+    val gatedById = gated.map(r => r._1 -> r).toMap
+    // 1. every stream survivor passed the batch gate, with identical scrub
+    got.foreach { case (id, text) =>
+      assert(gatedById.contains(id), s"stream kept doc $id that the batch gate rejects")
+      assert(gatedById(id)._2 === text, s"scrubbed text diverged for doc $id")
+    }
+    // 2. dedup equivalence, representative-independent: fingerprint-equal
+    //    texts are whitespace-variants, so their token MULTISETS — hence
+    //    simhashes — coincide; the surviving simhash set must therefore
+    //    equal the batch-distinct simhash set regardless of which dup won
+    val batchSh = gated.map(_._4).toSet
+    val gotSh = got.map { case (id, _) => gatedById(id)._4 }.toSet
+    assert(gotSh === batchSh, "surviving simhash set diverged from batch distinct")
+    assert(got.length === batchSh.size,
+      s"stream kept ${got.length} rows for ${batchSh.size} distinct simhashes")
+  }
+
   test("curateStream: blocklist ratio gate streams as a stateless filter") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
