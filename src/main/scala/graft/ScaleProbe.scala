@@ -582,8 +582,13 @@ object ScaleProbe {
       "orders" -> Seq("o_orderkey", "o_custkey"),
       "lineitem" -> Seq("l_orderkey", "l_suppkey"),
       "customer" -> Seq("c_custkey"),
-      "supplier" -> Seq("s_suppkey"))
-    val verbatim = Seq("region", "nation", "part", "events")
+      "supplier" -> Seq("s_suppkey"),
+      // events scale as disjoint USER copies with timestamps verbatim:
+      // per-user event density (the entity every analytics window
+      // partitions by) is preserved exactly, and the copies overlap in
+      // time — 10× the concurrent users, which is what 10× traffic means
+      "events" -> Seq("event_id", "user_id"))
+    val verbatim = Seq("region", "nation", "part")
     val scaledDir = s"/tmp/graft_scale_${copies}x"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir))
     new java.io.File(scaledDir).mkdirs()
@@ -704,7 +709,8 @@ object ScaleProbe {
 
   private val exponentDefaults = "qc01_curation,qc02_curation_delta," +
     "q50_pagerank,q50p_pagerank_prod,q53_trustrank,qr01_retrieval," +
-    "qt26r_semdedup_recall,qt24_neardup_delta,qt28_bm25,qt05p_ngram_jaccard_prefix"
+    "qt26r_semdedup_recall,qt24_neardup_delta,qt28_bm25,qt05p_ngram_jaccard_prefix," +
+    "q20_sessionize,q48_funnel,q49_retention,q51_scd2"
 
   /** `runMain graft.ScaleProbe gatebench [nRows]`: per-stage batch cost of
     * the curation/stream gate's text functions, native kernels vs their
