@@ -407,6 +407,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("trade-edge store: catalog re-registration over existing bucketed files") {
+    // the shared test session means tableExists is true after the first
+    // build, so the fresh-session branch (CREATE TABLE ... CLUSTERED BY
+    // ... LOCATION over the already-written bucket files) never runs in
+    // the suite naturally — simulate it: DROP the EXTERNAL table
+    // (metadata only, files retained) and let the entry re-register
+    SparkEntry.queries("q50p_pagerank_prod")(spark, sf).collect() // ensure built
+    val tbl = ("graft_trade_edges_" + sf.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase
+    val before = spark.table(tbl).count()
+    spark.sql(s"DROP TABLE $tbl")
+    val r = SparkEntry.queries("q50p_pagerank_prod")(spark, sf).collect()
+    assert(spark.catalog.tableExists(tbl), "store was not re-registered")
+    assert(spark.table(tbl).count() === before, "re-registered store lost rows")
+    assert(r.length === 20)
+    // bucket metadata survives re-registration: aggregation on the bucket
+    // key still runs exchange-free
+    val agg = spark.table(tbl).groupBy($"src").agg(count(lit(1)).as("c"))
+    val p = plan(agg).split("== Initial Plan ==").head
+    assert(!p.contains("Exchange hashpartitioning(src"),
+      s"re-registered table lost its bucketing:\n$p")
+  }
+
   test("derived-edge PageRank: repartition(src)+persist survives as co-partitioning") {
     // NOT localCheckpoint: under AQE the checkpointed RDD scans back as
     // UnknownPartitioning (measured — both join sides re-shuffled); an
