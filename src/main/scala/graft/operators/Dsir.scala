@@ -129,11 +129,20 @@ object Dsir {
   /** Scale-path cut point: the (1−frac) weight quantile from the
     * t-digest sketch (`approx_percentile`, a combinable aggregate — no
     * global sort, no single-partition window).
+    *
+    * `accuracy` bounds the sketch's rank error at N/accuracy rows: while
+    * accuracy ≥ N the returned value IS the exact order statistic (the
+    * regime the oracle pins); beyond it, boundary-tie rows flip within
+    * that rank band — DSIR's weights are model scores, so a rank-ε cut
+    * is the algorithm's own semantics at corpus scale. Sketch memory is
+    * O(accuracy) on one aggregation path (~8 MB at 2^20), so raising it
+    * is cheap insurance, not a scalability trade.
     */
-  def thresholdForFraction(weights: DataFrame, frac: Double): Double = {
+  def thresholdForFraction(weights: DataFrame, frac: Double,
+                           accuracy: Int = 10000): Double = {
     require(frac > 0.0 && frac <= 1.0, s"frac out of (0,1]: $frac")
     val row = weights
-      .agg(percentile_approx(col("weight"), lit(1.0 - frac), lit(10000)))
+      .agg(percentile_approx(col("weight"), lit(1.0 - frac), lit(accuracy)))
       .head()
     // percentile_approx of an empty frame is NULL — surface a contract
     // error instead of the NPE getDouble would throw

@@ -94,12 +94,13 @@ object LmScore {
     * rank); use the exact variant only for report-sized outputs.
     * Output: `scored` plus a `bucket` column.
     */
-  def bucketByApproxNll(scored: DataFrame, nBuckets: Int = 3): DataFrame = {
+  def bucketByApproxNll(scored: DataFrame, nBuckets: Int = 3,
+                        accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = scored.filter(col("nll").isNotNull)
       .select(percentile_approx(col("nll"),
-        array(ps.map(lit): _*), lit(10000)).as("cuts"))
+        array(ps.map(lit): _*), lit(accuracy)).as("cuts"))
     val withCuts = scored.crossJoin(broadcast(cuts))
     val names: Int => String =
       if (nBuckets == 3) Map(1 -> "head", 2 -> "middle", 3 -> "tail")

@@ -194,10 +194,23 @@ object Extras {
         (col("id") * 10).cast("double").as("lo"),
         ((col("id") + 1) * 10).cast("double").as("hi"),
         concat(lit("q"), col("id").cast("string")).as("bucket"))
+      // revenue sums EXACT decimals, not doubles: a float sum is
+      // order-dependent across partitionings, and at 10× fixture scale
+      // (per-bucket sums ~1e11 over ~1.2M rows) the drift crosses the
+      // 2-decimal rounding cell and hash-diverges from any fixed
+      // reference — the money-aggregate rule a 100 TB engine follows
+      // anyway. decimal(30,10) absorbs the doubles' binary expansion
+      // identically in both engines; rounding the exact sum to cents
+      // BEFORE the double cast keeps the unscaled value < 2^53, where
+      // int128→double is exact in every engine (a scale-10 unscaled sum
+      // is ~1e21 at 10× fixture scale, where DuckDB's decimal→double
+      // lands 1 ulp off the correctly-rounded result).
       T(s, d, "lineitem")
         .join(broadcast(buckets), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(30,10)"))
+            .cast("decimal(30,2)").cast("double").as("revenue"))
     }),
 
     // As-of join: latest order at-or-before each event's timestamp for the
@@ -324,8 +337,16 @@ object Extras {
           to_timestamp(concat(col("fecha"), lpad(col("periodo"), 2, "0")), "yyyyMMddHH").as("dt"),
           // F2: yyyyMMdd string → date
           to_date(col("fecha"), "yyyyMMdd").as("d"),
-          // F7: epoch millis → date + 1 day (UTC)
-          date_add(to_date(timestamp_millis(col("l_orderkey") * 86400000)), 1).as("epoch_day"),
+          // F7: epoch millis → date + 1 day (UTC). The fixture DERIVES a
+          // plausible epoch from the order key; the % 20000 keeps that
+          // derivation in the epoch-days domain (1970–2024) for ANY key
+          // domain — l_orderkey × 86 400 000 overflows long beyond key
+          // ~1.07e11, which both the 10× synthesized fixture (2^40 key
+          // offsets) and real 100 TB-scale TPC-H keys exceed. The
+          // reference's own input carries epoch millis as DATA (INE epoch
+          // fix), so the bound lives in the derivation, not the operator.
+          date_add(to_date(timestamp_millis((col("l_orderkey") % 20000) * 86400000)), 1)
+            .as("epoch_day"),
           // F16/F17: 1-based element_at + size over a split array
           element_at(split(date_format(col("l_shipdate"), "yyyy-MM-dd"), "-"), 1).as("yr_str"),
           size(split(date_format(col("l_shipdate"), "yyyy-MM-dd"), "-")).cast("long").as("n_parts"),
@@ -698,7 +719,8 @@ object Extras {
       """WITH buckets AS (
         | SELECT (id*10)::DOUBLE AS lo, ((id+1)*10)::DOUBLE AS hi, 'q' || id::VARCHAR AS bucket
         | FROM range(5) t(id))
-        |SELECT bucket, count(*) AS n, round(sum(l_extendedprice),2) AS revenue
+        |SELECT bucket, count(*) AS n,
+        | (sum(l_extendedprice::DECIMAL(30,10)))::DECIMAL(30,2)::DOUBLE AS revenue
         |FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY bucket""".stripMargin,
     "q27_asof_join" ->
@@ -770,7 +792,7 @@ object Extras {
         |SELECT l_orderkey, line_no,
         | strptime(fecha || lpad(periodo, 2, '0'), '%Y%m%d%H') AS dt,
         | strptime(fecha, '%Y%m%d')::DATE AS d,
-        | (epoch_ms(l_orderkey * 86400000)::DATE + INTERVAL 1 DAY)::DATE AS epoch_day,
+        | (epoch_ms((l_orderkey % 20000) * 86400000)::DATE + INTERVAL 1 DAY)::DATE AS epoch_day,
         | string_split(strftime(l_shipdate, '%Y-%m-%d'), '-')[1] AS yr_str,
         | len(string_split(strftime(l_shipdate, '%Y-%m-%d'), '-'))::BIGINT AS n_parts,
         | regexp_replace(trim(l_partkey::VARCHAR || '.0'), '\.0$', '') AS clean_id,

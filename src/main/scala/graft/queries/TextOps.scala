@@ -1076,13 +1076,14 @@ object TextOps {
     // The 100 TB bucketing path, driver-visible (qt46 above reports via a
     // global ntile window): per-doc bucket assignment from sketch
     // thresholds (one combinable approx-percentile aggregate, map-side
-    // compare — no window at all). Exact at fixture scale (sketch
-    // accuracy ≫ N), so the oracle pins every row's bucket through
-    // quantile_disc cut points.
+    // compare — no window at all). Exact while sketch accuracy ≥ N —
+    // pinned at 2^20 here so the quantile_disc oracle stays row-exact
+    // through the synthesized 10×/100× scale decades too (sketch memory
+    // is O(accuracy) on one aggregate, ~8 MB: free insurance).
     "qt46a_lm_buckets_approx" -> ((s, d) =>
       graft.operators.LmScore.bucketByApproxNll(
         graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text"),
-        nBuckets = 3)
+        nBuckets = 3, accuracy = 1 << 20)
         .select(col("doc_id"), col("n_bigrams"), col("nll"), col("bucket"))),
 
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram bucket
@@ -1101,16 +1102,20 @@ object TextOps {
     // The 100 TB DSIR selection path, driver-visible (qt47 above runs the
     // exact global-rank cut — a single-partition window a full-width
     // corpus must not pay): threshold from the quantile sketch (ONE
-    // combinable aggregate) + a map-side compare. At fixture scale the
-    // sketch (accuracy 10000 ≫ N) is exact, so the cut IS the (1−frac)
-    // order statistic and the oracle pins the whole selection via
-    // quantile_disc; at corpus scale the identical code path trades only
-    // boundary-tie precision (DsirSpec pins the containment invariant).
+    // combinable aggregate) + a map-side compare. The sketch is exact
+    // while accuracy ≥ N — pinned at 2^20 here so the cut IS the (1−frac)
+    // order statistic and the quantile_disc oracle pins the whole
+    // selection through the synthesized 10×/100× decades (at the default
+    // 10⁴ accuracy, 10× scale flips 5 of 50 000 boundary-tie rows — the
+    // rank-ε band the sketch contract promises); at true corpus scale the
+    // identical code path trades only boundary-tie precision (DsirSpec
+    // pins the containment invariant).
     "qt47t_dsir_threshold" -> ((s, d) => {
       val w = graft.operators.Dsir.importanceWeights(
         T(s, d, "documents"), col("lang") === "en", "doc_id", "text",
         buckets = 1024).localCheckpoint()
-      val thr = graft.operators.Dsir.thresholdForFraction(w, 0.25)
+      val thr = graft.operators.Dsir.thresholdForFraction(w, 0.25,
+        accuracy = 1 << 20)
       graft.operators.Dsir.selectAboveThreshold(w, thr)
         .select(col("doc_id"), col("weight"), col("selected"))
     }),
@@ -1396,9 +1401,14 @@ object TextOps {
     "qt24_neardup_delta" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val corpus = docs.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text")
+      // the synthetic re-arrival twin carries NEGATIVE ids (-(id+1)):
+      // collision-free with, and distinguishable from, any real id at any
+      // scale — the previous +100000 shift collided with the 10×/100×
+      // scale fixtures' 2^40-offset ids, where the oracle's ">= 100000"
+      // delta-membership test misclassified every scaled copy
       val delta = docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
         .unionByName(docs.filter(col("doc_id") % 25 === 1)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((-(col("doc_id") + 1)).as("doc_id"), col("text")))
       Dedup.nearDupDelta(corpus, delta, "doc_id", "text", n = 3, threshold = 0.7)
     }),
 
@@ -2742,7 +2752,7 @@ object TextOps {
            |JOIN documents b ON p.id_b = b.doc_id""".stripMargin) +
       ("qt24_neardup_delta" ->
         s"""WITH u AS (SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 25 = 1),
+           |  UNION ALL SELECT -(doc_id + 1), text FROM documents WHERE doc_id % 25 = 1),
            | toks AS (SELECT doc_id, $tokensSql AS ts FROM u),
            | sh AS (SELECT doc_id,
            |   CASE WHEN len(ts) = 0 THEN []
@@ -2759,8 +2769,8 @@ object TextOps {
            |  GROUP BY 1, 2, 3, 4)
            |SELECT id_a, id_b, round(inter/(na + nb - inter), 6) AS jaccard
            |FROM cand WHERE round(inter/(na + nb - inter), 6) >= 0.7
-           |  AND (id_a % 25 = 0 OR id_a >= 100000
-           |    OR id_b % 25 = 0 OR id_b >= 100000)""".stripMargin) +
+           |  AND (id_a % 25 = 0 OR id_a < 0
+           |    OR id_b % 25 = 0 OR id_b < 0)""".stripMargin) +
       ("qt22_quantize_int8" ->
         """WITH m AS (SELECT vec_id,
           |   CASE WHEN len(embedding) = 0 THEN 0.0
