@@ -47,6 +47,40 @@ class DsirSpec extends SparkSpec {
     assert(byRank.subsetOf(byThreshold))
   }
 
+  test("sketch threshold is the exact order statistic while accuracy >= N") {
+    // the 10x-fixture lesson pinned at unit scale: at the default 10^4
+    // accuracy a 50 000-row frame flips boundary ties (rank error
+    // N/accuracy = 5); with accuracy >= N the percentile sketch degrades
+    // to exact and the cut IS the (1-frac) order statistic, so the
+    // threshold selection must equal the rank cut row-for-row, ties
+    // included. 50 001 distinct weights, shuffled deterministically so
+    // the sketch sees them unordered.
+    val n = 50001
+    val weights = spark.range(n)
+      .select(col("id").as("doc_id"),
+        // bijective scramble: weight order decorrelated from insert order
+        // 40507 is coprime to 50001 = 3·7·2381, so the map is bijective
+        (pmod(col("id") * 40507L, lit(n.toLong)) / lit(n.toDouble)).as("weight"))
+    val frac = 0.25
+    val t = Dsir.thresholdForFraction(weights, frac, accuracy = 1 << 20)
+    // the threshold is an actual data value (discrete quantile, no
+    // interpolation) ...
+    assert(weights.filter(col("weight") === t).count() === 1L)
+    val byThreshold = Dsir.selectAboveThreshold(weights, t)
+      .filter(col("selected")).select("doc_id").as[Long].collect().toSet
+    val byRank = Dsir.selectTopFraction(weights, frac, "doc_id")
+      .filter(col("selected")).select("doc_id").as[Long].collect().toSet
+    // ... and the cut sits within ONE order statistic of the exact rank
+    // cut, never losing a top-ranked doc — at the 10^4 default this same
+    // N drifts by up to N/accuracy = 5 ranks on either side (the 10×
+    // sweep measured exactly 5 flipped rows)
+    assert(byRank.subsetOf(byThreshold),
+      s"threshold cut lost top-ranked docs: ${(byRank -- byThreshold).take(5)}")
+    assert(byThreshold.size - byRank.size <= 1,
+      s"exact-regime boundary wider than one order statistic: " +
+        s"${byThreshold.size} vs ${byRank.size}")
+  }
+
   test("buckets must be a power of two") {
     intercept[IllegalArgumentException] {
       Dsir.importanceWeights(docs, col("tgt"), "doc_id", "text", buckets = 100).count()

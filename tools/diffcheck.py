@@ -3,7 +3,7 @@
 run each oracle SQL in DuckDB against the sf tables, load the Spark result
 parquet, canonicalize (columns sorted by name, rows sorted by all columns,
 floats rounded), and compare."""
-import sys, os, json, glob, math, threading
+import sys, os, json, glob, math, multiprocessing
 import duckdb
 import pandas as pd
 
@@ -45,7 +45,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                     raise TypeError(
                         f"column '{c}' is array-typed — the driver cannot sort it; "
                         "serialize to a scalar (concat_ws / array_to_string)")
+            # normalize missing BEFORE stringifying: a duckdb .df() frame
+            # carries NaN in object columns, a parquet round-trip (the
+            # subprocess oracle path) carries None — astype(str) would
+            # spell them 'nan' vs 'None' and mismatch on every null row
+            na = df[c].isna()
             df[c] = df[c].astype(str)
+            df.loc[na, c] = "<NULL>"
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
         elif "datetime" in str(df[c].dtype):
@@ -60,40 +66,53 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # default, and the driver regime) = no cap.
 timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
 
-def run_oracle(sql):
-    if timeout_s <= 0:
-        return con.sql(sql).df(), False
-    # capped mode runs each oracle on a FRESH connection: an OOM-class
-    # oracle otherwise leaves the shared connection holding a near-limit
-    # buffer pool and every later oracle inherits the pressure (observed:
-    # post-OOM "can't start new thread" cascade through the whole sweep)
-    c2 = duckdb.connect()
-    c2.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '96GB')}'")
-    c2.sql(f"SET temp_directory='{tmp}'")
-    c2.sql("SET max_temp_directory_size='60GB'")
-    for t_ in tables:
-        c2.sql(f"CREATE VIEW {t_[0]} AS SELECT * FROM '{t_[1]}'")
-    timed_out = [False]
-    def kill():
-        timed_out[0] = True
-        c2.interrupt()
-    t = threading.Timer(timeout_s, kill)
-    t.start()
+def _oracle_child(sql, path):
+    """Runs one oracle in a forked child: a capacity-class oracle can OOM,
+    or even segfault libduckdb after repeated near-limit allocations
+    (observed) — process isolation is the only boundary that contains
+    both AND returns the memory in full between oracles."""
     try:
-        return c2.sql(sql).df(), False
-    except duckdb.InterruptException:
-        return None, timed_out[0]
-    finally:
-        t.cancel()
-        c2.close()
+        c2 = duckdb.connect()
+        c2.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '96GB')}'")
+        c2.sql(f"SET temp_directory='{tmp}'")
+        c2.sql("SET max_temp_directory_size='60GB'")
+        for t_ in tables:
+            c2.sql(f"CREATE VIEW {t_[0]} AS SELECT * FROM '{t_[1]}'")
+        c2.sql(sql).df().to_parquet(path)
+    except duckdb.OutOfMemoryException as e:
+        with open(path + ".cap", "w") as f: f.write(str(e))
+    except Exception as e:
+        with open(path + ".err", "w") as f: f.write(f"{type(e).__name__}: {e}")
+
+def run_oracle(sql):
+    """Returns (df, capacity_reason). capacity_reason None = df is valid;
+    raises on a genuine (non-capacity) oracle error."""
+    if timeout_s <= 0:
+        return con.sql(sql).df(), None
+    path = os.path.join(tmp, "oracle_result.parquet")
+    for p_ in (path, path + ".cap", path + ".err"):
+        if os.path.exists(p_): os.remove(p_)
+    proc = multiprocessing.Process(target=_oracle_child, args=(sql, path))
+    proc.start(); proc.join(timeout_s)
+    if proc.is_alive():
+        proc.kill(); proc.join()
+        return None, f"timeout {timeout_s:.0f}s"
+    if os.path.exists(path + ".err"):
+        raise RuntimeError(open(path + ".err").read())
+    if os.path.exists(path + ".cap"):
+        return None, "OOM: " + open(path + ".cap").read().splitlines()[0]
+    if proc.exitcode != 0:
+        return None, f"engine crash (exit {proc.exitcode})"
+    df = pd.read_parquet(path); os.remove(path)
+    return df, None
 
 fails = 0
 capacity = []   # oracle-side OOM/timeout: the ORACLE can't run, not a diff
 for name, sql in sorted(oracle.items()):
     try:
-        exp, t_out = run_oracle(sql)
-        if t_out:
-            print(f"SKIP {name}: oracle capacity (timeout {timeout_s:.0f}s)")
+        exp, cap = run_oracle(sql)
+        if cap:
+            print(f"SKIP {name}: oracle capacity ({cap})", flush=True)
             capacity.append(name); continue
     except duckdb.OutOfMemoryException as e:
         print(f"SKIP {name}: oracle capacity (OOM: {e})")
