@@ -457,11 +457,21 @@ object TextOps {
     * once (the PageRank edge-frame lesson; in production this is the
     * persisted chunk table both indexes build from). `capped` applies the
     * ⌊0.5·N⌋ df stopword prune (qt28c) to the sparse leg's query terms.
-    * Chunk keys pack (doc, chunk) with a 2^20 shift — room for 2^20
-    * chunks/doc (a 1000-multiplier would silently collide past 1000
-    * chunks ≈ 24k tokens at stride 24). The packing enforces its own
-    * headroom: a chunk_id ≥ 2^20 raises in the executor (raise_error)
-    * instead of silently corrupting (doc, chunk) unpacking.
+    * Chunk keys are a STRUCT (doc_id, chunk_id), not an arithmetic pack:
+    * `(doc_id+1)·2^20 + chunk_id` overflows int64 beyond doc ≈ 2^43 —
+    * the 10× scale fixture's 2^40-offset ids hit it (found by the 10×
+    * oracle sweep: DuckDB raised, Spark with ANSI off would have WRAPPED
+    * SILENTLY), and any production 64-bit doc id would too. The struct
+    * is total over the whole long domain with zero collision risk (a
+    * hash surrogate has some; a decimal(38,0) surrogate was measured
+    * 40–120 % slower on qr01 — BigDecimal-backed key compares), costs
+    * the same 16 bytes flat in Tungsten rows, joins/groups/orders as one
+    * opaque key through every downstream operator, and unpacking is a
+    * field access instead of div/mod. DuckDB mirrors it as a STRUCT with
+    * identical field-lexicographic ordering, so rank tie-breaks agree.
+    * The chunk-id headroom guard (chunk_id < 2^20 or raise_error) is
+    * kept: it no longer protects the KEY, but a 2^20-chunk document is
+    * still a malformed input worth failing loudly on.
     */
   private[graft] val RagWindow = 32
   private[graft] val RagStride = 24
@@ -476,11 +486,13 @@ object TextOps {
   private[graft] def ragChunkStore(s: SparkSession, d: String): DataFrame =
     graft.operators.Pack.chunkTokens(T(s, d, "documents"), "doc_id", "text",
         window = RagWindow, stride = RagStride)
-      .select(((col("doc_id") + 1) * lit(RagKeyShift) +
+      .select(struct(
+          col("doc_id"),
           when(col("chunk_id") < lit(RagKeyShift), col("chunk_id"))
             .otherwise(raise_error(concat(
-              lit("ragChunkStore: chunk_id overflows the 2^20 key shift: "),
-              col("chunk_id").cast("string"))).cast("long"))).as("ck"),
+              lit("ragChunkStore: chunk_id exceeds the 2^20 headroom: "),
+              col("chunk_id").cast("string"))).cast("long"))
+            .as("chunk_id")).as("ck"),
         col("chunk_text"))
 
   private def retrievalChain(s: SparkSession, d: String,
@@ -496,16 +508,21 @@ object TextOps {
       maxDf = maxDf, idCol = "ck", textCol = "chunk_text")
     val cEmb = chunks.select(col("ck").as("vid"),
       graft.operators.Similarity.hashEmbedding(col("chunk_text"), dim).as("emb"))
-    val qEmb = queries.select(col("query_id").as("vid"),
+    // the query side wears the same struct key type (chunk_id −1 can
+    // never collide with a real chunk), so the operator's self-match
+    // exclusion compares like with like
+    val qEmb = queries.select(
+      struct(col("query_id").as("doc_id"), lit(-1L).as("chunk_id")).as("vid"),
       graft.operators.Similarity.hashEmbedding(col("qtext"), dim).as("emb"))
     val dense = graft.operators.Similarity.bruteForceTopK(cEmb, qEmb, k = k,
         idCol = "vid", vecCol = "emb")
-      .select(col("query_id"), col("corpus_id").as("ck"), col("rnk"))
+      .select(col("query_id.doc_id").as("query_id"),
+        col("corpus_id").as("ck"), col("rnk"))
     graft.operators.Retrieval.rrfFuse(
         sparse.select(col("query_id"), col("ck"), col("rnk")), dense,
         k = k, idCol = "ck")
-      .select(col("query_id"), expr("ck div 1048576 - 1").as("doc_id"),
-        expr("ck % 1048576").as("chunk_id"), col("rrf_score"), col("rnk"))
+      .select(col("query_id"), col("ck.doc_id").as("doc_id"),
+        col("ck.chunk_id").as("chunk_id"), col("rrf_score"), col("rnk"))
   }
 
   /** Shared stopword list literal for the SQL oracles. */
@@ -1498,7 +1515,7 @@ object TextOps {
        | st AS (SELECT doc_id, ts, i AS start
        |  FROM toks, unnest(range(0, len(ts), 24)) AS r(i) WHERE len(ts) >= 1),
        | chunks AS MATERIALIZED (SELECT
-       |   ((doc_id + 1) * 1048576 + (start // 24))::BIGINT AS ck,
+       |   {'doc_id': doc_id, 'chunk_id': (start // 24)} AS ck,
        |   array_to_string(ts[start + 1 : start + 32], ' ') AS chunk_text FROM st),
        | ctok AS MATERIALIZED (SELECT ck, t.term
        |  FROM (SELECT ck, list_filter(regexp_split_to_array(chunk_text, '\\s+'), t -> t != '') AS ts2 FROM chunks),
@@ -1540,7 +1557,8 @@ object TextOps {
        |   list_sum(list_transform(range(1, 17), i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE)) AS dot,
        |   sqrt(list_sum(list_transform(q.emb, x -> x::DOUBLE * x::DOUBLE))) AS nq,
        |   sqrt(list_sum(list_transform(c.emb, x -> x::DOUBLE * x::DOUBLE))) AS nc
-       |  FROM qemb q JOIN cemb c ON q.query_id != c.ck),
+       |  FROM qemb q JOIN cemb c
+       |    ON {'doc_id': q.query_id, 'chunk_id': -1::BIGINT} != c.ck),
        | ds AS (SELECT query_id, ck, round(dot/(nq*nc), 6) AS sim FROM dp),
        | dn AS (SELECT query_id, ck, rnk FROM (
        |   SELECT query_id, ck, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, ck ASC) AS rnk
@@ -1550,7 +1568,7 @@ object TextOps {
        |   FROM bm b FULL JOIN dn n USING (query_id, ck)),
        | ranked AS (SELECT query_id, ck, rrf_score,
        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, ck ASC) AS rnk FROM fused)
-       |SELECT query_id, (ck // 1048576 - 1)::BIGINT AS doc_id, (ck % 1048576)::BIGINT AS chunk_id,
+       |SELECT query_id, ck.doc_id AS doc_id, ck.chunk_id AS chunk_id,
        | rrf_score, rnk::INT AS rnk
        |FROM ranked WHERE rnk <= 10""".stripMargin
   }
