@@ -368,6 +368,24 @@ class PlanSpec extends SparkSpec {
       "langId lost the native profile-hits kernel (per-profile HOF regression)")
   }
 
+  test("RAG chunk key is a struct of both ids — never an arithmetic pack") {
+    // the 10× oracle sweep caught (doc_id+1)·2^20 + chunk_id overflowing
+    // int64 at 2^40-offset ids (Spark with ANSI off WRAPS silently — a key
+    // collision, not an error); the struct key is total over the whole
+    // long domain. Gate the schema so a refactor back to a packed integer
+    // (or a hash surrogate with collision risk) cannot land silently.
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val ck = graft.queries.TextOps.ragChunkStore(spark, sf).schema("ck")
+    ck.dataType match {
+      case st: StructType =>
+        assert(st.fieldNames.toSeq === Seq("doc_id", "chunk_id"),
+          s"ck must carry both ids by name: ${st.fieldNames.mkString(",")}")
+        assert(st.fields.forall(_.dataType == LongType),
+          s"ck fields must stay long (full id domain): $st")
+      case other => fail(s"ck regressed to a non-struct key: $other")
+    }
+  }
+
   test("SCD2: one shuffle — both windows ride the same (key, ts) partitioning") {
     val ev = Tables.events(spark, sf).select($"user_id", $"event_type",
       expr("ts_ns div 1000").as("us"), $"event_id")
