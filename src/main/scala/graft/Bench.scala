@@ -190,9 +190,16 @@ object Bench {
       (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full metrics written to ${outFile.toAbsolutePath}")
     spark.stop()
-    // single write + flush: the whole line lands in one syscall so a
-    // concurrent logger cannot interleave mid-line
-    System.out.print(stdoutLine + "\n")
-    System.out.flush()
+    // Write the line straight to FD 1, not System.out: under an in-process
+    // sbt `runMain`, System.out is sbt's logger stream and every line gets
+    // an "[info] " prefix — which is what made the driver's JSON parser
+    // report parsed:null on BENCH_r10 even though the line fit the tail.
+    // FileDescriptor.out is the JVM's real stdout (the driver's pipe), so
+    // the line lands bare and unprefixed; single write + flush so nothing
+    // can interleave mid-line. Under plain `java graft.Bench` FD 1 and
+    // System.out coincide and the behavior is unchanged.
+    val fd1 = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    fd1.write((stdoutLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    fd1.flush()
   }
 }

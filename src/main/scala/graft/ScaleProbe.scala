@@ -633,9 +633,13 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
     }
     verbatim.foreach { t =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
-        java.nio.file.Paths.get(s"$scaledDir/$t.parquet"))
+      // read-and-rewrite, not Files.copy: the fixture table may be a
+      // DIRECTORY of part files (the exact layout Spark — including this
+      // probe — writes), and a path-level copy would copy only the empty
+      // directory entry, silently losing the dim tables when the probe
+      // chains off a synthesized fixture.
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
     }
     println(f"""{"probe":"exponent_setup","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     def isolate(): Unit = {

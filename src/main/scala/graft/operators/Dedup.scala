@@ -422,28 +422,29 @@ object Dedup {
       .withColumn("component", col("id")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      // LAZY checkpoint: the convergence count below is the one action of
-      // the round — it materializes the checkpoint blocks (truncating the
-      // iterative lineage, as before) AND returns the changed count in the
-      // same job, instead of an eager-checkpoint job followed by a second
-      // count job (2 driver round-trips per round → 1).
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          col("component").as("prev"))
-        .localCheckpoint(false)
-      changed = next.filter(col("component") =!= col("prev")).count()
-      labels.unpersist() // free the superseded round's checkpoint blocks
-      labels = next.select("id", "component")
-      iter += 1
-    }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
-        "(a pair graph this deep is not a near-dup cluster shape)")
-    edges.unpersist()
+    try {
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+        // LAZY checkpoint: the convergence count below is the one action of
+        // the round — it materializes the checkpoint blocks (truncating the
+        // iterative lineage, as before) AND returns the changed count in the
+        // same job, instead of an eager-checkpoint job followed by a second
+        // count job (2 driver round-trips per round → 1).
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+            col("component").as("prev"))
+          .localCheckpoint(false)
+        changed = next.filter(col("component") =!= col("prev")).count()
+        labels.unpersist() // free the superseded round's checkpoint blocks
+        labels = next.select("id", "component")
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
+          "(a pair graph this deep is not a near-dup cluster shape)")
+    } finally edges.unpersist() // released on the non-convergence throw too
     labels
   }
 

@@ -109,26 +109,35 @@ object PageRank {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var rank = nodes.withColumn("rank", init)
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(rank.select(col("node").as("src"), col("rank")), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"), col("src"), (col("rank") / col("odeg")).as("c"))
-      val inflow = contribs.groupBy(col("node")).agg(
-        (if (oracleMode) sortedFold(col("src"), col("c")) else sum(col("c")))
-          .as("inflow"))
-      val dangling = rank.join(outdeg.withColumnRenamed("src", "node"),
-        Seq("node"), "left_anti")
-      val dmass = dangling.agg(
-        (if (oracleMode) sortedFold(col("node"), col("rank"))
-         else coalesce(sum(col("rank")), lit(0.0))).as("dmass"))
-      rank = nodes.join(inflow, Seq("node"), "left")
-        .crossJoin(broadcast(dmass))
-        .withColumn("rank",
-          next(coalesce(col("inflow"), lit(0.0)), col("dmass")))
-        .drop("inflow", "dmass")
-        .localCheckpoint()
-    }
+    try {
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(rank.select(col("node").as("src"), col("rank")), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("node"), col("src"), (col("rank") / col("odeg")).as("c"))
+        val inflow = contribs.groupBy(col("node")).agg(
+          (if (oracleMode) sortedFold(col("src"), col("c")) else sum(col("c")))
+            .as("inflow"))
+        val dangling = rank.join(outdeg.withColumnRenamed("src", "node"),
+          Seq("node"), "left_anti")
+        val dmass = dangling.agg(
+          (if (oracleMode) sortedFold(col("node"), col("rank"))
+           else coalesce(sum(col("rank")), lit(0.0))).as("dmass"))
+        rank = nodes.join(inflow, Seq("node"), "left")
+          .crossJoin(broadcast(dmass))
+          .withColumn("rank",
+            next(coalesce(col("inflow"), lit(0.0)), col("dmass")))
+          .drop("inflow", "dmass")
+          .localCheckpoint() // eager: the final round's blocks are
+                             // materialized before the finally releases
+                             // the frames they were computed from
+      }
+    } finally outdeg.unpersist() // SQL-cache entries are strongly held by
+                                 // the CacheManager until explicit
+                                 // unpersist (unlike checkpoint RDDs, GC'd
+                                 // by the ContextCleaner) — a long-lived
+                                 // session would otherwise pin a
+                                 // node-sized cache per pageRank call
     rank.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
@@ -140,11 +149,16 @@ object PageRank {
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
     val e = edgeFrame(edges, srcCol, dstCol, assumeDistinct)
     val nodes = nodeFrame(e)
-    val n = nodes.count()
-    iterate(e, nodes, iters, oracleMode,
-      init = lit(1.0 / n),
-      next = (inflow, dmass) =>
-        lit((1 - damping) / n) + lit(damping) * (inflow + dmass / lit(n.toDouble)))
+    try {
+      val n = nodes.count()
+      iterate(e, nodes, iters, oracleMode,
+        init = lit(1.0 / n),
+        next = (inflow, dmass) =>
+          lit((1 - damping) / n) + lit(damping) * (inflow + dmass / lit(n.toDouble)))
+    } finally { // iterate's eager checkpoints already hold the result;
+      e.unpersist() // no-op on the store-served (assumeDistinct) path
+      nodes.unpersist()
+    }
   }
 
   /** Personalized PageRank over a trusted seed set: teleport (and dangling
@@ -162,18 +176,25 @@ object PageRank {
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
     val e = edgeFrame(edges, srcCol, dstCol, assumeDistinct)
     val nodes = nodeFrame(e)
-    val sd = seeds.select(col(seedCol).as("node")).distinct()
-    val ns = sd.join(nodes, "node").count()
-    require(ns > 0, "no seed is present in the graph")
     // persist (partitioning flows from the persisted node frame through
     // the broadcast seed join and the projection); checkpoint would drop it
-    val nt = nodes.join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
-      .withColumn("t", when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)))
-      .drop("__s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    iterate(e, nt, iters, oracleMode,
-      init = col("t"),
-      next = (inflow, dmass) =>
-        lit(1 - damping) * col("t") + lit(damping) * (inflow + dmass * col("t")))
+    var nt: DataFrame = null
+    try {
+      val sd = seeds.select(col(seedCol).as("node")).distinct()
+      val ns = sd.join(nodes, "node").count()
+      require(ns > 0, "no seed is present in the graph")
+      nt = nodes.join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
+        .withColumn("t", when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)))
+        .drop("__s")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      iterate(e, nt, iters, oracleMode,
+        init = col("t"),
+        next = (inflow, dmass) =>
+          lit(1 - damping) * col("t") + lit(damping) * (inflow + dmass * col("t")))
+    } finally { // see pageRank: CacheManager holds these until unpersist
+      e.unpersist()
+      nodes.unpersist()
+      if (nt != null) nt.unpersist()
+    }
   }
 }

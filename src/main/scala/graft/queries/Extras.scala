@@ -605,6 +605,13 @@ object Extras {
     * external table instead of rebuilding (bucket ids ride the file
     * names the bucketed writer produced).
     */
+  // ONE bucket spec shared by the writer and the fresh-session
+  // re-registration below — if they ever diverged, a later session would
+  // silently register stale metadata over mismatched files (parquet
+  // name-based resolution returns nulls rather than erroring)
+  private val edgeBuckets = 32
+  private val edgeBucketCol = "src"
+
   private def tradeGraph(s: SparkSession, d: String): DataFrame = {
     val tbl = ("graft_trade_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase
     val path = edgeStore.computeIfAbsent(d, _ => {
@@ -616,14 +623,22 @@ object Extras {
       // hash (both Murmur3 on src), so with numPartitions == numBuckets
       // each task holds exactly one bucket and the store is 32 files, not
       // up to 32 tasks × 32 buckets of fragments
-      buildTradeEdges(s, d).repartition(32, col("src")).write.mode("overwrite")
-        .bucketBy(32, "src").sortBy("src")
+      buildTradeEdges(s, d).repartition(edgeBuckets, col(edgeBucketCol))
+        .write.mode("overwrite")
+        .bucketBy(edgeBuckets, edgeBucketCol).sortBy(edgeBucketCol)
         .option("path", dir).saveAsTable(tbl)
       dir
     })
-    if (!s.catalog.tableExists(tbl))
-      s.sql(s"CREATE TABLE $tbl (src STRING, dst STRING) USING parquet " +
-        s"CLUSTERED BY (src) SORTED BY (src) INTO 32 BUCKETS LOCATION '$path'")
+    if (!s.catalog.tableExists(tbl)) {
+      // columns derived from the builder (schema-only, no job), bucket spec
+      // from the shared constants — the registration can't drift from the
+      // writer above
+      val cols = buildTradeEdges(s, d).schema
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      s.sql(s"CREATE TABLE $tbl ($cols) USING parquet " +
+        s"CLUSTERED BY ($edgeBucketCol) SORTED BY ($edgeBucketCol) " +
+        s"INTO $edgeBuckets BUCKETS LOCATION '$path'")
+    }
     s.table(tbl).select(col("src"), col("dst"))
   }
 
