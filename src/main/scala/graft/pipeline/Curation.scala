@@ -390,24 +390,97 @@ object Curation {
     * day's [curateDelta] resumes from. This is the REAL storage round-trip
     * [stateOf]'s localCheckpoint stands in for: docs and fingerprints are
     * corpus-sized distributed tables (never driver-resident), shard
-    * offsets are `packShards` rows. At cluster scale you'd bucket docs/ BY
-    * id so nearDupDelta's corpus-side reads co-locate.
+    * offsets are `packShards` rows. Pass `bucketIdCol` (the overload
+    * below) to write the corpus-sized tables bucketed on their join keys.
     */
-  def saveState(state: CorpusState, dir: String): Unit = {
-    state.docs.write.mode("overwrite").parquet(s"$dir/docs")
-    state.fingerprints.write.mode("overwrite").parquet(s"$dir/fingerprints")
+  def saveState(state: CorpusState, dir: String): Unit =
+    saveState(state, dir, bucketIdCol = None)
+
+  // ONE bucket spec shared by the writer and loadState's fresh-session
+  // re-registration (the trade-edge-store rule: divergence would silently
+  // register stale metadata over mismatched files). 32 matches
+  // shuffle.partitions, so the delta side's one shuffle lands on the same
+  // partitioning the state buckets already have.
+  private[graft] val stateBuckets = 32
+
+  /** With `bucketIdCol = Some(id)`, the corpus-sized state tables are
+    * written as BUCKETED tables — docs on the id, fingerprints on `fp` —
+    * instead of loose parquet: curateDelta anti-joins the corpus
+    * fingerprint index (and id-joins the docs) once per delta run, and a
+    * plain parquet scan re-shuffles the state side every run, the
+    * shuffle that grows with the CORPUS while the delta stays a day
+    * wide. A bucketed scan reports its hash partitioning and those
+    * exchanges vanish (PlanSpec gates it) — at cluster scale this is
+    * "bucket the state tables by their join keys", decided once at
+    * batch-publish time and amortized over every delta that follows.
+    */
+  def saveState(state: CorpusState, dir: String,
+                bucketIdCol: Option[String]): Unit = {
+    bucketIdCol match {
+      case Some(idCol) =>
+        val s = state.docs.sparkSession
+        def writeBucketed(df: DataFrame, sub: String, key: String): Unit = {
+          val tbl = stateTableName(dir, sub)
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          // repartition on the bucket column first: writer hash ==
+          // bucketing hash, so each task holds exactly one bucket and the
+          // store is `stateBuckets` files, not fragments per task×bucket
+          df.repartition(stateBuckets, col(key))
+            .write.mode("overwrite")
+            .bucketBy(stateBuckets, key).sortBy(key)
+            .option("path", s"$dir/$sub").saveAsTable(tbl)
+        }
+        writeBucketed(state.docs, "docs", idCol)
+        writeBucketed(state.fingerprints, "fingerprints", "fp")
+        // marker so a fresh session's loadState knows to re-register the
+        // catalog tables (bucket metadata lives in the catalog, not the
+        // files — spark.read.parquet would silently drop it)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "_graft_state_buckets.txt"),
+          s"$idCol\n$stateBuckets\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case None =>
+        state.docs.write.mode("overwrite").parquet(s"$dir/docs")
+        state.fingerprints.write.mode("overwrite").parquet(s"$dir/fingerprints")
+    }
     state.shardOffsets.coalesce(1).write.mode("overwrite").parquet(s"$dir/shard_offsets")
   }
 
-  /** Reload [saveState] output — every frame a lazy parquet scan; the
-    * delta pipeline's multiple references re-read storage rather than
-    * holding the corpus resident, exactly as a production resume would.
+  private def stateTableName(dir: String, sub: String): String =
+    ("graft_state_" + sub + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase
+
+  /** Reload [saveState] output — every frame a lazy scan; the delta
+    * pipeline's multiple references re-read storage rather than holding
+    * the corpus resident, exactly as a production resume would. A store
+    * written bucketed comes back as catalog tables (re-registered from
+    * the marker if this is a fresh session) so its hash partitioning is
+    * visible to the planner; a loose-parquet store scans as before.
     */
-  def loadState(spark: org.apache.spark.sql.SparkSession, dir: String): CorpusState =
-    CorpusState(
-      docs = spark.read.parquet(s"$dir/docs"),
-      fingerprints = spark.read.parquet(s"$dir/fingerprints"),
+  def loadState(spark: org.apache.spark.sql.SparkSession, dir: String): CorpusState = {
+    val marker = java.nio.file.Paths.get(dir, "_graft_state_buckets.txt")
+    val (docs, fps) =
+      if (java.nio.file.Files.exists(marker)) {
+        val Array(idCol, buckets) =
+          new String(java.nio.file.Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
+        def registered(sub: String, key: String): DataFrame = {
+          val tbl = stateTableName(dir, sub)
+          if (!spark.catalog.tableExists(tbl)) {
+            // columns from the parquet footer, bucket spec from the marker
+            // — the registration can't drift from what the writer produced
+            val cols = spark.read.parquet(s"$dir/$sub").schema
+              .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+            spark.sql(s"CREATE TABLE $tbl ($cols) USING parquet " +
+              s"CLUSTERED BY ($key) SORTED BY ($key) " +
+              s"INTO $buckets BUCKETS LOCATION '$dir/$sub'")
+          }
+          spark.table(tbl)
+        }
+        (registered("docs", idCol), registered("fingerprints", "fp"))
+      } else
+        (spark.read.parquet(s"$dir/docs"), spark.read.parquet(s"$dir/fingerprints"))
+    CorpusState(docs, fps,
       shardOffsets = spark.read.parquet(s"$dir/shard_offsets"))
+  }
 
   /** INCREMENTAL curation: one day's `delta` batch through the same
     * stages as [curate], against an already-curated corpus — without

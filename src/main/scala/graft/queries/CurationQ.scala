@@ -218,7 +218,7 @@ object CurationQ {
       val (corpusRaw, bench, _) = fixtureDelta(s, d)
       Curation.saveState(Curation.stateOf(
         Curation.stages(corpusRaw, bench, "doc_id", "text", cfgDelta, persist = true),
-        "doc_id", "text"), out)
+        "doc_id", "text"), out, bucketIdCol = Some("doc_id"))
       out
     })
     Curation.loadState(s, dir)

@@ -183,6 +183,23 @@ class CurationSpec extends SparkSpec {
     assert(fromDisk.counts === fromMem.counts)
   }
 
+  test("bucketed CorpusState: resumed delta identical to the loose-parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_rtb").toString
+    val batch = Curation.stages(corpus, benchmark, "doc_id", "text", persist = true)
+    val state = Curation.stateOf(batch, "doc_id", "text")
+    Curation.saveState(state, dir, bucketIdCol = Some("doc_id"))
+    val reloaded = Curation.loadState(spark, dir)
+    val fromMem = Curation.curateDelta(state, delta, benchmark, "doc_id", "text",
+      persist = true)
+    val fromDisk = Curation.curateDelta(reloaded, delta, benchmark, "doc_id", "text",
+      persist = true)
+    assert(fromDisk.split.select("doc_id").as[Long].collect().toSet ===
+      fromMem.split.select("doc_id").as[Long].collect().toSet)
+    assert(fromDisk.packed.select("shard", "seq", "tok_len").collect().toSet ===
+      fromMem.packed.select("shard", "seq", "tok_len").collect().toSet)
+    assert(fromDisk.counts === fromMem.counts)
+  }
+
   // --- boilerplate span gate (Lee et al. 2021) ---
   // a 10-token template shared verbatim across docs whose SURROUNDING text
   // differs — document-level Jaccard at 0.85 never pairs them (J ≈ 0.2-0.6

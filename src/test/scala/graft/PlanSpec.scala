@@ -472,4 +472,61 @@ class PlanSpec extends SparkSpec {
         s"persisted edge frame lost its src partitioning (edge side re-shuffled):\n$pj")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed corpus state: delta anti-join and id-agg leave the state side unshuffled") {
+    import graft.pipeline.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_bk").toString
+    val docs = (1L to 300L)
+      .map(i => (i, s"state doc $i body tok${i % 11} tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val st = Curation.CorpusState(
+      docs,
+      docs.select(graft.functions.TextFns.fingerprint($"text").as("fp")).distinct(),
+      Seq((0, 0L)).toDF("shard", "offset_tokens"))
+    Curation.saveState(st, dir, bucketIdCol = Some("doc_id"))
+    val loaded = Curation.loadState(spark, dir)
+    val delta = (301L to 400L).map(i => (i, s"delta doc $i body")).toDF("doc_id", "text")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // force the shuffle-join path and match the store's bucket count
+      // (production runs at 32; the suite session runs at 4, which would
+      // legitimately add a second delta-side exchange to reach 32)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", Curation.stateBuckets.toString)
+      // dedupDelta's shape: delta fingerprint window, then anti-join the
+      // corpus fingerprint index — the state side must ride its buckets
+      val q = graft.operators.Dedup.dedupDelta(delta, loaded.fingerprints, "text", "doc_id")
+      val pj = plan(q).split("== Initial Plan ==").head
+      assert(pj.contains("SelectedBucketsCount"),
+        s"state fingerprint scan is not a bucketed read:\n$pj")
+      // the one allowed __fp exchange is the DELTA side's (its dedup
+      // window needs it and the join reuses it); a second would be the
+      // corpus-growing state shuffle the bucketing exists to kill
+      val fpEx = "Exchange hashpartitioning\\(__fp".r.findAllIn(pj).length
+      assert(fpEx <= 1, s"state fingerprint side re-shuffled:\n$pj")
+      // docs bucketed on the id: an id-keyed aggregate is exchange-free
+      val pa = plan(loaded.docs.groupBy($"doc_id").agg(count(lit(1)).as("c")))
+        .split("== Initial Plan ==").head
+      assert(pa.contains("SelectedBucketsCount") &&
+        !pa.contains("Exchange hashpartitioning(doc_id"),
+        s"state docs table lost its bucketing:\n$pa")
+      // fresh-session path: DROP the external tables (metadata only) and
+      // let loadState re-register from the marker over the same files
+      Seq("docs", "fingerprints").foreach { sub =>
+        spark.sql("DROP TABLE " +
+          ("graft_state_" + sub + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase)
+      }
+      val again = Curation.loadState(spark, dir)
+      assert(again.docs.count() === 300)
+      val pr = plan(again.fingerprints.groupBy($"fp").agg(count(lit(1)).as("c")))
+        .split("== Initial Plan ==").head
+      assert(pr.contains("SelectedBucketsCount") &&
+        !pr.contains("Exchange hashpartitioning(fp"),
+        s"re-registered state table lost its bucketing:\n$pr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
+  }
 }
