@@ -440,7 +440,11 @@ object ScaleProbe {
         .localCheckpoint()
       cEmb.count()
     }
-    val qEmb = queries.select(col("query_id").as("vid"),
+    // the entry's struct query key (chunk_id −1 never collides with a
+    // real chunk) — a bare long vid stopped analyzing when the chunk key
+    // became a struct (r10)
+    val qEmb = queries.select(
+      struct(col("query_id").as("doc_id"), lit(-1L).as("chunk_id")).as("vid"),
       graft.operators.Similarity.hashEmbedding(col("qtext"), dim).as("emb"))
     time("dense_brute_topk")(graft.operators.Similarity
       .bruteForceTopK(cEmb, qEmb, k = k, idCol = "vid", vecCol = "emb").count())
@@ -448,6 +452,10 @@ object ScaleProbe {
       .defs("qr01_retrieval")(spark, sfDir).count())
     time("full_chain_capped")(graft.queries.TextOps
       .defs("qr01c_retrieval_capped")(spark, sfDir).count())
+    time("serve_only_qr02")(graft.queries.TextOps
+      .defs("qr02_retrieval_serve")(spark, sfDir).count())
+    time("serve_only_qr02_warm")(graft.queries.TextOps
+      .defs("qr02_retrieval_serve")(spark, sfDir).count())
     spark.stop()
   }
 

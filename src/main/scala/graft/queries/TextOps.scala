@@ -525,6 +525,61 @@ object TextOps {
         col("ck.chunk_id").as("chunk_id"), col("rrf_score"), col("rnk"))
   }
 
+  /** qr02's persisted index artifacts, built ONCE per (JVM, table dir)
+    * and written to a temp store: the chunk table, its BM25 index
+    * ([Retrieval.saveBm25Index] — the real artifact shape), and the chunk
+    * embedding table. qr01 prices the full chain BUILD+SERVE fused (a
+    * re-index run); qr02 serves the SAME query panel from these
+    * artifacts — the number a production RAG deployment actually cares
+    * about, where the index is built once per corpus refresh and queries
+    * arrive forever after. The memo lives on the filesystem (survives
+    * Bench's cache isolation) and the build runs in the untimed warmup,
+    * so timed runs price serve-only: query-side embed + postings join +
+    * cosine + RRF. Rankings are BIT-IDENTICAL to qr01's (strings and
+    * doubles round-trip parquet exactly; the BM25 per-doc score is a
+    * sorted fold; cosine is the same kernel), so qr02 shares qr01's
+    * oracle SQL verbatim.
+    */
+  private val ragIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ragIndexDir(s: SparkSession, d: String): String =
+    ragIndexMemo.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_rag_index_").toString
+      graft.sources.Tables.deleteOnExit(out)
+      ragChunkStore(s, d).write.mode("overwrite").parquet(s"$out/chunks")
+      val stored = s.read.parquet(s"$out/chunks")
+      graft.operators.Retrieval.saveBm25Index(
+        graft.operators.Retrieval.bm25Index(stored, "ck", "chunk_text"), s"$out/bm25")
+      stored.select(col("ck").as("vid"),
+          graft.operators.Similarity.hashEmbedding(col("chunk_text"), RagDim).as("emb"))
+        .write.mode("overwrite").parquet(s"$out/emb")
+      out
+    })
+
+  /** The serve half of the RAG chain against [ragIndexDir]'s artifacts. */
+  private def retrievalServe(s: SparkSession, d: String): DataFrame = {
+    val k = RagK
+    val dir = ragIndexDir(s, d)
+    val queries = T(s, d, "documents").filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val sparse = graft.operators.Retrieval.bm25TopKIndexed(
+      graft.operators.Retrieval.loadBm25Index(s, s"$dir/bm25"),
+      queries, k = k, idCol = "ck")
+    val cEmb = s.read.parquet(s"$dir/emb")
+    val qEmb = queries.select(
+      struct(col("query_id").as("doc_id"), lit(-1L).as("chunk_id")).as("vid"),
+      graft.operators.Similarity.hashEmbedding(col("qtext"), RagDim).as("emb"))
+    val dense = graft.operators.Similarity.bruteForceTopK(cEmb, qEmb, k = k,
+        idCol = "vid", vecCol = "emb")
+      .select(col("query_id.doc_id").as("query_id"),
+        col("corpus_id").as("ck"), col("rnk"))
+    graft.operators.Retrieval.rrfFuse(
+        sparse.select(col("query_id"), col("ck"), col("rnk")), dense,
+        k = k, idCol = "ck")
+      .select(col("query_id"), col("ck.doc_id").as("doc_id"),
+        col("ck.chunk_id").as("chunk_id"), col("rrf_score"), col("rnk"))
+  }
+
   /** Shared stopword list literal for the SQL oracles. */
   private val langProfilesSql: Map[String, String] =
     TextFns.LangId.profiles.toMap.map { case (k, ws) =>
@@ -1152,6 +1207,14 @@ object TextOps {
     // lists — the knob a 100 TB RAG serve turns. The dense leg and RRF
     // fusion are untouched; the oracle applies the identical cap.
     "qr01c_retrieval_capped" -> ((s, d) => retrievalChain(s, d, capped = true)),
+
+    // The SERVE-ONLY twin: the same panel answered from the PERSISTED
+    // index artifacts (chunk table + saveBm25Index + embedding table,
+    // built once per corpus in the untimed warmup) — build cost is
+    // qr01's to price, this entry prices the production serve path.
+    // Rankings are bit-identical to qr01 (see ragIndexDir), so the
+    // oracle SQL is qr01's verbatim.
+    "qr02_retrieval_serve" -> ((s, d) => retrievalServe(s, d)),
 
     // Heavy hitters via Misra–Gries candidates + verification counts: the
     // MG summary (bounded O(k) buffer per group, any vocabulary size)
@@ -1984,6 +2047,9 @@ object TextOps {
          |FROM allw CROSS JOIN thr""".stripMargin,
     "qr01_retrieval" -> retrievalOracle(capped = false),
     "qr01c_retrieval_capped" -> retrievalOracle(capped = true),
+    // serve-only twin returns qr01's exact rows (bit-identical serve from
+    // persisted artifacts) — one oracle definition, shared
+    "qr02_retrieval_serve" -> retrievalOracle(capped = false),
     // qt49's invariant twin: DuckDB predicts every boolean from text
     // length alone; the Spark side computes them from actual zlib output.
     "qt49_compress" ->
