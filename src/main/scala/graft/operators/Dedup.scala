@@ -403,8 +403,15 @@ object Dedup {
     * "Connected Components in MapReduce", 2014) only pays off on
     * long-chain graphs that near-dup sets don't produce.
     */
+  /** `checkpointDir`: opt-in reliable mode — per-round label frames
+    * round-trip durable storage instead of executor-local checkpoint
+    * blocks (unrecoverable on executor death at cluster scale).
+    * Identical components either way (DedupSpec pins it); the local
+    * fast path is the default and unchanged.
+    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // hash-partitioned on dst and PERSISTED, not localCheckpoint'd: the
     // per-round join keys edges on dst, and a checkpointed RDD scans back
     // as UnknownPartitioning under AQE (measured on PageRank, PlanSpec),
@@ -418,8 +425,19 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().repartition(parts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+    // reliable mode: the round's label frame lands on durable storage
+    // (ping-pong slots bound disk at two label-frame snapshots); the write
+    // is the round's materializing job and the changed-count reads the
+    // files back — same one-action-per-round shape as the lazy checkpoint
+    def durable(df: DataFrame, slot: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$slot")
+        df.sparkSession.read.parquet(s"$dir/$slot")
+      case None => df
+    }
+    var labels = durable(edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")), "labels_init")
+    if (checkpointDir.isEmpty) labels = labels.localCheckpoint(true)
     var changed = 1L
     var iter = 0
     try {
@@ -431,11 +449,13 @@ object Dedup {
         // iterative lineage, as before) AND returns the changed count in the
         // same job, instead of an eager-checkpoint job followed by a second
         // count job (2 driver round-trips per round → 1).
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        var next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(col("id"),
             least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
             col("component").as("prev"))
-          .localCheckpoint(false)
+        next =
+          if (checkpointDir.isEmpty) next.localCheckpoint(false)
+          else durable(next, s"labels_${iter % 2}")
         changed = next.filter(col("component") =!= col("prev")).count()
         labels.unpersist() // free the superseded round's checkpoint blocks
         labels = next.select("id", "component")

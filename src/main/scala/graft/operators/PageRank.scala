@@ -101,7 +101,26 @@ object PageRank {
   private def iterate(e: DataFrame, nodes: DataFrame, iters: Int,
                       oracleMode: Boolean,
                       init: Column,
-                      next: (Column, Column) => Column): DataFrame = {
+                      next: (Column, Column) => Column,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    // Per-iteration lineage cut. Local mode (default): eager
+    // localCheckpoint — executor-memory blocks, the fast path. Reliable
+    // mode (checkpointDir set): a parquet round-trip into the given
+    // storage — localCheckpoint blocks die with their executor and are
+    // UNRECOVERABLE (lineage is truncated), so a 1000-executor run of a
+    // long iteration wants the rank frame on durable storage. Doubles
+    // round-trip parquet bit-exactly, so both modes produce identical
+    // ranks (PageRankSpec pins it). Ping-pong between two slots: the
+    // write never targets the slot the current rank is being read from,
+    // and disk stays bounded at two node-sized snapshots.
+    val cut: (DataFrame, Int) => DataFrame = checkpointDir match {
+      case Some(dir) => (df, i) => {
+        val slot = s"$dir/rank_${i % 2}"
+        df.write.mode("overwrite").parquet(slot)
+        df.sparkSession.read.parquet(slot)
+      }
+      case None => (df, _) => df.localCheckpoint()
+    }
     // persisted, not checkpointed: the aggregation inherits e's hash(src)
     // partitioning (bucketed store or pre-partitioned derived frame), and
     // persist keeps it visible to every iteration's join — checkpoint
@@ -110,7 +129,7 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var rank = nodes.withColumn("rank", init)
     try {
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contribs = e
           .join(rank.select(col("node").as("src"), col("rank")), "src")
           .join(outdeg, "src")
@@ -123,14 +142,14 @@ object PageRank {
         val dmass = dangling.agg(
           (if (oracleMode) sortedFold(col("node"), col("rank"))
            else coalesce(sum(col("rank")), lit(0.0))).as("dmass"))
-        rank = nodes.join(inflow, Seq("node"), "left")
+        rank = cut(nodes.join(inflow, Seq("node"), "left")
           .crossJoin(broadcast(dmass))
           .withColumn("rank",
             next(coalesce(col("inflow"), lit(0.0)), col("dmass")))
-          .drop("inflow", "dmass")
-          .localCheckpoint() // eager: the final round's blocks are
-                             // materialized before the finally releases
-                             // the frames they were computed from
+          .drop("inflow", "dmass"), i)
+        // both cut modes are eager: the final round's data is materialized
+        // (checkpoint blocks or parquet files) before the finally releases
+        // the frames it was computed from
       }
     } finally outdeg.unpersist() // SQL-cache entries are strongly held by
                                  // the CacheManager until explicit
@@ -141,10 +160,17 @@ object PageRank {
     rank.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** `checkpointDir`: opt-in reliable mode for cluster-scale runs — the
+    * per-iteration rank frame round-trips durable storage instead of
+    * executor-local checkpoint blocks (which die unrecoverably with an
+    * executor). Identical ranks either way; the local fast path is the
+    * default and its plan is unchanged (PlanSpec/PageRankSpec).
+    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                oracleMode: Boolean = false,
-               assumeDistinct: Boolean = false): DataFrame = {
+               assumeDistinct: Boolean = false,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
     val e = edgeFrame(edges, srcCol, dstCol, assumeDistinct)
@@ -154,7 +180,8 @@ object PageRank {
       iterate(e, nodes, iters, oracleMode,
         init = lit(1.0 / n),
         next = (inflow, dmass) =>
-          lit((1 - damping) / n) + lit(damping) * (inflow + dmass / lit(n.toDouble)))
+          lit((1 - damping) / n) + lit(damping) * (inflow + dmass / lit(n.toDouble)),
+        checkpointDir = checkpointDir)
     } finally { // iterate's eager checkpoints already hold the result;
       e.unpersist() // no-op on the store-served (assumeDistinct) path
       nodes.unpersist()
@@ -171,7 +198,8 @@ object PageRank {
                            seedCol: String, iters: Int,
                            damping: Double = 0.85,
                            oracleMode: Boolean = false,
-                           assumeDistinct: Boolean = false): DataFrame = {
+                           assumeDistinct: Boolean = false,
+                           checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
     val e = edgeFrame(edges, srcCol, dstCol, assumeDistinct)
@@ -190,7 +218,8 @@ object PageRank {
       iterate(e, nt, iters, oracleMode,
         init = col("t"),
         next = (inflow, dmass) =>
-          lit(1 - damping) * col("t") + lit(damping) * (inflow + dmass * col("t")))
+          lit(1 - damping) * col("t") + lit(damping) * (inflow + dmass * col("t")),
+        checkpointDir = checkpointDir)
     } finally { // see pageRank: CacheManager holds these until unpersist
       e.unpersist()
       nodes.unpersist()

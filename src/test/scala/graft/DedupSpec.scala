@@ -180,6 +180,25 @@ class DedupSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents reliable-checkpoint mode: identical labels, durable rounds") {
+    // cluster-scale option: per-round label frames round-trip durable
+    // storage instead of executor-local checkpoint blocks; components
+    // must come out EXACTLY the same (integer labels, no float slack)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // a 5-chain (needs several min-label rounds) plus a separate pair
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val durable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(durable === local)
+    // snapshots landed on storage: the init slot plus the two ping-pong
+    // round slots, disk bounded regardless of round count
+    val slots = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(slots === Set("labels_init", "labels_0", "labels_1"))
+  }
+
   test("nearDupClusters: one canonical per cluster, singletons canonical, via real pair ops") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.15)
     val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs)

@@ -67,4 +67,35 @@ class PageRankSpec extends SparkSpec {
     val exact = ranks(g, iters = 3, oracleMode = true)
     exact.foreach { case (k, v) => assert(math.abs(fast(k) - v) < 1e-9) }
   }
+
+  test("reliable-checkpoint mode: identical ranks, durable per-iteration snapshots") {
+    // cluster-scale option: localCheckpoint blocks die unrecoverably with
+    // an executor — checkpointDir round-trips the rank frame through
+    // durable storage instead. Doubles round-trip parquet bit-exactly, so
+    // the two modes must agree EXACTLY (not to tolerance); oracle mode on
+    // both sides makes the comparison deterministic.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val g = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "c" -> "b", "b" -> "sink")
+    val local = PageRank.pageRank(g.toDF("src", "dst"), "src", "dst",
+        iters = 4, oracleMode = true)
+      .as[(String, Double)].collect().toMap
+    val durable = PageRank.pageRank(g.toDF("src", "dst"), "src", "dst",
+        iters = 4, oracleMode = true, checkpointDir = Some(dir))
+      .as[(String, Double)].collect().toMap
+    assert(durable === local)
+    // the ping-pong slots really landed on storage (and stayed bounded)
+    val slots = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(slots === Set("rank_0", "rank_1"))
+    // personalized variant threads the option too
+    val seeds = Seq("a").toDF("node")
+    val pl = PageRank.personalizedPageRank(g.toDF("src", "dst"), seeds,
+        "src", "dst", "node", iters = 3, oracleMode = true)
+      .as[(String, Double)].collect().toMap
+    val pd = PageRank.personalizedPageRank(g.toDF("src", "dst"), seeds,
+        "src", "dst", "node", iters = 3, oracleMode = true,
+        checkpointDir = Some(dir + "/ppr"))
+      .as[(String, Double)].collect().toMap
+    assert(pd === pl)
+  }
 }
