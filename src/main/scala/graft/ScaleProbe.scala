@@ -354,7 +354,8 @@ object ScaleProbe {
     * accumulated source backlog), and reports the median per-batch
     * processedRowsPerSecond over the steady-state remainder.
     */
-  private def streamGateProbe(rowsPerSec: Int, partitions: Int): Unit = {
+  private def streamGateProbe(rowsPerSec: Int, partitions: Int,
+                              mode: String = "full"): Unit = {
     val spark = GraftSession.get()
     val filler = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do" +
       " eiusmod tempor incididunt ut labore et dolore magna aliqua"
@@ -366,11 +367,28 @@ object ScaleProbe {
             (col("value") % 3).cast("string")))
           .otherwise(concat(lit("unique document number "),
             col("value").cast("string"), lit(filler))).as("text"))
-    val gated = graft.streaming.Streams.curateStream(docs, "doc_id", "text", "ts",
-      minTokens = 10, minQuality = 0.3)
-    val q = gated.writeStream.format("noop")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
-      .start()
+    // mode attributes the 25k-vs-357k gap: "full" is the shipped gate
+    // (stateless prefix + two dedup state stores, micro-batch); "stateless"
+    // is the same chain minus the stateful operators (isolates state-store
+    // cost); "continuous" runs the stateless prefix under the continuous
+    // trigger (no micro-batch planning at all — the full gate CANNOT run
+    // here: Spark's continuous mode rejects stateful operators, which is
+    // itself the structural bound on the shipped chain's trigger choice)
+    val gated = mode match {
+      case "full" =>
+        graft.streaming.Streams.curateStream(docs, "doc_id", "text", "ts",
+          minTokens = 10, minQuality = 0.3)
+      case "stateless" | "continuous" =>
+        graft.streaming.Streams.curateGatePrefix(docs, "text",
+          minTokens = 10, minQuality = 0.3, blockTerms = Nil, blockMaxRatio = 0.1)
+      case "baseline" => docs // no gate at all: the harness's own floor
+      case other => sys.error(s"unknown streamgate mode: $other")
+    }
+    val trigger =
+      if (mode == "continuous")
+        org.apache.spark.sql.streaming.Trigger.Continuous("1 second")
+      else org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")
+    val q = gated.writeStream.format("noop").trigger(trigger).start()
     // steady-state wait: under an over-capacity rate the source backlog
     // makes batches balloon, so only a few huge batches complete — poll
     // until >= 3 NON-EMPTY batches (3-minute deadline) and DROP the first
@@ -387,9 +405,14 @@ object ScaleProbe {
     val rows = prog.map(_.numInputRows).sum
     val secs = prog.map(_.batchDuration).sum / 1e3
     // aggregate rows/busy-second over the steady batches: more stable
-    // than a median over a 2-3 element pool of backlogged mega-batches
-    val sustained = if (secs > 0) rows / secs else 0.0
-    println(f"""{"probe":"streamgate","rate_rows_per_sec":$rowsPerSec,"partitions":$partitions,"batches":${prog.size},""" +
+    // than a median over a 2-3 element pool of backlogged mega-batches.
+    // Continuous-mode epochs may report no batchDuration — fall back to
+    // the engine's own processedRowsPerSecond over the steady window.
+    val sustained =
+      if (secs > 0) rows / secs
+      else if (prog.nonEmpty) prog.map(_.processedRowsPerSecond).sum / prog.size
+      else 0.0
+    println(f"""{"probe":"streamgate","mode":"$mode","rate_rows_per_sec":$rowsPerSec,"partitions":$partitions,"batches":${prog.size},""" +
       f""""input_rows":$rows,"busy_sec":$secs%.1f,"sustained_rows_per_sec":$sustained%.0f}""")
     spark.stop()
   }
@@ -798,6 +821,29 @@ object ScaleProbe {
       println(f"""{"probe":"gatebench","stage":"$name","n":$n,"sec":$best%.2f}""")
     }
     timeTwoStep("full_gate_projected")
+    // the SHIPPED STREAM shape (curateGatePrefix: canon projection +
+    // quality column + token/quality FILTER) run on the batch engine —
+    // same optimizer, so whatever the optimizer does to the stream's
+    // projection barrier (filter pushdown re-nesting the canon subtree
+    // into the predicate) is priced here, directly comparable to the
+    // projected/nested rows above
+    def timePrefixShape(name: String): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.Streams.curateGatePrefix(docs, "text",
+            minTokens = 10, minQuality = 0.3, blockTerms = Nil, blockMaxRatio = 0.1)
+          .select(xxhash64(struct(col("text"), col("quality"))).as("h"))
+          .agg(sum(col("h"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val best = (1 to 3).map(_ => once()).min
+      println(f"""{"probe":"gatebench","stage":"$name","n":$n,"sec":$best%.2f}""")
+      println(graft.streaming.Streams.curateGatePrefix(docs, "text",
+          10, 0.3, Nil, 0.1)
+        .queryExecution.optimizedPlan.toString.take(2000))
+    }
+    timePrefixShape("stream_prefix_shape")
     spark.stop()
   }
 
@@ -825,7 +871,8 @@ object ScaleProbe {
       return tradeGraphProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("streamgate"))
       return streamGateProbe(args.lift(1).map(_.toInt).getOrElse(50000),
-        args.lift(2).map(_.toInt).getOrElse(8))
+        args.lift(2).map(_.toInt).getOrElse(8),
+        args.lift(3).getOrElse("full"))
     if (args.headOption.contains("bm25"))
       return bm25Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("semdedup"))

@@ -326,6 +326,32 @@ object Expressions {
     override def prettyName: String = "graft_normalize"
   }
 
+  /** barrier(expr) → expr, value-identical: an optimizer FENCE. Its only
+    * behavior is `deterministic = false`, which makes every
+    * alias-substitution rule (CollapseProject, predicate pushdown through
+    * a Project) refuse to move the aliased subtree — so an expensive
+    * projected expression is computed ONCE per row and every consumer
+    * reads the attribute. Without it, a filter above a projected
+    * `scrubPii(normalizeText(text))` is pushed below the projection with
+    * the FULL subtree substituted into each of the predicate's references
+    * (measured: the streaming gate's prefix at 14.7 s/M vs 2.9 s/M
+    * fenced — the nesting-defeats-CSE trap in optimizer-rule form).
+    * Runtime is a pure passthrough in both eval and codegen; it does NOT
+    * extend Nondeterministic (no state, no initialization) — only the
+    * placement flag flips.
+    */
+  case class Barrier(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override lazy val deterministic: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      child.genCode(ctx) // pure passthrough — zero generated code of its own
+    override protected def withNewChildInternal(c: Expression): Barrier = copy(c)
+    override def prettyName: String = "graft_barrier"
+  }
+
   /** strip_accents(string) → string: NFD + combining-mark removal (see
     * ExprImpl.stripAccents for the exact contract vs utf8proc).
     */
@@ -443,6 +469,7 @@ object Expressions {
   def windowHashes(c: Column, w: Int): Column = wrap(WindowHashes(unwrap(c), w))
   def normalizeText(c: Column, form: String = "NFC"): Column =
     wrap(NormalizeText(unwrap(c), form))
+  def barrier(c: Column): Column = wrap(Barrier(unwrap(c)))
   def stripAccents(c: Column): Column = wrap(StripAccents(unwrap(c)))
   def scrubPii(c: Column): Column = wrap(ScrubPii(unwrap(c)))
   def tokenCount(c: Column): Column = wrap(TokenCount(unwrap(c)))

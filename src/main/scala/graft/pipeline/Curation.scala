@@ -207,8 +207,14 @@ object Curation {
     // splits and no repartition is needed; forcing one at demo scale is a
     // fixture-tuned pessimization, so the input partitioning is left to
     // the source.
+    // barrier-fenced (see Expressions.Barrier): in persist mode the stage
+    // cache is the materialization point, but a persist=false caller's
+    // gate filters would otherwise be pushed below this projection with
+    // the scrub∘NFC subtree substituted per reference (measured 14.7 vs
+    // 1.9 s/M on the streaming twin of this exact shape)
     val scrubbed = docs.select(id,
-      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+      Expressions.barrier(
+        TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC"))).as(textCol))
     // 1b. optional line-level boilerplate strip (CCNet paragraph dedup) —
     // BEFORE any hash: chrome differences must not defeat exact dedup.
     // Rewrites text, drops no rows, so the audit frame keeps its shape.
@@ -543,7 +549,8 @@ object Curation {
     // (canon persisted for the same double-read reason; input partitioning
     // left to the source for the same task-overhead reason — see stages())
     val scrubbedDelta = delta.select(id,
-      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")).as(textCol))
+      Expressions.barrier( // same fence as stages() — see the note there
+        TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC"))).as(textCol))
     // 1b. optional line strip, incremental analog: line doc-frequencies
     // count over corpus ∪ delta (chrome shared with shipped docs must
     // count), only delta docs are rewritten. Honest caveat: the corpus

@@ -193,6 +193,47 @@ object Streams {
     * corpus-aware stages (near-dup vs corpus, decontamination, packing)
     * that need an index no stream can hold.
     */
+  /** The STATELESS prefix of [curateStream] — canon scrub → quality/token
+    * gates → optional blocklist gate. Factored out (one definition) so the
+    * throughput probe can price exactly the shipped chain's stateless part
+    * against the full gate: the delta attributes cost to the stateful
+    * dedup stores rather than a guess, and the stateless prefix is the
+    * only part of the gate a continuous (no-micro-batch) trigger can run
+    * at all — Spark's continuous mode supports stateless maps/filters
+    * only, so `dropDuplicatesWithinWatermark` pins the full gate to
+    * micro-batch execution by construction.
+    */
+  private[graft] def curateGatePrefix(docs: DataFrame, textCol: String,
+                                      minTokens: Int, minQuality: Double,
+                                      blockTerms: Seq[String],
+                                      blockMaxRatio: Double): DataFrame = {
+    import graft.functions.{TextFns, Expressions}
+    // BOTH expensive projections are fenced with Expressions.barrier: a
+    // stream has no persist/checkpoint to materialize the canon column,
+    // and without the fence predicate pushdown substitutes the FULL
+    // scrub∘NFC subtree into every reference of the gate predicate —
+    // measured 14.7 s/M (the nested shape) vs 2.9 s/M fenced, and the
+    // sustained stream rate moves accordingly. The batch pipeline gets
+    // the same property from its per-stage persist; the fence is the
+    // stream's equivalent, at zero runtime cost (identity passthrough).
+    val canon = docs.withColumn(textCol,
+      Expressions.barrier(
+        TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC"))))
+    // quality is computed ONCE, before the gate, and carried through as a
+    // column: the gate filters on it and the output reports it — the
+    // previous shape recomputed the full regex ensemble after the dedup
+    // operators (stateful boundaries defeat subexpression elimination)
+    val gated0 = canon
+      .withColumn("quality", Expressions.barrier(TextFns.qualityScore(col(textCol))))
+      .filter(TextFns.tokenCount(col(textCol)) >= minTokens &&
+        col("quality") >= minQuality)
+    // optional blocklist ratio gate — a stateless map
+    // (Blocklist.keepPredicate), so it streams as-is
+    if (blockTerms.isEmpty) gated0
+    else gated0.filter(graft.operators.Blocklist.keepPredicate(
+      col(textCol), blockTerms, blockMaxRatio))
+  }
+
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
                    tsCol: String = "ts",
                    minTokens: Int = 20, minQuality: Double = 0.5,
@@ -200,21 +241,8 @@ object Streams {
                    blockTerms: Seq[String] = Nil,
                    blockMaxRatio: Double = 0.1): DataFrame = {
     import graft.functions.{TextFns, Expressions}
-    val canon = docs.withColumn(textCol,
-      TextFns.scrubPii(Expressions.normalizeText(col(textCol), "NFC")))
-    // quality is computed ONCE, before the gate, and carried through as a
-    // column: the gate filters on it and the output reports it — the
-    // previous shape recomputed the full regex ensemble after the dedup
-    // operators (stateful boundaries defeat subexpression elimination)
-    val gated0 = canon
-      .withColumn("quality", TextFns.qualityScore(col(textCol)))
-      .filter(TextFns.tokenCount(col(textCol)) >= minTokens &&
-        col("quality") >= minQuality)
-    // optional blocklist ratio gate — a stateless map
-    // (Blocklist.keepPredicate), so it streams as-is
-    val gated = if (blockTerms.isEmpty) gated0
-      else gated0.filter(graft.operators.Blocklist.keepPredicate(
-        col(textCol), blockTerms, blockMaxRatio))
+    val gated = curateGatePrefix(docs, textCol, minTokens, minQuality,
+      blockTerms, blockMaxRatio)
     // exact-content dedup first (formatting-noise-insensitive fingerprint),
     // then the SimHash multiset guard — same order as the batch stages.
     // ONE watermark serves both stateful operators (a stream's watermark

@@ -224,6 +224,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaSql === rows.map(_._1).toSeq)
   }
 
+  test("barrier is a value-identity fence: equal outputs, nulls preserved, blocks re-nesting") {
+    import graft.functions.TextFns
+    // a Range source, not a local Seq: ConvertToLocalRelation would fold
+    // a LocalRelation projection at plan time and leave nothing to fence
+    val df = spark.range(100).select(
+      when($"id" % 4 === 0, lit(null).cast("string"))
+        .when($"id" % 4 === 1, lit(""))
+        .otherwise(concat(lit("the doc text number "), $"id")).as("text"))
+    // identity on values and nulls, through codegen
+    val plain = df.select(TextFns.scrubPii(Expressions.normalizeText($"text", "NFC")).as("t"))
+      .as[Option[String]].collect().toSeq
+    val fenced = df.select(Expressions.barrier(
+        TextFns.scrubPii(Expressions.normalizeText($"text", "NFC"))).as("t"))
+      .as[Option[String]].collect().toSeq
+    assert(fenced === plain)
+    // the fence holds: a filter above the fenced projection must NOT be
+    // pushed below it with the scrub subtree substituted into the
+    // predicate — the optimized plan carries exactly ONE scrub call
+    val shaped = df
+      .withColumn("canon", Expressions.barrier(
+        TextFns.scrubPii(Expressions.normalizeText($"text", "NFC"))))
+      .filter(TextFns.tokenCount($"canon") >= 1 && length($"canon") > 3)
+    val p = shaped.queryExecution.optimizedPlan.toString
+    val scrubs = "graft_scrub_pii".r.findAllIn(p).length
+    assert(scrubs === 1, s"fence failed — scrub re-nested $scrubs times:\n$p")
+  }
+
   test("native wktCentroid equals the UDF path on polygons with holes") {
     val wkt = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (0 0, 2 0, 2 2, 0 2, 0 0))"
     val native = Seq(wkt).toDF("w").select(Expressions.wktCentroid($"w").as("c"))
