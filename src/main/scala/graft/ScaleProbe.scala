@@ -604,7 +604,8 @@ object ScaleProbe {
     * sampled-exact terms are expected ~2 — the fixed-panel production
     * variant is the linear form (see SCALE.md round-10).
     */
-  private def exponentProbe(sfDir: String, copies: Int, entriesCsv: String): Unit = {
+  private def exponentProbe(sfDir: String, copies: Int, entriesCsv: String,
+                            skewSource: Boolean = false): Unit = {
     val spark = GraftSession.get()
     val off = 1L << 40
     val keyCols = Map(
@@ -620,9 +621,15 @@ object ScaleProbe {
       // time — 10× the concurrent users, which is what 10× traffic means
       "events" -> Seq("event_id", "user_id"))
     val verbatim = Seq("region", "nation", "part")
-    val scaledDir = s"/tmp/graft_scale_${copies}x"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir))
-    new java.io.File(scaledDir).mkdirs()
+    val suffix = if (skewSource) "_skew" else ""
+    val scaledDir = s"/tmp/graft_scale_${copies}x$suffix"
+    // skew mode (the quota/window-family stressor): 80 % of every copy's
+    // documents are rewritten into ONE source (and one lang) — the
+    // pathological single-heavy-hitter corpus a per-source window
+    // degenerates on. The 1× point must carry the SAME skew (otherwise the
+    // exponent conflates skew cost with scale cost), so a skewed 1×
+    // baseline is synthesized alongside and used for t1.
+    val baseDir = if (skewSource) s"/tmp/graft_scale_1x$suffix" else sfDir
     val t0 = System.nanoTime()
     // Content must be re-keyed along with the ids: unioned copies with
     // IDENTICAL text are 90 % exact duplicates — a dedup pipeline kills
@@ -643,35 +650,51 @@ object ScaleProbe {
     //     mask — norms and intra-copy cosines are preserved bit-exactly
     //     (the flips cancel inside every same-copy dot), cross-copy cosine
     //     decorrelates instead of being 1.0.
-    keyCols.foreach { case (t, keys) =>
-      val base = spark.read.parquet(s"$sfDir/$t.parquet")
-      (0 until copies).map { i =>
-        val rekeyed = keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
-        val stopAlt = graft.functions.TextFns.LangId.profiles.flatMap(_._2)
-          .distinct.map(java.util.regex.Pattern.quote).mkString("|")
-        val tagPat = s"(?<!\\S)(?!(?:$stopAlt)(?!\\S))(\\S+)"
-        val retexted =
-          if (t == "documents" && i > 0)
-            rekeyed.withColumn("text",
-              regexp_replace(col("text"), tagPat, s"c$i$$1"))
-          else if (t == "embeddings" && i > 0)
-            rekeyed.withColumn("embedding",
-              transform(col("embedding"), (x, j) =>
-                when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
-          else rekeyed
-        retexted
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
+    def synth(outDir: String, nCopies: Int): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+      new java.io.File(outDir).mkdirs()
+      keyCols.foreach { case (t, keys) =>
+        val base = spark.read.parquet(s"$sfDir/$t.parquet")
+        (0 until nCopies).map { i =>
+          val rekeyed = keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
+          val stopAlt = graft.functions.TextFns.LangId.profiles.flatMap(_._2)
+            .distinct.map(java.util.regex.Pattern.quote).mkString("|")
+          val tagPat = s"(?<!\\S)(?!(?:$stopAlt)(?!\\S))(\\S+)"
+          val retexted =
+            if (t == "documents" && i > 0)
+              rekeyed.withColumn("text",
+                regexp_replace(col("text"), tagPat, s"c$i$$1"))
+            else if (t == "embeddings" && i > 0)
+              rekeyed.withColumn("embedding",
+                transform(col("embedding"), (x, j) =>
+                  when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
+            else rekeyed
+          // 80 % of every copy into one source/lang (2^40 ≡ 6 mod 10, so
+          // each copy's hot residue set shifts but stays 8 of 10)
+          if (skewSource && t == "documents")
+            retexted
+              .withColumn("source",
+                when(pmod(col("doc_id"), lit(10)) < 8, lit("hot-src"))
+                  .otherwise(col("source")))
+              .withColumn("lang",
+                when(pmod(col("doc_id"), lit(10)) < 8, lit("en"))
+                  .otherwise(col("lang")))
+          else retexted
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      verbatim.foreach { t =>
+        // read-and-rewrite, not Files.copy: the fixture table may be a
+        // DIRECTORY of part files (the exact layout Spark — including this
+        // probe — writes), and a path-level copy would copy only the empty
+        // directory entry, silently losing the dim tables when the probe
+        // chains off a synthesized fixture.
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
     }
-    verbatim.foreach { t =>
-      // read-and-rewrite, not Files.copy: the fixture table may be a
-      // DIRECTORY of part files (the exact layout Spark — including this
-      // probe — writes), and a path-level copy would copy only the empty
-      // directory entry, silently losing the dim tables when the probe
-      // chains off a synthesized fixture.
-      spark.read.parquet(s"$sfDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
-    }
+    synth(scaledDir, copies)
+    if (skewSource) synth(baseDir, 1)
     println(f"""{"probe":"exponent_setup","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -705,7 +728,7 @@ object ScaleProbe {
     }
     entriesCsv.split(",").map(_.trim).filter(_.nonEmpty).foreach { entry =>
       try {
-        val (t1, rows1) = timeOne(entry, sfDir)
+        val (t1, rows1) = timeOne(entry, baseDir)
         val (tN, rowsN) = timeOne(entry, scaledDir)
         val expo = math.log(tN / t1) / math.log(copies.toDouble)
         // rows_N / rows_1 ≈ copies is the synthesis-honesty check: if a gate
@@ -721,6 +744,44 @@ object ScaleProbe {
             s""""error":"${e.getClass.getSimpleName}"}""")
       }
     }
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe quotaskew [skewedDir]`: the preBuckets
+    * valve shown ENGAGING on a skewed corpus (synthesize with
+    * `exponent <sf> <copies> <entries> skew` first — 80 % of documents in
+    * one source). Times qt31's sourceQuota with the valve OFF (one rank
+    * window must sort the hot source alone in one task) and ON (ranks
+    * within (source, content-hash-bucket) first, bounding the final
+    * window to preBuckets·quota rows), plus qt33's topFractionBy for the
+    * family record. Output-identity between the two quota paths is
+    * asserted, not assumed.
+    */
+  private def quotaSkewProbe(dir: String): Unit = {
+    val spark = GraftSession.get()
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    def time(name: String)(act: => Long): Unit = {
+      act // warmup
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"probe":"quotaskew","stage":"$name","sec":$best%.2f}""")
+    }
+    def quota(b: Int) = graft.operators.Mixture.sourceQuota(
+      docs, "source", "doc_id", quota = 50, rankBy = col("n_chars"), preBuckets = b)
+    time("quota_valve_off")(quota(0).count())
+    time("quota_valve_on_8")(quota(8).count())
+    time("quota_valve_on_64")(quota(64).count())
+    val off = quota(0).select("doc_id").as(spark.implicits.newLongEncoder)
+      .collect().toSet
+    val on = quota(8).select("doc_id").as(spark.implicits.newLongEncoder)
+      .collect().toSet
+    require(on == off, s"valve changed the kept set: ${on.size} vs ${off.size}")
+    println(s"""{"probe":"quotaskew","stage":"identity","kept":${on.size},"equal":true}""")
+    time("top_fraction")(graft.operators.Report.topFractionBy(
+      docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.qualityScore(col("text")).as("quality")),
+      Seq("lang"), "doc_id", fraction = 0.6, rankBy = col("quality")).count())
     spark.stop()
   }
 
@@ -853,7 +914,10 @@ object ScaleProbe {
     if (args.headOption.contains("exponent"))
       return exponentProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10),
-        args.lift(3).getOrElse(exponentDefaults))
+        args.lift(3).getOrElse(exponentDefaults),
+        skewSource = args.lift(4).contains("skew"))
+    if (args.headOption.contains("quotaskew"))
+      return quotaSkewProbe(args.lift(1).getOrElse("/tmp/graft_scale_10x_skew"))
     if (args.headOption.contains("survival"))
       return survivalProbe(args.lift(1).getOrElse("qc01_curation"),
         args.lift(2).getOrElse("/root/testdata/sf0.1"),
