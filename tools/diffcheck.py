@@ -123,6 +123,10 @@ CAPACITY_BY_DESIGN = {
         "the scaled check",
     "qt46_lm_buckets": "re-derives the corpus bigram-NLL model in one "
         "query; qt46s_lm_buckets_sampled is the scaled value check",
+    "qc02_curation_delta": "re-derives the ENTIRE batch curation run (the "
+        "corpus state) plus the delta chain in one statement — the oracle "
+        "form exists for bit-parity, not scale; green at the 10x sweep "
+        "(r10), stage-count survival at 100x via ScaleProbe survival",
     "qt46a_lm_buckets_approx": "re-derives the corpus bigram-NLL model in "
         "one query (~105 GB at the 100x fixture); "
         "qt46s_lm_buckets_sampled runs the identical chain on the "
@@ -134,9 +138,17 @@ def skip_reason(name, cap):
     return (f"oracle capacity ({cap}) — BY DESIGN: {by_design}" if by_design
             else f"oracle capacity ({cap})")
 
+# GRAFT_ONLY=qa,qb limits the compare to named entries (mirrors Verify's
+# SPARK_GRAFT_ONLY) — without it a 4-entry scale spot-check still runs
+# EVERY oracle at the scale fixture, because the oracle executes before
+# the spark-output existence check.
+only = {s.strip() for s in os.environ.get("GRAFT_ONLY", "").split(",") if s.strip()}
+
 fails = 0
 capacity = []   # oracle-side OOM/timeout: the ORACLE can't run, not a diff
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     try:
         exp, cap = run_oracle(sql)
         if cap:
@@ -170,6 +182,8 @@ for name, sql in sorted(oracle.items()):
 # queries without oracle
 for p in sorted(glob.glob(f"{out_dir}/*/")):
     n = p.rstrip("/").split("/")[-1]
+    if only and n not in only:
+        continue
     if n not in oracle:
         cnt = con.sql(f"SELECT count(*) FROM '{p}*.parquet'").fetchone()[0]
         print(f"ROWS {n}: {cnt} rows (no oracle)")
