@@ -89,26 +89,82 @@ object Retrieval {
     * tf/df/dl/n/avgdl are integer-valued doubles except avgdl — doubles
     * round-trip parquet bit-exactly, so a reloaded index serves rankings
     * bit-identical to the in-session one (RetrievalSpec round-trip).
-    * Postings are written bucket-free and lazy-scanned on reload; at
-    * cluster scale you'd additionally bucket postings/ BY term so the
-    * serve join co-locates without a shuffle of the index side.
     */
-  def saveBm25Index(index: Bm25Index, dir: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+  def saveBm25Index(index: Bm25Index, dir: String): Unit =
+    saveBm25Index(index, dir, bucketed = false)
+
+  // one bucket spec for the writer and the fresh-session re-registration
+  // (the trade-edge-store / corpus-state rule)
+  private[graft] val indexBuckets = 32
+
+  /** `bucketed = true` writes the two term-keyed frames (postings, dfreq)
+    * as BUCKETED tables on `term` instead of loose parquet. A small query
+    * panel broadcasts and never shuffles the postings anyway; the
+    * bucketed layout is for the OTHER serve regime — a large query batch
+    * (re-scoring a corpus slice, offline eval sweeps) whose term join
+    * goes sort-merge: the postings side then reads co-partitioned, and
+    * the exchange that grows with the INDEX (not the queries) vanishes
+    * (PlanSpec gates it). Same marker + catalog re-registration seam as
+    * the curation state store.
+    */
+  def saveBm25Index(index: Bm25Index, dir: String, bucketed: Boolean): Unit = {
+    val s = index.postings.sparkSession
+    if (bucketed) {
+      def writeBucketed(df: DataFrame, sub: String): Unit = {
+        val tbl = indexTableName(dir, sub)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        df.repartition(indexBuckets, col("term"))
+          .write.mode("overwrite")
+          .bucketBy(indexBuckets, "term").sortBy("term")
+          .option("path", s"$dir/$sub").saveAsTable(tbl)
+      }
+      writeBucketed(index.postings, "postings")
+      writeBucketed(index.dfreq, "dfreq")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_graft_index_buckets.txt"),
+        s"$indexBuckets\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else {
+      index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+      index.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+    }
     index.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
-    index.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
     index.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** Reload [saveBm25Index] output — every frame stays a lazy parquet
-    * scan (nothing collects to the driver; the one-row stats frame is
-    * broadcast by the serve plan exactly like the in-session build).
+  private def indexTableName(dir: String, sub: String): String =
+    ("graft_bm25_" + sub + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase
+
+  /** Reload [saveBm25Index] output — every frame stays a lazy scan
+    * (nothing collects to the driver; the one-row stats frame is
+    * broadcast by the serve plan exactly like the in-session build). A
+    * bucketed store comes back as catalog tables (re-registered from the
+    * marker in a fresh session) so the term partitioning is visible.
     */
-  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
-    Bm25Index(spark.read.parquet(s"$dir/postings"),
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index = {
+    val marker = java.nio.file.Paths.get(dir, "_graft_index_buckets.txt")
+    val (post, dfreq) =
+      if (java.nio.file.Files.exists(marker)) {
+        val buckets = new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        def registered(sub: String): DataFrame = {
+          val tbl = indexTableName(dir, sub)
+          if (!spark.catalog.tableExists(tbl)) {
+            val cols = spark.read.parquet(s"$dir/$sub").schema
+              .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+            spark.sql(s"CREATE TABLE $tbl ($cols) USING parquet " +
+              s"CLUSTERED BY (term) SORTED BY (term) " +
+              s"INTO $buckets BUCKETS LOCATION '$dir/$sub'")
+          }
+          spark.table(tbl)
+        }
+        (registered("postings"), registered("dfreq"))
+      } else
+        (spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/dfreq"))
+    Bm25Index(post,
       spark.read.parquet(s"$dir/doclens"),
-      spark.read.parquet(s"$dir/dfreq"),
+      dfreq,
       spark.read.parquet(s"$dir/stats"))
+  }
 
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of two ranked
     * lists — the standard hybrid-retrieval combiner (sparse BM25 +

@@ -548,8 +548,12 @@ object TextOps {
       graft.sources.Tables.deleteOnExit(out)
       ragChunkStore(s, d).write.mode("overwrite").parquet(s"$out/chunks")
       val stored = s.read.parquet(s"$out/chunks")
+      // bucketed on term: neutral for this entry's broadcast-sized panel,
+      // but it makes the persisted artifact the production layout (a
+      // large query batch's term join reads co-partitioned postings)
       graft.operators.Retrieval.saveBm25Index(
-        graft.operators.Retrieval.bm25Index(stored, "ck", "chunk_text"), s"$out/bm25")
+        graft.operators.Retrieval.bm25Index(stored, "ck", "chunk_text"),
+        s"$out/bm25", bucketed = true)
       stored.select(col("ck").as("vid"),
           graft.operators.Similarity.hashEmbedding(col("chunk_text"), RagDim).as("emb"))
         .write.mode("overwrite").parquet(s"$out/emb")

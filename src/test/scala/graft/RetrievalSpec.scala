@@ -109,6 +109,51 @@ class RetrievalSpec extends SparkSpec {
     assert(capped === cappedDirect)
   }
 
+  test("bucketed bm25 store: bit-identical serve, term-bucketed reads, re-registration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx_b").toString
+    val q = Seq((7L, "garlic oil"), (101L, "spark optimizer")).toDF("query_id", "qtext")
+    val built = Retrieval.bm25Index(corpus)
+    val inSession = Retrieval.bm25TopKIndexed(built, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Retrieval.saveBm25Index(built, dir, bucketed = true)
+    val reloaded = Retrieval.loadBm25Index(spark, dir)
+    val served = Retrieval.bm25TopKIndexed(reloaded, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === inSession)
+    // the postings read carries its bucket metadata: a term-keyed
+    // aggregate runs without an exchange on the bucket key
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "32") // match store buckets
+      val agg = reloaded.postings.groupBy($"term").agg(sum($"tf").as("s"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("SelectedBucketsCount") &&
+        !p.contains("Exchange hashpartitioning(term"),
+        s"postings lost their term bucketing:\n$p")
+      // fresh-session path: drop the external tables, loadBm25Index
+      // re-registers from the marker over the same files
+      spark.sql("DROP TABLE " + ("graft_bm25_postings_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase)
+      spark.sql("DROP TABLE " + ("graft_bm25_dfreq_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase)
+      val again = Retrieval.loadBm25Index(spark, dir)
+      val servedAgain = Retrieval.bm25TopKIndexed(again, q, k = 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(servedAgain === inSession)
+      val p2 = { val a = again.dfreq.groupBy($"term").agg(sum($"df").as("s"))
+        a.collect(); a.queryExecution.executedPlan.toString.split("== Initial Plan ==").head }
+      assert(p2.contains("SelectedBucketsCount") &&
+        !p2.contains("Exchange hashpartitioning(term"),
+        s"re-registered dfreq lost its bucketing:\n$p2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
+  }
+
   test("hashEmbedding: deterministic, dimension-correct, text-sensitive") {
     import graft.operators.Similarity
     val df = Seq("alpha beta", "alpha beta", "gamma").toDF("t")
