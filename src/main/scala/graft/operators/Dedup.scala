@@ -63,7 +63,7 @@ object Dedup {
                         n: Int, threshold: Double,
                         blockCols: Seq[String] = Nil): DataFrame = {
     val withSh = df.select((idCol +: blockCols).map(col) :+
-      wordShingles(col(textCol), n).as("sh"): _*)
+      graft.functions.Expressions.barrier(wordShingles(col(textCol), n)).as("sh"): _*)
     val a = withSh.select(Seq(col(idCol).as("id_a"), col("sh").as("sh_a")) ++
       blockCols.map(c => col(c).as(s"${c}_a")): _*)
     val b = withSh.select(Seq(col(idCol).as("id_b"), col("sh").as("sh_b")) ++
@@ -101,7 +101,7 @@ object Dedup {
                                maxShingleDf: Option[Long] = None,
                                maxShingleDfFrac: Option[Double] = None): DataFrame = {
     val sized = df.select(Seq(col(idCol)) ++ blockCols.map(col) :+
-        wordShingles(col(textCol), n).as("sh"): _*)
+        graft.functions.Expressions.barrier(wordShingles(col(textCol), n)).as("sh"): _*)
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
     val rawPosts = sized.select(Seq(col(idCol)) ++ blockCols.map(col) :+
@@ -188,7 +188,7 @@ object Dedup {
                             idCol: String, textCol: String,
                             n: Int, threshold: Double): DataFrame = {
     val bench = benchmark
-      .select(col(idCol).as("bench_id"), wordShingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("bench_id"), graft.functions.Expressions.barrier(wordShingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("bench_id"), size(col("sh")).as("n_bench"),
         explode(col("sh")).as("shingle"))
@@ -203,7 +203,7 @@ object Dedup {
       .filter(col("k") > 0 && col("k") < n).distinct()
       .collect().map(_.getInt(0)).toSeq
     val corpusPosts = (n +: shortLens).distinct.map { k =>
-      corpus.select(col(idCol).as("doc_id"), wordShingles(col(textCol), k).as("sh"))
+      corpus.select(col(idCol).as("doc_id"), graft.functions.Expressions.barrier(wordShingles(col(textCol), k)).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
     }.reduce(_ unionByName _)
@@ -269,7 +269,7 @@ object Dedup {
                               n: Int, threshold: Double,
                               blockCols: Seq[String] = Nil): DataFrame = {
     val sized = df.select(Seq(col(idCol)) ++ blockCols.map(col) :+
-        wordShingles(col(textCol), n).as("__sh"): _*)
+        graft.functions.Expressions.barrier(wordShingles(col(textCol), n)).as("__sh"): _*)
       .filter(size(col("__sh")) > 0)
       .withColumn("__n_sh", size(col("__sh")))
     val posts = sized.select(Seq(col(idCol), col("__n_sh")) ++ blockCols.map(col) :+
@@ -336,7 +336,7 @@ object Dedup {
                    idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     def sized(df: DataFrame, side: String) =
-      df.select(col(idCol).as("__id"), wordShingles(col(textCol), n).as("__sh"))
+      df.select(col(idCol).as("__id"), graft.functions.Expressions.barrier(wordShingles(col(textCol), n)).as("__sh"))
         .filter(size(col("__sh")) > 0)
         .withColumn("__n_sh", size(col("__sh")))
         .withColumn("__side", lit(side))
@@ -557,7 +557,7 @@ object Dedup {
                       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSh = df
-      .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol), graft.functions.Expressions.barrier(wordShingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
     val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // banding path carries only (id, band, bucket) — candidate-pair dedup
