@@ -31,7 +31,11 @@ object LmScore {
     * documents with fewer than two tokens carry n_bigrams = 0, nll = null.
     */
   def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    // barrier: the size(ts) >= 2 filter below would otherwise push under
+    // this projection with the tokenize subtree substituted (2× tokenize
+    // per row); the bigram transform then reads the attribute
+    val toks = df.select(col(idCol),
+      graft.functions.Expressions.barrier(TextFns.tokens(col(textCol))).as("ts"))
     val bg = toks.filter(size(col("ts")) >= 2)
       .select(col(idCol), posexplode(expr(
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")))

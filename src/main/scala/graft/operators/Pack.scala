@@ -127,7 +127,11 @@ object Pack {
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window]: $stride vs window $window")
     df.select(col(idCol),
-        graft.functions.TextFns.tokens(col(textCol)).as("ts"))
+        // barrier: the size() filter below would otherwise be pushed under
+        // this projection with the tokenize subtree substituted into the
+        // condition (tokenizing every row twice) — see Expressions.Barrier
+        graft.functions.Expressions.barrier(
+          graft.functions.TextFns.tokens(col(textCol))).as("ts"))
       .filter(size(col("ts")) >= 1)
       .select(col(idCol), col("ts"),
         explode(expr(s"sequence(0, size(ts) - 1, $stride)")).as("start"))

@@ -125,7 +125,9 @@ object Vocab {
     while (step <= nMerges && !dry) {
       val s = split(col("syms"), " ")
       val top = words
-        .select(col("freq"), s.as("s"))
+        // barrier: keeps the size(s) >= 2 filter from re-splitting per
+        // reference when pushed below the projection
+        .select(col("freq"), graft.functions.Expressions.barrier(s).as("s"))
         // single-symbol words have no pairs — and Spark's sequence(1, 0)
         // would DESCEND through index 0 rather than come back empty
         .filter(size(col("s")) >= 2)
