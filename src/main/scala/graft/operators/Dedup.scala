@@ -643,8 +643,11 @@ object Dedup {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       Similarity.norm(col(vecCol)).as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .withColumn("cos_sim", graft.functions.Expressions.barrier( // fence:
+        // the threshold filter would otherwise push below this projection
+        // with the DOT PRODUCT substituted into the condition — computing
+        // the pair dot twice on a pair-quadratic join
+        round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
@@ -673,8 +676,8 @@ object Dedup {
     val b = df.select(col(idCol).as("id_o"), col(vecCol).as("v_o"),
       Similarity.norm(col(vecCol)).as("n_o"))
     broadcast(q).join(b, col("id_q") =!= col("id_o"))
-      .withColumn("cos_sim",
-        round(Similarity.dotProduct(col("v_q"), col("v_o")) / (col("n_q") * col("n_o")), 6))
+      .withColumn("cos_sim", graft.functions.Expressions.barrier( // same fence
+        round(Similarity.dotProduct(col("v_q"), col("v_o")) / (col("n_q") * col("n_o")), 6)))
       .filter(col("cos_sim") >= threshold)
       .select(least(col("id_q"), col("id_o")).as("id_a"),
         greatest(col("id_q"), col("id_o")).as("id_b"), col("cos_sim"))
@@ -710,8 +713,11 @@ object Dedup {
     cands
       .join(withNorm.select(col(idCol).as("id_a"), col("__v").as("v_a"), col("__n").as("n_a")), "id_a")
       .join(withNorm.select(col(idCol).as("id_b"), col("__v").as("v_b"), col("__n").as("n_b")), "id_b")
-      .withColumn("cos_sim",
-        round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .withColumn("cos_sim", graft.functions.Expressions.barrier( // fence:
+        // the threshold filter would otherwise push below this projection
+        // with the DOT PRODUCT substituted into the condition — computing
+        // the pair dot twice on a pair-quadratic join
+        round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
