@@ -473,6 +473,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("fenced hot projections: the chunker's tokenize runs once per row") {
+    // the round-11 rule: an expensive projected expression with a filter
+    // above it gets the tokenize subtree substituted into the pushed
+    // predicate unless fenced (Expressions.barrier) — chunkTokens is the
+    // representative gate (it feeds the whole RAG chain); the optimized
+    // plan must contain the tokenize's split exactly ONCE
+    val df = spark.range(60).select($"id".as("doc_id"),
+      concat(lit("alpha beta gamma delta token "), $"id").as("text"))
+    val q = graft.operators.Pack.chunkTokens(df, "doc_id", "text",
+      window = 4, stride = 3)
+    q.collect()
+    val p = q.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits === 1, s"chunker tokenize re-nested ($splits sites):\n$p")
+  }
+
   test("bucketed corpus state: delta anti-join and id-agg leave the state side unshuffled") {
     import graft.pipeline.Curation
     val dir = java.nio.file.Files.createTempDirectory("graft_state_bk").toString
