@@ -339,6 +339,19 @@ object Expressions {
     * Runtime is a pure passthrough in both eval and codegen; it does NOT
     * extend Nondeterministic (no state, no initialization) — only the
     * placement flag flips.
+    *
+    * PLACEMENT CONSTRAINTS (`deterministic = false` has side effects
+    * beyond blocking pushdown — keep call sites inside these lines):
+    *   - The analyzer REJECTS non-deterministic expressions outside
+    *     Project / Filter / Aggregate / Window: a barrier used as a join
+    *     key, inside a groupBy expression, or in a sort key fails
+    *     analysis. Fence in a Project FIRST, then join/group/sort on the
+    *     projected attribute.
+    *   - ColumnPruning cannot drop an unused non-deterministic alias: a
+    *     DEAD barriered column keeps its full compute cost in the plan.
+    *     Only fence columns every downstream consumer actually reads;
+    *     never fence speculative/optional projections that a later
+    *     select may prune.
     */
   case class Barrier(child: Expression) extends UnaryExpression {
     override def dataType: DataType = child.dataType

@@ -14,6 +14,11 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  // per-call disambiguator for durable-checkpoint subdirs
+  // (connectedComponents reliable mode — see PageRank.durableCallSeq)
+  private[operators] val durableCallSeq =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup: keep the lowest-id row per identical content. One
     * map-side-combinable aggregate; no window needed.
     */
@@ -429,7 +434,12 @@ object Dedup {
     // (ping-pong slots bound disk at two label-frame snapshots); the write
     // is the round's materializing job and the changed-count reads the
     // files back — same one-action-per-round shape as the lazy checkpoint
-    def durable(df: DataFrame, slot: String): DataFrame = checkpointDir match {
+    // per-call subdir: the returned labels frame is a lazy scan of the
+    // final slot, and a second durable call sharing checkpointDir must not
+    // overwrite it before the caller consumes it (same fix as PageRank)
+    val callDir = checkpointDir.map(d =>
+      s"$d/cc_${Dedup.durableCallSeq.incrementAndGet()}")
+    def durable(df: DataFrame, slot: String): DataFrame = callDir match {
       case Some(dir) =>
         df.write.mode("overwrite").parquet(s"$dir/$slot")
         df.sparkSession.read.parquet(s"$dir/$slot")

@@ -41,6 +41,9 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  // per-call disambiguator for durable-checkpoint subdirs (see iterate)
+  private val durableCallSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def sortedFold(key: Column, value: Column) =
     graft.functions.Expressions.foldSumField(
       array_sort(collect_list(struct(key.as("k"), value.as("v")))))
@@ -113,12 +116,21 @@ object PageRank {
     // ranks (PageRankSpec pins it). Ping-pong between two slots: the
     // write never targets the slot the current rank is being read from,
     // and disk stays bounded at two node-sized snapshots.
+    // Each call gets its own subdir under checkpointDir: the returned
+    // frame is a LAZY scan of the final ping-pong slot, and a second
+    // pageRank/connectedComponents call sharing the dir would otherwise
+    // overwrite that slot — silently changing (or breaking mid-scan) the
+    // earlier call's still-unconsumed result. The session-scoped counter
+    // keeps disk bounded (two node-sized snapshots per live call) while a
+    // NEW session reusing the dir overwrites from call_1 again.
     val cut: (DataFrame, Int) => DataFrame = checkpointDir match {
-      case Some(dir) => (df, i) => {
-        val slot = s"$dir/rank_${i % 2}"
-        df.write.mode("overwrite").parquet(slot)
-        df.sparkSession.read.parquet(slot)
-      }
+      case Some(dir) =>
+        val callDir = s"$dir/call_${durableCallSeq.incrementAndGet()}"
+        (df, i) => {
+          val slot = s"$callDir/rank_${i % 2}"
+          df.write.mode("overwrite").parquet(slot)
+          df.sparkSession.read.parquet(slot)
+        }
       case None => (df, _) => df.localCheckpoint()
     }
     // persisted, not checkpointed: the aggregation inherits e's hash(src)

@@ -124,6 +124,14 @@ object Retrieval {
         java.nio.file.Paths.get(dir, "_graft_index_buckets.txt"),
         s"$indexBuckets\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } else {
+      // mode-switch hygiene: a previously bucketed store in this dir left
+      // the bucket marker and (in-session) catalog tables; a plain write
+      // over them would make the next loadBm25Index register CLUSTERED BY
+      // metadata over non-bucketed part files ("Invalid bucket file").
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_graft_index_buckets.txt"))
+      s.sql(s"DROP TABLE IF EXISTS ${indexTableName(dir, "postings")}")
+      s.sql(s"DROP TABLE IF EXISTS ${indexTableName(dir, "dfreq")}")
       index.postings.write.mode("overwrite").parquet(s"$dir/postings")
       index.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
     }
@@ -131,8 +139,18 @@ object Retrieval {
     index.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  private def indexTableName(dir: String, sub: String): String =
-    ("graft_bm25_" + sub + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase
+  /** Catalog table name for one bucketed index frame. Sanitizing the dir
+    * to `[a-z0-9_]` alone would collide distinct paths (`/a/b` vs `/a_b`),
+    * and the tableExists short-circuit in [loadBm25Index] would then
+    * silently serve the OTHER store's data — so the raw (pre-sanitize)
+    * dir string's hash is appended to keep distinct dirs distinct.
+    */
+  private[graft] def indexTableName(dir: String, sub: String): String = {
+    val sanitized = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val rawHash = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    ("graft_bm25_" + sub + "_" + sanitized + "_" + rawHash).toLowerCase
+  }
 
   /** Reload [saveBm25Index] output — every frame stays a lazy scan
     * (nothing collects to the driver; the one-row stats frame is

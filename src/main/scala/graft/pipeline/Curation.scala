@@ -445,14 +445,32 @@ object Curation {
           java.nio.file.Paths.get(dir, "_graft_state_buckets.txt"),
           s"$idCol\n$stateBuckets\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case None =>
+        // mode-switch hygiene (same hazard as the BM25 store): a prior
+        // bucketed save in this dir left the marker and catalog tables;
+        // writing plain parquet under them would make the next loadState
+        // register bucket metadata over non-bucketed files.
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, "_graft_state_buckets.txt"))
+        val s = state.docs.sparkSession
+        s.sql(s"DROP TABLE IF EXISTS ${stateTableName(dir, "docs")}")
+        s.sql(s"DROP TABLE IF EXISTS ${stateTableName(dir, "fingerprints")}")
         state.docs.write.mode("overwrite").parquet(s"$dir/docs")
         state.fingerprints.write.mode("overwrite").parquet(s"$dir/fingerprints")
     }
     state.shardOffsets.coalesce(1).write.mode("overwrite").parquet(s"$dir/shard_offsets")
   }
 
-  private def stateTableName(dir: String, sub: String): String =
-    ("graft_state_" + sub + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase
+  /** Catalog table name for one bucketed state frame. The sanitize step
+    * alone maps distinct dirs (`/a/b` vs `/a_b`) to one name and the
+    * tableExists short-circuit in [loadState] would then silently return
+    * the OTHER store's frames — the raw dir's hash disambiguates.
+    */
+  private[graft] def stateTableName(dir: String, sub: String): String = {
+    val sanitized = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val rawHash = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    ("graft_state_" + sub + "_" + sanitized + "_" + rawHash).toLowerCase
+  }
 
   /** Reload [saveState] output — every frame a lazy scan; the delta
     * pipeline's multiple references re-read storage rather than holding

@@ -200,6 +200,30 @@ class CurationSpec extends SparkSpec {
     assert(fromDisk.counts === fromMem.counts)
   }
 
+  test("state store mode switch: plain save over a bucketed dir clears marker + tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_ms").toString
+    val batch = Curation.stages(corpus, benchmark, "doc_id", "text", persist = true)
+    val state = Curation.stateOf(batch, "doc_id", "text")
+    Curation.saveState(state, dir, bucketIdCol = Some("doc_id"))
+    val marker = java.nio.file.Paths.get(dir, "_graft_state_buckets.txt")
+    assert(java.nio.file.Files.exists(marker))
+    // the hazard: re-save plain over the same dir — without the hygiene,
+    // the stale marker makes loadState register bucket metadata over
+    // non-bucketed part files (wrong reads or 'Invalid bucket file')
+    Curation.saveState(state, dir, bucketIdCol = None)
+    assert(!java.nio.file.Files.exists(marker), "stale bucket marker survived a plain save")
+    assert(!spark.catalog.tableExists(Curation.stateTableName(dir, "docs")) &&
+      !spark.catalog.tableExists(Curation.stateTableName(dir, "fingerprints")),
+      "stale catalog tables survived a plain save")
+    val reloaded = Curation.loadState(spark, dir)
+    assert(reloaded.docs.count() === state.docs.count())
+  }
+
+  test("stateTableName: distinct dirs that sanitize identically stay distinct") {
+    assert(Curation.stateTableName("/tmp/a/b", "docs") !==
+      Curation.stateTableName("/tmp/a_b", "docs"))
+  }
+
   // --- boilerplate span gate (Lee et al. 2021) ---
   // a 10-token template shared verbatim across docs whose SURROUNDING text
   // differs — document-level Jaccard at 0.85 never pairs them (J ≈ 0.2-0.6

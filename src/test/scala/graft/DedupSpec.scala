@@ -193,10 +193,20 @@ class DedupSpec extends SparkSpec {
     val durable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
       .as[(Long, Long)].collect().toMap
     assert(durable === local)
-    // snapshots landed on storage: the init slot plus the two ping-pong
-    // round slots, disk bounded regardless of round count
-    val slots = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // snapshots landed on storage under a per-call subdir: the init slot
+    // plus the two ping-pong round slots, disk bounded per call
+    val calls = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(calls.size === 1 && calls.head.startsWith("cc_"), calls.toString)
+    val slots = new java.io.File(s"$dir/${calls.head}").listFiles()
+      .map(_.getName).toSet
     assert(slots === Set("labels_init", "labels_0", "labels_1"))
+    // a second call sharing the dir must not clobber the first call's
+    // final slot while its lazy result frame is unconsumed
+    val first = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    Dedup.connectedComponents(Seq((20L, 21L)).toDF("id_a", "id_b"),
+      checkpointDir = Some(dir)).collect()
+    assert(first.as[(Long, Long)].collect().toMap === local,
+      "second durable call clobbered the first call's unconsumed result")
   }
 
   test("nearDupClusters: one canonical per cluster, singletons canonical, via real pair ops") {

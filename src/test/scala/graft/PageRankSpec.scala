@@ -84,9 +84,23 @@ class PageRankSpec extends SparkSpec {
         iters = 4, oracleMode = true, checkpointDir = Some(dir))
       .as[(String, Double)].collect().toMap
     assert(durable === local)
-    // the ping-pong slots really landed on storage (and stayed bounded)
-    val slots = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // the ping-pong slots landed on storage under a per-call subdir
+    // (bounded: two node-sized snapshots per call)
+    val calls = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(calls.size === 1 && calls.head.startsWith("call_"), calls.toString)
+    val slots = new java.io.File(s"$dir/${calls.head}").listFiles()
+      .map(_.getName).toSet
     assert(slots === Set("rank_0", "rank_1"))
+    // a SECOND call sharing the dir must not clobber the first call's
+    // final slot while its (lazy) result frame is still unconsumed
+    val first = PageRank.pageRank(g.toDF("src", "dst"), "src", "dst",
+      iters = 4, oracleMode = true, checkpointDir = Some(dir))
+    val second = PageRank.pageRank(g.toDF("src", "dst"), "src", "dst",
+        iters = 3, oracleMode = true, checkpointDir = Some(dir))
+      .as[(String, Double)].collect().toMap
+    assert(first.as[(String, Double)].collect().toMap === local,
+      "second durable call clobbered the first call's unconsumed result")
+    assert(second !== local) // different iters really ran
     // personalized variant threads the option too
     val seeds = Seq("a").toDF("node")
     val pl = PageRank.personalizedPageRank(g.toDF("src", "dst"), seeds,

@@ -530,8 +530,7 @@ class PlanSpec extends SparkSpec {
       // fresh-session path: DROP the external tables (metadata only) and
       // let loadState re-register from the marker over the same files
       Seq("docs", "fingerprints").foreach { sub =>
-        spark.sql("DROP TABLE " +
-          ("graft_state_" + sub + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase)
+        spark.sql("DROP TABLE " + Curation.stateTableName(dir, sub))
       }
       val again = Curation.loadState(spark, dir)
       assert(again.docs.count() === 300)

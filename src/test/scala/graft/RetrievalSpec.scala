@@ -135,10 +135,8 @@ class RetrievalSpec extends SparkSpec {
         s"postings lost their term bucketing:\n$p")
       // fresh-session path: drop the external tables, loadBm25Index
       // re-registers from the marker over the same files
-      spark.sql("DROP TABLE " + ("graft_bm25_postings_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase)
-      spark.sql("DROP TABLE " + ("graft_bm25_dfreq_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")).toLowerCase)
+      spark.sql("DROP TABLE " + Retrieval.indexTableName(dir, "postings"))
+      spark.sql("DROP TABLE " + Retrieval.indexTableName(dir, "dfreq"))
       val again = Retrieval.loadBm25Index(spark, dir)
       val servedAgain = Retrieval.bm25TopKIndexed(again, q, k = 5)
         .as[(Long, Long, Double, Int)].collect().toSet
@@ -152,6 +150,33 @@ class RetrievalSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.shuffle.partitions", prevP)
     }
+  }
+
+  test("bm25 store mode switch: plain save over a bucketed dir clears marker + tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx_ms").toString
+    val q = Seq((7L, "garlic oil")).toDF("query_id", "qtext")
+    val built = Retrieval.bm25Index(corpus)
+    Retrieval.saveBm25Index(built, dir, bucketed = true)
+    val marker = java.nio.file.Paths.get(dir, "_graft_index_buckets.txt")
+    assert(java.nio.file.Files.exists(marker))
+    // re-save plain over the same dir: without the hygiene, the stale
+    // marker registers CLUSTERED BY tables over plain part files
+    Retrieval.saveBm25Index(built, dir, bucketed = false)
+    assert(!java.nio.file.Files.exists(marker), "stale bucket marker survived a plain save")
+    assert(!spark.catalog.tableExists(Retrieval.indexTableName(dir, "postings")) &&
+      !spark.catalog.tableExists(Retrieval.indexTableName(dir, "dfreq")),
+      "stale catalog tables survived a plain save")
+    val reloaded = Retrieval.loadBm25Index(spark, dir)
+    val served = Retrieval.bm25TopKIndexed(reloaded, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Retrieval.bm25TopK(corpus, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === direct)
+  }
+
+  test("indexTableName: distinct dirs that sanitize identically stay distinct") {
+    assert(Retrieval.indexTableName("/tmp/a/b", "postings") !==
+      Retrieval.indexTableName("/tmp/a_b", "postings"))
   }
 
   test("hashEmbedding: deterministic, dimension-correct, text-sensitive") {
