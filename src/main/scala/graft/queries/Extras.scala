@@ -542,11 +542,7 @@ object Extras {
     "q50p_pagerank_prod" -> ((s, d) => {
       val r = graft.operators.PageRank.pageRank(tradeGraph(s, d), "src", "dst",
         iters = 3, assumeDistinct = true)
-      r.withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("rank").desc, col("node").asc)))
-        .filter(col("rnk") <= 20)
-        .select(col("node"), col("rnk"))
+      topKByRank(r, 20)
     }),
 
     // TrustRank (personalized PageRank): teleport pinned to the nation-3
@@ -559,7 +555,37 @@ object Extras {
       graft.operators.PageRank.personalizedPageRank(tradeGraph(s, d), seeds,
         "src", "dst", "node", iters = 3, oracleMode = true,
         assumeDistinct = true)
+    }),
+
+    // TrustRank's production twin (q50p pattern): plain combinable SUM
+    // folds instead of q53's oracle-mode sorted folds (measured ~1.9× on
+    // q50's shape), value-oracled as the top-20 node set with ranks
+    // recomputed over the 6-decimal-rounded scores — the rounding absorbs
+    // the ≤1-ulp partial-sum nondeterminism the production fold allows.
+    // With this twin the catalog prices oracle premium vs production cost
+    // for BOTH graph entries, not just PageRank.
+    "q53p_trustrank_prod" -> ((s, d) => {
+      val seeds = T(s, d, "supplier").filter(col("s_nationkey") === 3)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+      val r = graft.operators.PageRank.personalizedPageRank(tradeGraph(s, d),
+        seeds, "src", "dst", "node", iters = 3, assumeDistinct = true)
+      topKByRank(r, 20)
     }))
+
+  /** Top-k nodes by (rank desc, node asc), ranked 1..k. sort+limit first —
+    * a DISTRIBUTED TakeOrderedAndProject (per-partition heaps, k rows to
+    * the driver-side reduce) — then the row_number window runs on the
+    * k-row frame. A bare global window would move EVERY node to one
+    * partition (WindowExec warns; at graph scale that's the whole node
+    * set through one task). Ordering is total (node-id tiebreak), so the
+    * two-step produces bit-identical rows to the single-window form.
+    */
+  private def topKByRank(r: DataFrame, k: Int): DataFrame =
+    r.orderBy(col("rank").desc, col("node").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank").desc, col("node").asc)))
+      .select(col("node"), col("rnk"))
 
   /** q50/q53/q50p's shared edge list: both directions of every
     * customer↔supplier trade relation in orders×lineitem, node ids
@@ -709,6 +735,7 @@ object Extras {
     "q50_pagerank" -> pagerankSql(3),
     "q50p_pagerank_prod" -> pagerankSql(3, topK = Some(20)),
     "q53_trustrank" -> pagerankSql(3, personalized = true),
+    "q53p_trustrank_prod" -> pagerankSql(3, personalized = true, topK = Some(20)),
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
