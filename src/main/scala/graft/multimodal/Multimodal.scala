@@ -146,6 +146,130 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for JPEG/PNG (+ GIF/BMP — whatever the JDK's registry
+    * serves) via `javax.imageio` — pure JVM, ships in the JDK, no native
+    * libs. Decodes to the same raster shape as [NetpbmCodec.Image] so the
+    * resample and re-encode stages are codec-agnostic; re-encode is PNG
+    * (lossless, so the resized raster round-trips bit-exactly, unlike a
+    * JPEG re-encode which would re-lose information per hop). JPEG pixel
+    * values are deterministic within a JVM but are the DECODER's output,
+    * not SQL-re-derivable — so value oracles audit dims/channels/codec
+    * identity and pixel values stay ScalaTest-verified (MultimodalSpec);
+    * [NetpbmCodec] remains the bit-deterministic oracle format.
+    */
+  object ImageIoCodec {
+    // stream-to-disk cache off: payloads are in-memory byte arrays and the
+    // default temp-file cache would add IO (and a writable-tmpdir
+    // dependency) per decode on every executor
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** None for anything the JDK's reader registry can't decode (garbage,
+      * truncated files, netpbm — the JDK has no PNM reader) — callers fall
+      * back to the next codec rather than crashing the partition.
+      */
+    def decode(payload: Array[Byte]): Option[NetpbmCodec.Image] =
+      try {
+        val buf = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (buf == null) None
+        else {
+          val w = buf.getWidth
+          val h = buf.getHeight
+          val channels =
+            if (buf.getColorModel.getNumColorComponents > 1) 3 else 1
+          val out = new Array[Byte](w * h * channels)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (y * w + x) * channels
+              if (channels == 3) {
+                // getRGB normalizes every color BufferedImage type to
+                // packed sRGB — one deterministic read path regardless of
+                // the reader's internal layout (3BYTE_BGR, INT_RGB, indexed)
+                val rgb = buf.getRGB(x, y)
+                out(base) = ((rgb >> 16) & 0xff).toByte
+                out(base + 1) = ((rgb >> 8) & 0xff).toByte
+                out(base + 2) = (rgb & 0xff).toByte
+              } else
+                // grayscale reads the raster sample directly: getRGB would
+                // round-trip through the sRGB colorspace transform and
+                // perturb stored values by ±2 (measured) — not lossless
+                out(base) = buf.getRaster.getSample(x, y, 0).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(NetpbmCodec.Image(w, h, channels, out))
+        }
+      } catch { case _: Exception => None } // malformed ≠ partition crash
+
+    /** Lossless PNG re-encode of a raster (gray or RGB). */
+    def encodePng(img: NetpbmCodec.Image): Array[Byte] = {
+      val buf = new java.awt.image.BufferedImage(img.width, img.height,
+        if (img.channels == 3) java.awt.image.BufferedImage.TYPE_INT_RGB
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val base = (y * img.width + x) * img.channels
+          if (img.channels == 3)
+            buf.setRGB(x, y,
+              ((img.pixels(base) & 0xff) << 16) |
+                ((img.pixels(base + 1) & 0xff) << 8) |
+                (img.pixels(base + 2) & 0xff))
+          else
+            // raster write, not setRGB: the sRGB→gray colorspace transform
+            // inside setRGB perturbs stored samples — see decode
+            buf.getRaster.setSample(x, y, 0, img.pixels(base) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(buf, "png", bos)
+      bos.toByteArray
+    }
+
+    /** JPEG encode (test-fixture generator: the REAL input format a
+      * training corpus's image column carries).
+      */
+    def encodeJpeg(img: NetpbmCodec.Image): Array[Byte] = {
+      val buf = new java.awt.image.BufferedImage(img.width, img.height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val base = (y * img.width + x) * img.channels
+          val rgb =
+            if (img.channels == 3)
+              ((img.pixels(base) & 0xff) << 16) |
+                ((img.pixels(base + 1) & 0xff) << 8) |
+                (img.pixels(base + 2) & 0xff)
+            else {
+              val g = img.pixels(base) & 0xff
+              (g << 16) | (g << 8) | g
+            }
+          buf.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(buf, "jpg", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** One decode attempt through the codec chain: cheap magic-byte netpbm
+    * first, then the JDK ImageIO registry. None = undecodable.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(String, NetpbmCodec.Image)] =
+    NetpbmCodec.decode(payload).map(("netpbm", _))
+      .orElse(ImageIoCodec.decode(payload).map(("imageio", _)))
+
   /** Deterministic synthetic asset table (ids → payload bytes), for tests
     * and benches; modality round-robins image/audio/video.
     */
@@ -176,22 +300,79 @@ object Multimodal {
 
   /** Image resize: non-image rows pass through untouched; image payloads
     * are re-encoded and meta updated — schema-preserving, narrow. Payloads
-    * that decode as binary PGM/PPM go through the REAL [NetpbmCodec]
-    * nearest-neighbor resample; everything else falls back to the
-    * [StubCodec] stand-in (this container has no other codecs).
+    * decode through the REAL codec chain — binary PGM/PPM via
+    * [NetpbmCodec] (re-encoded netpbm), JPEG/PNG/GIF/BMP via
+    * [ImageIoCodec] (re-encoded lossless PNG) — with the same
+    * nearest-neighbor resample either way; only payloads NO codec accepts
+    * fall back to the loudly-labeled [StubCodec] stand-in.
     */
   def resizeImages(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map {
         case a if a.modality == "image" =>
-          val resized = NetpbmCodec.decode(a.payload) match {
-            case Some(img) => NetpbmCodec.encode(NetpbmCodec.resize(img, w, h))
-            case None => StubCodec.resize(a.payload, w, h)
+          val (resized, format) = decodeImage(a.payload) match {
+            case Some(("netpbm", img)) =>
+              (NetpbmCodec.encode(NetpbmCodec.resize(img, w, h)), a.meta.format)
+            case Some((_, img)) =>
+              (ImageIoCodec.encodePng(NetpbmCodec.resize(img, w, h)), "png")
+            case None => (StubCodec.resize(a.payload, w, h), a.meta.format)
           }
-          a.copy(payload = resized, meta = a.meta.copy(width = w, height = h))
+          a.copy(payload = resized,
+            meta = a.meta.copy(format = format, width = w, height = h))
         case a => a
       }
+    }
+  }
+
+  /** Decode audit over an image column: which codec (if any) accepts each
+    * payload, and the DECODED dims/channels — the corpus-intake health
+    * check a 100 TB multimodal ingest runs before spending GPU-decode on
+    * it. Narrow scan-shaped pass (mapPartitions, no shuffle); codec is
+    * "none" (null dims) for undecodable payloads instead of an error, so
+    * one corrupt blob can't kill the audit.
+    */
+  def imageAudit(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeImage(a.payload) match {
+          case Some((codec, img)) =>
+            (a.asset_id, codec, Some(img.width), Some(img.height),
+              Some(img.channels))
+          case None => (a.asset_id, "none", None, None, None)
+        }
+      }
+    }.toDF("asset_id", "codec", "width", "height", "channels")
+  }
+
+  /** Deterministic mixed-format image table for the qm03 audit: one third
+    * real binary netpbm (PGM for even ids, PPM for odd), one third real
+    * JPEG (encoded by the JDK's own writer — the format a real training
+    * corpus's image column carries), one third garbage bytes (the corrupt
+    * blobs a real crawl always contains). Dims are pure functions of the
+    * id so a SQL oracle re-derives the audit without touching payload
+    * bytes.
+    */
+  def syntheticImageAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 8 + (i % 5).toInt
+      val h = 6 + (i % 7).toInt
+      val channels = if (i % 2 == 0) 1 else 3
+      def raster(ch: Int) = Array.tabulate[Byte](w * h * ch)(j =>
+        ((i * 31 + j * 7) % 251).toByte)
+      val (payload, format) = (i % 3) match {
+        case 0 =>
+          val img = NetpbmCodec.Image(w, h, channels, raster(channels))
+          (NetpbmCodec.encode(img), if (channels == 1) "pgm" else "ppm")
+        case 1 =>
+          (ImageIoCodec.encodeJpeg(NetpbmCodec.Image(w, h, 3, raster(3))), "jpg")
+        case _ =>
+          // deterministic junk that no reader accepts (no known magic)
+          (Array.tabulate[Byte](64)(j => ((i * 13 + j * 11) % 249).toByte), "bin")
+      }
+      Asset(i, "image", payload, AssetMeta(format, w, h, 0, 0L))
     }
   }
 

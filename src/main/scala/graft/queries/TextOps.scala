@@ -1541,7 +1541,18 @@ object TextOps {
         .withColumn("max_bytes", col("max_bytes").cast("long"))),
     "qm02_frame_sample" -> ((s, _) =>
       graft.multimodal.Multimodal.sampleFrames(
-        graft.multimodal.Multimodal.syntheticAssets(s, 600), everyMs = 10000)))
+        graft.multimodal.Multimodal.syntheticAssets(s, 600), everyMs = 10000)),
+
+    // Mixed-format image-column decode audit: 1/3 real binary netpbm, 1/3
+    // real JPEG (encoded AND decoded by the JDK's javax.imageio — a real
+    // lossy codec, not the stub), 1/3 corrupt blobs. The audit reports
+    // which codec accepted each payload plus the DECODED dims/channels —
+    // all pure functions of the asset id, so the oracle re-derives the
+    // full frame without touching payload bytes (which stay
+    // ScalaTest-verified down to pixel values in MultimodalSpec).
+    "qm03_image_audit" -> ((s, _) =>
+      graft.multimodal.Multimodal.imageAudit(
+        graft.multimodal.Multimodal.syntheticImageAssets(s, 600))))
 
   // \s+ split matches TextFns.tokens (tabs/newlines are separators too)
   private val tokensSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
@@ -1729,6 +1740,17 @@ object TextOps {
         | ts::BIGINT AS frame_ts_ms, (ts // 10000)::BIGINT AS frame_index
         |FROM range(600) t(i), range(0, 60000, 10000) r(ts)
         |WHERE i % 3 = 2""".stripMargin,
+    // qm03: the synthetic mixed-image contract (i%3: 0 netpbm / 1 jpeg /
+    // 2 garbage; dims 8+i%5 × 6+i%7; netpbm channels 1 for even ids else
+    // 3, jpeg always RGB) — codec identity and decoded dims are id-pure.
+    "qm03_image_audit" ->
+      """SELECT i::BIGINT AS asset_id,
+        | CASE i % 3 WHEN 0 THEN 'netpbm' WHEN 1 THEN 'imageio' ELSE 'none' END AS codec,
+        | (CASE WHEN i % 3 = 2 THEN NULL ELSE 8 + i % 5 END)::INT AS width,
+        | (CASE WHEN i % 3 = 2 THEN NULL ELSE 6 + i % 7 END)::INT AS height,
+        | (CASE WHEN i % 3 = 0 THEN (CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END)
+        |       WHEN i % 3 = 1 THEN 3 END)::INT AS channels
+        |FROM range(600) t(i)""".stripMargin,
     "qt05c_ngram_jaccard_capped" ->
       s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
          | shl AS (SELECT doc_id, lang,

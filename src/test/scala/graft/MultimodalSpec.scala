@@ -72,6 +72,78 @@ class MultimodalSpec extends SparkSpec {
     assert(NetpbmCodec.decode("P5\n65536 65536\n255\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("ImageIoCodec: real JPEG decode — dimensions exact, pixels within lossy tolerance") {
+    import Multimodal.{ImageIoCodec, NetpbmCodec}
+    // flat-color 16x12 RGB: JPEG is lossy but a uniform block survives
+    // DCT quantization nearly exactly, so spot pixel values are checkable
+    val px = Array.tabulate[Byte](16 * 12 * 3) { i =>
+      (i % 3 match { case 0 => 200; case 1 => 100; case _ => 50 }).toByte
+    }
+    val jpeg = ImageIoCodec.encodeJpeg(NetpbmCodec.Image(16, 12, 3, px))
+    // it's a real JFIF payload (FF D8 SOI marker), not a stub product
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8,
+      "missing JPEG SOI marker")
+    val img = ImageIoCodec.decode(jpeg).get
+    assert(img.width === 16 && img.height === 12 && img.channels === 3)
+    // spot-check corners + center: each channel within quantization slack
+    for (pos <- Seq(0, (12 / 2 * 16 + 8) * 3, (16 * 12 - 1) * 3)) {
+      assert(math.abs((img.pixels(pos) & 0xff) - 200) <= 8, s"R at $pos")
+      assert(math.abs((img.pixels(pos + 1) & 0xff) - 100) <= 8, s"G at $pos")
+      assert(math.abs((img.pixels(pos + 2) & 0xff) - 50) <= 8, s"B at $pos")
+    }
+    // netpbm payloads are NOT ImageIO's business (no PNM reader in the JDK)
+    assert(ImageIoCodec.decode(NetpbmCodec.encode(
+      NetpbmCodec.Image(2, 1, 1, Array[Byte](7, 9)))).isEmpty)
+    // malformed payloads reject, never throw
+    assert(ImageIoCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(ImageIoCodec.decode(Array.emptyByteArray).isEmpty)
+    // truncated JPEG (header intact, entropy data cut) must not crash
+    assert(ImageIoCodec.decode(jpeg.take(jpeg.length / 4)).isEmpty ||
+      ImageIoCodec.decode(jpeg.take(jpeg.length / 4)).isDefined) // either is safe
+  }
+
+  test("ImageIoCodec: PNG round-trips the raster bit-exactly (gray and RGB)") {
+    import Multimodal.{ImageIoCodec, NetpbmCodec}
+    val rgb = NetpbmCodec.Image(5, 3, 3,
+      Array.tabulate[Byte](45)(i => (i * 17 % 256).toByte))
+    val backRgb = ImageIoCodec.decode(ImageIoCodec.encodePng(rgb)).get
+    assert(backRgb.width === 5 && backRgb.height === 3 && backRgb.channels === 3)
+    assert(backRgb.pixels.toSeq === rgb.pixels.toSeq)
+    val gray = NetpbmCodec.Image(4, 4, 1,
+      Array.tabulate[Byte](16)(i => (i * 13 % 256).toByte))
+    val backGray = ImageIoCodec.decode(ImageIoCodec.encodePng(gray)).get
+    assert(backGray.channels === 1)
+    assert(backGray.pixels.toSeq === gray.pixels.toSeq)
+  }
+
+  test("resizeImages routes JPEG through the real codec: resized, PNG re-encoded, lossless from there") {
+    import Multimodal.{Asset, AssetMeta, ImageIoCodec, NetpbmCodec}
+    val px = Array.tabulate[Byte](8 * 8 * 3)(_ => 120.toByte)
+    val jpeg = ImageIoCodec.encodeJpeg(NetpbmCodec.Image(8, 8, 3, px))
+    val in = Seq(Asset(0L, "image", jpeg, AssetMeta("jpg", 8, 8, 0, 0L))).toDS()
+    val out = Multimodal.resizeImages(in, 4, 4).collect().head
+    assert(out.meta.format === "png" && out.meta.width === 4)
+    // the resized payload is a decodable PNG with the resampled dims
+    val back = ImageIoCodec.decode(out.payload).get
+    assert(back.width === 4 && back.height === 4 && back.channels === 3)
+    // flat color survives jpeg→resize→png within the jpeg tolerance
+    assert(back.pixels.forall(p => math.abs((p & 0xff) - 120) <= 8))
+  }
+
+  test("imageAudit: codec identity + decoded dims over the mixed synthetic column") {
+    val audit = Multimodal.imageAudit(
+      Multimodal.syntheticImageAssets(spark, 30)).cache()
+    val byCodec = audit.groupBy("codec").count().as[(String, Long)].collect().toMap
+    assert(byCodec === Map("netpbm" -> 10L, "imageio" -> 10L, "none" -> 10L))
+    // decoded dims match the generator contract for every decodable row
+    val bad = audit.filter($"codec" =!= "none")
+      .filter($"width" =!= lit(8) + col("asset_id") % 5 ||
+        $"height" =!= lit(6) + col("asset_id") % 7).count()
+    assert(bad === 0)
+    // undecodable rows carry null dims, not junk
+    assert(audit.filter($"codec" === "none" && $"width".isNotNull).count() === 0)
+  }
+
   test("resizeImages really resamples netpbm payloads (nearest-neighbor), stub otherwise") {
     import Multimodal.{Asset, AssetMeta, NetpbmCodec}
     // 4x4 grayscale: pixel value = 16*y + x, so the expected 2x2
