@@ -165,9 +165,21 @@ object Curation {
     * heap — the mechanism that amplified the composed entries 2-3× under
     * memory pressure (see docs/SCALE.md round-9 note).
     */
+  /** `storageDir = Some(dir)` (with persist = true) swaps the cache-based
+    * per-arrow materialization for STORAGE round-trips: each stage frame
+    * writes to parquet under `dir` and downstream stages re-read the
+    * files — the medallion (bronze→silver) discipline a 100 TB run
+    * actually uses between pipeline arrows, where nine corpus-sized
+    * frames cannot sit in cluster memory and a stage boundary doubles as
+    * the restart point. Stage counts ride the same observer contract
+    * (parquet footer counts — metadata reads, not scans), so the output
+    * frame is bit-identical to the cache mode's and the two share one
+    * oracle (qc01 vs qc01s prices exactly this choice).
+    */
   def stages(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), persist: Boolean = false,
-             release: Boolean = false): Stages = {
+             release: Boolean = false,
+             storageDir: Option[String] = None): Stages = {
     // persist mode materializes each stage EAGERLY (count after persist):
     // a lazily-persisted stage is cold when the first multi-branch action
     // runs, and concurrent branches race-recompute the shared upstream
@@ -178,17 +190,36 @@ object Curation {
     // performs is CAPTURED (Stages.counts) so observers never pay a
     // second action per stage.
     val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // storage mode: write the stage to parquet and return the SCAN of the
+    // files — the count reads parquet footers (metadata, not a data pass)
+    def storeOnly(name: String, df: DataFrame): DataFrame = {
+      val path = s"${storageDir.get}/$name.parquet"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+    def store(name: String, df: DataFrame): DataFrame = {
+      val back = storeOnly(name, df)
+      audit(name) = back.count()
+      back
+    }
     def mark(name: String, df: DataFrame): DataFrame =
-      if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p } else df
+      if (storageDir.isDefined) store(name, df)
+      else if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p }
+      else df
     // drop an upstream stage's cache once the downstream materialization
-    // has consumed it (no-op outside persist+release mode); non-blocking —
-    // the store reclaims blocks as it goes, lineage stays recomputable
+    // has consumed it (no-op outside persist+release mode, and a no-op on
+    // storage mode's never-cached scan frames); non-blocking — the store
+    // reclaims blocks as it goes, lineage stays recomputable
     def drop(df: DataFrame): Unit =
       if (persist && release) df.unpersist(blocking = false)
     // see curateDelta's lineageCut: eager one-shot materialization (under
-    // AQE) for the pair frame connectedComponents' edge union reads twice
+    // AQE) for the pair frame connectedComponents' edge union reads twice.
+    // Storage mode cuts through parquet instead — at cluster scale the
+    // pair frame on durable storage is also the dedup-stage restart point.
     def lineageCut(df: DataFrame): DataFrame =
-      if (persist) df.localCheckpoint(true, stageStorageLevel) else df
+      if (storageDir.isDefined) storeOnly("pairs", df) // a checkpoint, not a
+      // counted stage: no audit row, so both modes emit identical counts
+      else if (persist) df.localCheckpoint(true, stageStorageLevel) else df
     val id = col(idCol)
 
     // 1. canonicalize: one byte representation (NFC) with PII gone, BEFORE
@@ -255,7 +286,8 @@ object Curation {
     }
     // gate off → the spans frame IS the quality frame; the audit row still
     // exists so a silently (de)activated gate flips the observer's hash
-    if (persist && !audit.contains("spans")) audit("spans") = audit("quality")
+    if ((persist || storageDir.isDefined) && !audit.contains("spans"))
+      audit("spans") = audit("quality")
     if (spanGated ne quality) drop(quality) // gate on: quality fed only the gate
 
     // 3. exact dedup (fingerprint aggregate), keep the min-id copy
@@ -315,12 +347,32 @@ object Curation {
     drop(deduped)
 
     // 6. deterministic split, 7. pack the configured train split
-    val split = markSplit(Split.assignSplit(clean, id, cfg.splits), persist, audit)
+    val split0 = Split.assignSplit(clean, id, cfg.splits)
+    val split =
+      if (storageDir.isDefined) {
+        val back = store("split", split0)
+        audit.remove("split") // observer contract wants per-split rows
+        back.groupBy(col("split")).count().collect()
+          .foreach(r => audit("split_" + r.getString(0)) = r.getLong(1))
+        back
+      } else markSplit(split0, persist, audit)
     drop(clean)
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val packed = markPacked(Pack.packSequences(trainTokens, idCol, "n_tokens",
-      cfg.seqBudget, cfg.packShards), persist, audit)
+    val packed0 = Pack.packSequences(trainTokens, idCol, "n_tokens",
+      cfg.seqBudget, cfg.packShards)
+    val packed =
+      if (storageDir.isDefined) {
+        val back = store("packed", packed0)
+        audit.remove("packed")
+        val r = back.agg(count(lit(1)).as("pieces"),
+          countDistinct(col("shard"), col("seq")).as("sequences"),
+          sum(col("tok_len")).cast("long").as("tokens")).collect()(0)
+        audit("pieces") = r.getLong(0)
+        audit("sequences") = r.getLong(1)
+        if (!r.isNullAt(2)) audit("packed_tokens") = r.getLong(2)
+        back
+      } else markPacked(packed0, persist, audit)
     Stages(canon, quality, spanGated, exact, deduped, clean, split, packed,
       counts = audit.toMap)
   }

@@ -184,6 +184,22 @@ object CurationQ {
         persist = true, release = true))
     }),
 
+    // The STORAGE twin: the same stages under the same config, but every
+    // arrow round-trips durable storage (parquet write + re-read) instead
+    // of the executor cache — the medallion discipline the object doc
+    // prescribes for 100 TB runs, where nine corpus-sized frames cannot
+    // sit in cluster memory and a stage boundary doubles as the restart
+    // point. Shares qc01's oracle verbatim (the output frame is
+    // bit-identical by construction); the bench delta qc01s − qc01 is the
+    // measured price of storage round-trips vs caches.
+    "qc01s_curation_stored" -> ((s, d) => {
+      val (corpus, bench) = fixture(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_qc01s_").toString
+      graft.sources.Tables.deleteOnExit(dir)
+      stageCounts(Curation.stages(corpus, bench, "doc_id", "text", cfg,
+        persist = true, release = true, storageDir = Some(dir)))
+    }),
+
     // The INCREMENTAL twin: one day's delta through curateDelta against
     // the state of a batch run over the corpus slice — dedupDelta's
     // fingerprint anti-join, nearDupDelta's corpus-frozen prefix pairs,
@@ -378,19 +394,24 @@ object CurationQ {
        |UNION ALL SELECT '06_packed_tokens',
        |  sum(least(cum, (seq + 1) * 2048) - greatest(prev, seq * 2048))::BIGINT FROM pieces$x""".stripMargin
 
+  private val qc01Sql: String =
+    s"""WITH RECURSIVE corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 17 != 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50 AND doc_id % 17 != 0),
+       | bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+       | $benchCtes,
+       | ${gatesCtes("", "corpus")},
+       | ${spanGateCtes("", w = 8, minDocs = 3, maxFrac = 0.5)},
+       | ${exactMinCtes("", "spang")},
+       | ${batchTailCtes("")}
+       |${countsSelect("", "corpus", "spang")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "qc01_curation" ->
-      s"""WITH RECURSIVE corpus AS MATERIALIZED (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 != 0
-         |  UNION ALL
-         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50 AND doc_id % 17 != 0),
-         | bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-         | $benchCtes,
-         | ${gatesCtes("", "corpus")},
-         | ${spanGateCtes("", w = 8, minDocs = 3, maxFrac = 0.5)},
-         | ${exactMinCtes("", "spang")},
-         | ${batchTailCtes("")}
-         |${countsSelect("", "corpus", "spang")}""".stripMargin,
+    "qc01_curation" -> qc01Sql,
+    // the storage twin's output frame is bit-identical to qc01's by
+    // construction — one oracle, two execution disciplines priced apart
+    "qc01s_curation_stored" -> qc01Sql,
 
     // The incremental twin: the BATCH chain over the corpus slice
     // (suffix c) is re-derived first — its clean set, fingerprint index,

@@ -200,6 +200,22 @@ class CurationSpec extends SparkSpec {
     assert(fromDisk.counts === fromMem.counts)
   }
 
+  test("storage-mode stages: identical counts and frames to cache mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stages_store").toString
+    val cached = Curation.stages(corpus, benchmark, "doc_id", "text",
+      persist = true, release = true)
+    val stored = Curation.stages(corpus, benchmark, "doc_id", "text",
+      persist = true, release = true, storageDir = Some(dir))
+    assert(stored.counts === cached.counts)
+    // the stage frames really live on storage (and are what downstream read)
+    assert(new java.io.File(s"$dir/input.parquet").exists())
+    assert(new java.io.File(s"$dir/packed.parquet").exists())
+    assert(stored.packed.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    // row-level equality on the terminal frames, not just counts
+    assert(stored.split.collect().toSet === cached.split.collect().toSet)
+    assert(stored.packed.collect().toSet === cached.packed.collect().toSet)
+  }
+
   test("state store mode switch: plain save over a bucketed dir clears marker + tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state_ms").toString
     val batch = Curation.stages(corpus, benchmark, "doc_id", "text", persist = true)
