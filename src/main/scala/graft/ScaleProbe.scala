@@ -355,8 +355,17 @@ object ScaleProbe {
     * processedRowsPerSecond over the steady-state remainder.
     */
   private def streamGateProbe(rowsPerSec: Int, partitions: Int,
-                              mode: String = "full"): Unit = {
+                              mode: String = "full",
+                              provider: String = "default"): Unit = {
     val spark = GraftSession.get()
+    // provider=rocksdb runs the same gate with state off-heap in RocksDB
+    // (the corpus-scale launch shape, Streams.rocksDbStateStore) so the
+    // throughput delta and the state-growth fingerprint are measured, not
+    // asserted
+    if (provider == "rocksdb")
+      graft.streaming.Streams.rocksDbStateStore.foreach {
+        case (k, v) => spark.conf.set(k, v)
+      }
     val filler = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do" +
       " eiusmod tempor incididunt ut labore et dolore magna aliqua"
     val docs = spark.readStream.format("rate")
@@ -412,8 +421,21 @@ object ScaleProbe {
       if (secs > 0) rows / secs
       else if (prog.nonEmpty) prog.map(_.processedRowsPerSecond).sum / prog.size
       else 0.0
-    println(f"""{"probe":"streamgate","mode":"$mode","rate_rows_per_sec":$rowsPerSec,"partitions":$partitions,"batches":${prog.size},""" +
+    println(f"""{"probe":"streamgate","mode":"$mode","provider":"$provider","rate_rows_per_sec":$rowsPerSec,"partitions":$partitions,"batches":${prog.size},""" +
       f""""input_rows":$rows,"busy_sec":$secs%.1f,"sustained_rows_per_sec":$sustained%.0f}""")
+    // state-growth fingerprint: per steady batch, total live state rows +
+    // bytes across the gate's stateful operators — the series an operator
+    // reads to size executor state capacity (heap for the default
+    // provider, local disk + block cache for rocksdb)
+    prog.foreach { p =>
+      val ops = p.stateOperators
+      if (ops.nonEmpty) {
+        val rowsTotal = ops.map(_.numRowsTotal).sum
+        val mem = ops.map(_.memoryUsedBytes).sum
+        println(s"""{"probe":"streamgate_state","provider":"$provider","batch":${p.batchId},""" +
+          s""""state_rows":$rowsTotal,"state_bytes":$mem,"input_rows":${p.numInputRows}}""")
+      }
+    }
     spark.stop()
   }
 
@@ -937,7 +959,8 @@ object ScaleProbe {
     if (args.headOption.contains("streamgate"))
       return streamGateProbe(args.lift(1).map(_.toInt).getOrElse(50000),
         args.lift(2).map(_.toInt).getOrElse(8),
-        args.lift(3).getOrElse("full"))
+        args.lift(3).getOrElse("full"),
+        args.lift(4).getOrElse("default"))
     if (args.headOption.contains("bm25"))
       return bm25Probe(args.lift(1).getOrElse("/root/testdata/sf0.1"))
     if (args.headOption.contains("semdedup"))

@@ -17,6 +17,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Launch-shape session configs for CORPUS-SCALE stateful streams
+    * (curateStream's two dedup stores, sessionizeStream, dedupStream).
+    * The default HDFS-backed state store keeps every live state row ON
+    * THE EXECUTOR HEAP — fine for watermark-bounded windows, but a
+    * fingerprint-dedup horizon over a 100 TB/day stream holds hundreds of
+    * millions of keys per executor and outgrows any heap. RocksDB keeps
+    * state off-heap on local disk (memtable + SST files) with the same
+    * exactly-once checkpoint contract; changelog checkpointing uploads
+    * per-batch deltas instead of full snapshots, which is what keeps
+    * commit latency flat as state grows. Set these on the session BEFORE
+    * the query starts (the provider is fixed per query at start):
+    *
+    * {{{
+    * Streams.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    * val q = Streams.curateStream(docs, "doc_id", "text").writeStream...
+    * }}}
+    *
+    * Output is batch-equivalent under either provider (StreamsSpec runs
+    * the gate under RocksDB against the same batch oracle); rocksdbjni
+    * ships with Spark, so there is no extra deployment dependency. Sizing
+    * rule in docs/DEPLOY.md.
+    */
+  val rocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** Typed event for stateful APIs. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)

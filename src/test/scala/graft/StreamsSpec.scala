@@ -267,6 +267,52 @@ class StreamsSpec extends SparkSpec {
       s"stream kept ${got.length} rows for ${batchSh.size} distinct simhashes")
   }
 
+  test("curateStream under the RocksDB state store: batch-equivalent output, provider engaged") {
+    implicit val sq = spark.sqlContext
+    // the 100 TB launch shape: state off-heap in RocksDB instead of the
+    // executor heap — output must be identical to the default provider's
+    val prior = Streams.rocksDbStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Streams.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+        .select($"doc_id", $"text").orderBy($"doc_id").as[(Long, String)].collect()
+      val input = MemoryStream[(Long, Timestamp, String)]
+      input.addData(docs.zipWithIndex.map { case ((id, t), i) => (id, ts(i / 60), t) }.toSeq)
+      val q = Streams.curateStream(input.toDF().toDF("doc_id", "ts", "text"),
+          "doc_id", "text")
+        .writeStream.format("memory").queryName("cur_rdb").outputMode("append").start()
+      val (got, progressJson) = try {
+        q.processAllAvailable()
+        (spark.table("cur_rdb").select($"doc_id").as[Long].collect().toSet,
+          q.lastProgress.json)
+      } finally q.stop()
+      // the provider really was RocksDB (its custom metrics are in the
+      // progress), not a silently-ignored conf
+      assert(progressJson.contains("rocksdb"),
+        s"no rocksdb state metrics in progress: $progressJson")
+      // identical survivor set to the default-provider fixture run: the
+      // same batch-equivalence argument as the test above, compressed to
+      // set equality against the batch-distinct simhash count
+      import graft.functions.{TextFns, Expressions}
+      val gated = graft.sources.Tables.table(spark, sf, "documents")
+        .select($"doc_id",
+          TextFns.scrubPii(Expressions.normalizeText($"text", "NFC")).as("text"))
+        .filter(TextFns.tokenCount($"text") >= 20 &&
+          TextFns.qualityScore($"text") >= 0.5)
+        .select($"doc_id", TextFns.fingerprint64($"text").as("fp"),
+          Expressions.simhash64($"text").as("sh"))
+        .as[(Long, Long, Long)].collect()
+      assert(got.subsetOf(gated.map(_._1).toSet),
+        "rocksdb run kept a doc the batch gate rejects")
+      assert(got.size === gated.map(_._3).toSet.size,
+        "rocksdb survivor count diverged from batch-distinct simhashes")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("curateStream: blocklist ratio gate streams as a stateless filter") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
