@@ -641,8 +641,18 @@ object ScaleProbe {
       // per-user event density (the entity every analytics window
       // partitions by) is preserved exactly, and the copies overlap in
       // time — 10× the concurrent users, which is what 10× traffic means
-      "events" -> Seq("event_id", "user_id"))
-    val verbatim = Seq("region", "nation", "part")
+      "events" -> Seq("event_id", "user_id"),
+      // nation scales so the reference-parity entries scale: the silver
+      // zone/municipio universe derives from nation (zonesBronze,
+      // municipiosShared, the INE fixtures), and q35's distance matrix —
+      // the reference's one intrinsic O(n²) (silver/distances.py) — grows
+      // with ZONES, not facts. A SMALL offset (1000/copy, keys stay Int:
+      // fact-side n_nationkey FKs are NOT offset, so customer/supplier
+      // joins keep matching copy 0 — dims are shared, the zone UNIVERSE
+      // grows) + copy-tagged n_name below (zone IDs key on the name).
+      "nation" -> Seq("n_nationkey"))
+    val nationOff = 1000
+    val verbatim = Seq("region", "part")
     val suffix = if (skewSource) "_skew" else ""
     val scaledDir = s"/tmp/graft_scale_${copies}x$suffix"
     // skew mode (the quota/window-family stressor): 80 % of every copy's
@@ -678,7 +688,15 @@ object ScaleProbe {
       keyCols.foreach { case (t, keys) =>
         val base = spark.read.parquet(s"$sfDir/$t.parquet")
         (0 until nCopies).map { i =>
-          val rekeyed = keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
+          val rekeyed =
+            if (t == "nation")
+              // small Int offset (see keyCols note) + copy-tagged names so
+              // zone IDs / municipio labels stay distinct across copies
+              base.withColumn("n_nationkey", col("n_nationkey") + lit(i * nationOff))
+                .withColumn("n_name",
+                  if (i == 0) col("n_name")
+                  else concat(col("n_name"), lit(s"_C$i")))
+            else keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
           val stopAlt = graft.functions.TextFns.LangId.profiles.flatMap(_._2)
             .distinct.map(java.util.regex.Pattern.quote).mkString("|")
           val tagPat = s"(?<!\\S)(?!(?:$stopAlt)(?!\\S))(\\S+)"
@@ -829,7 +847,13 @@ object ScaleProbe {
     "q50_pagerank,q50p_pagerank_prod,q53_trustrank,qr01_retrieval," +
     "qr02_retrieval_serve,qt46s_lm_buckets_sampled," +
     "qt26r_semdedup_recall,qt24_neardup_delta,qt28_bm25,qt05p_ngram_jaccard_prefix," +
-    "q20_sessionize,q48_funnel,q49_retention,q51_scd2"
+    "q20_sessionize,q48_funnel,q49_retention,q51_scd2," +
+    // the reference-parity half (round-12 ask): the composed 9-table
+    // silver pipeline, the flagship OD transform (scales with lineitem),
+    // and the zone distance matrix (the reference's intrinsic O(n²) —
+    // scales with the synthesized nation/zone universe; expect rows ≈
+    // copies² and exponent ≈ 2 by construction)
+    "qp01_pipeline,q32_silver_od,q35_silver_distances"
 
   /** `runMain graft.ScaleProbe gatebench [nRows]`: per-stage batch cost of
     * the curation/stream gate's text functions, native kernels vs their
