@@ -973,7 +973,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking guarantees recall only for maxDist<=3")
-    val withH = df.select(col(idCol), simhash64(col(textCol)).as("h"))
+    // fenced: the join-key constraint inference derives isnotnull(h) and
+    // pushes it below this projection with the simhash subtree substituted
+    // — simhash then runs twice per row per join side (the lint's qt07
+    // find); the barrier keeps it in the projection, computed once
+    val withH = df.select(col(idCol),
+      graft.functions.Expressions.barrier(simhash64(col(textCol))).as("h"))
     val chunked = withH.select(col(idCol), col("h"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)))
