@@ -53,15 +53,16 @@ object Pack {
     require(budget > 0, s"token budget must be positive: $budget")
     require(shards > 0, s"shards must be positive: $shards")
     val id = col(idCol)
-    // fence the token column BEFORE filtering on it: callers project it as
-    // an expensive kernel (tokenCount), and the `> 0` filter would be
-    // pushed below that projection with the kernel subtree substituted —
-    // the kernel then runs twice per row (filter + project; the lint's
-    // qt16 find). The pass-through barrier projection costs nothing at
-    // runtime and defends EVERY caller, not just the audited ones.
-    val fenced = df.withColumn(tokenCol,
-      graft.functions.Expressions.barrier(col(tokenCol)))
-    val sharded0 = fenced.filter(col(tokenCol) > 0 && id.isNotNull)
+    // NO operator-level fence here, deliberately (round-12 A/B): wrapping
+    // tokenCol in Expressions.barrier before this filter stops the `> 0`
+    // predicate re-nesting a caller's tokenCount projection (the lint's
+    // qt16 shape), but it REGRESSED the composed delta pipeline 12.7 →
+    // 18.6 s (quiet, spread 0.17) — the non-deterministic column disturbs
+    // more of the offsets-join/window plan than the (delta-sized) double
+    // tokenCount costs. Callers whose EXPOSED plan shows the re-nesting
+    // fence their own projection (qt16 does); the measure-first rule wins
+    // over the lint's default.
+    val sharded0 = df.filter(col(tokenCol) > 0 && id.isNotNull)
       .withColumn("shard", floor(Split.hashFraction(id) * shards).cast("int"))
     // the offset table is shards-sized (tiny) — broadcast, no shuffle of
     // the document side beyond the packing window's own

@@ -1348,8 +1348,13 @@ object TextOps {
     // windowed SQL. Budget and shard count are powers of two so every
     // division in the assignment is exact in both engines.
     "qt16_pack" -> ((s, d) => {
+      // tokenCount fenced: packSequences filters n_tokens > 0 and the
+      // pushdown would re-nest the kernel into the predicate (lint find);
+      // the fence lives at the CALLER because the operator-level form
+      // measured as a qc02 regression (see packSequences' comment)
       val docs = T(s, d, "documents")
-        .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), graft.functions.Expressions.barrier(
+          TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
       graft.operators.Pack.packSequences(docs, "doc_id", "n_tokens",
         budget = 128L, shards = 8)
     }),
