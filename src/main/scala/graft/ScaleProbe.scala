@@ -843,7 +843,8 @@ object ScaleProbe {
     spark.stop()
   }
 
-  private val exponentDefaults = "qc01_curation,qc02_curation_delta," +
+  private val exponentDefaults = "qc01_curation,qc01s_curation_stored," +
+    "qc02_curation_delta," +
     "q50_pagerank,q50p_pagerank_prod,q53_trustrank,qr01_retrieval," +
     "qr02_retrieval_serve,qt46s_lm_buckets_sampled," +
     "qt26r_semdedup_recall,qt24_neardup_delta,qt28_bm25,qt05p_ngram_jaccard_prefix," +
