@@ -216,7 +216,7 @@ object Bench {
     // contention witnesses on the PARSED line (the driver keeps only the
     // last ~2000 stdout bytes; budget audited below): sentinel_ratio plus
     // the per-entry GC seconds of the handful of entries where the
-    // collector actually ran (≥0.05 s, top 8 — the rest are zeros that
+    // collector actually ran (≥0.05 s, top 5 — the rest are zeros that
     // live in the file artifact). Read rule: sentinel_ratio > 1.3 ⇒ the
     // machine was contended, discount the persist-heavy entries
     // (docs/SCALE.md).

@@ -177,6 +177,13 @@ object Multimodal {
           val h = buf.getHeight
           val channels =
             if (buf.getColorModel.getNumColorComponents > 1) 3 else 1
+          // grayscale sample depth: a 16-bit gray PNG's raster samples are
+          // 0..65535 — a bare .toByte would truncate them mod 256 and feed
+          // corrupted pixels downstream. >8-bit samples keep their high
+          // byte (>> bits-8); sub-byte samples (1/2/4-bit) stretch to the
+          // full 0..255 range so binary white is 255, not 1.
+          val grayBits =
+            if (channels == 1) buf.getColorModel.getComponentSize(0) else 8
           val out = new Array[Byte](w * h * channels)
           var y = 0
           while (y < h) {
@@ -191,11 +198,16 @@ object Multimodal {
                 out(base) = ((rgb >> 16) & 0xff).toByte
                 out(base + 1) = ((rgb >> 8) & 0xff).toByte
                 out(base + 2) = (rgb & 0xff).toByte
-              } else
+              } else {
                 // grayscale reads the raster sample directly: getRGB would
                 // round-trip through the sRGB colorspace transform and
                 // perturb stored values by ±2 (measured) — not lossless
-                out(base) = buf.getRaster.getSample(x, y, 0).toByte
+                val s = buf.getRaster.getSample(x, y, 0)
+                out(base) =
+                  (if (grayBits == 8) s
+                   else if (grayBits > 8) s >> (grayBits - 8)
+                   else (s * 255) / ((1 << grayBits) - 1)).toByte
+              }
               x += 1
             }
             y += 1

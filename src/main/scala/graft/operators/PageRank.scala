@@ -120,9 +120,16 @@ object PageRank {
     // frame is a LAZY scan of the final ping-pong slot, and a second
     // pageRank/connectedComponents call sharing the dir would otherwise
     // overwrite that slot — silently changing (or breaking mid-scan) the
-    // earlier call's still-unconsumed result. The session-scoped counter
-    // keeps disk bounded (two node-sized snapshots per live call) while a
-    // NEW session reusing the dir overwrites from call_1 again.
+    // earlier call's still-unconsumed result. Growth is explicit: the
+    // subdirs are NEVER deleted by this operator (the result is a lazy
+    // scan — the operator cannot know when the caller is done with it),
+    // so a JVM making N durable calls accumulates 2N node-sized snapshots
+    // under checkpointDir. The caller owns reclamation: delete a call's
+    // subdir once its result is materialized downstream, or point
+    // checkpointDir at job-scoped scratch storage that is dropped with
+    // the job (the deployment recipe in docs/DEPLOY.md). The counter is
+    // JVM-scoped (AtomicLong), so a NEW JVM reusing the dir overwrites
+    // from call_1 again rather than growing it further.
     val cut: (DataFrame, Int) => DataFrame = checkpointDir match {
       case Some(dir) =>
         val callDir = s"$dir/call_${durableCallSeq.incrementAndGet()}"

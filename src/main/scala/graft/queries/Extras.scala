@@ -579,12 +579,18 @@ object Extras {
     * partition (WindowExec warns; at graph scale that's the whole node
     * set through one task). Ordering is total (node-id tiebreak), so the
     * two-step produces bit-identical rows to the single-window form.
+    * Ranks order by round(rank, 6), NOT the raw Double: the DuckDB oracle
+    * ranks over 6-decimal-rounded scores (the rounding that absorbs the
+    * production fold's ≤1-ulp partial-sum nondeterminism), so two scores
+    * that differ past the 6th decimal but round equal must fall to the
+    * node-asc tiebreak HERE too — ordering by the raw score could flip
+    * them against the oracle on a near-tie graph.
     */
   private def topKByRank(r: DataFrame, k: Int): DataFrame =
-    r.orderBy(col("rank").desc, col("node").asc).limit(k)
+    r.orderBy(round(col("rank"), 6).desc, col("node").asc).limit(k)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("rank").desc, col("node").asc)))
+          .orderBy(round(col("rank"), 6).desc, col("node").asc)))
       .select(col("node"), col("rnk"))
 
   /** q50/q53/q50p's shared edge list: both directions of every

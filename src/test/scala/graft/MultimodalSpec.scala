@@ -116,6 +116,34 @@ class MultimodalSpec extends SparkSpec {
     assert(backGray.pixels.toSeq === gray.pixels.toSeq)
   }
 
+  test("ImageIoCodec: 16-bit gray PNG keeps the high byte (no mod-256 truncation)") {
+    import Multimodal.ImageIoCodec
+    // a USHORT_GRAY raster whose samples all have a ZERO low byte and a
+    // distinct high byte: truncation (.toByte of the raw sample) would
+    // read every pixel as 0; the correct >>8 reads back the high byte
+    val buf = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 2; x <- 0 until 4)
+      buf.getRaster.setSample(x, y, 0, (y * 4 + x + 1) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "png", bos)
+    val img = ImageIoCodec.decode(bos.toByteArray).get
+    assert(img.channels === 1 && img.width === 4 && img.height === 2)
+    assert(img.pixels.map(_ & 0xff).toSeq === (1 to 8))
+    // 1-bit binary PNG reads back through the INDEXED color model (3
+    // color components → the getRGB path): white must come out 255, not
+    // the raw palette index 1 — full-range either way, no truncation
+    val bin = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    bin.getRaster.setSample(0, 0, 0, 1)
+    bin.getRaster.setSample(1, 0, 0, 0)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bin, "png", bos2)
+    val img2 = ImageIoCodec.decode(bos2.toByteArray).get
+    assert(img2.channels === 3)
+    assert(img2.pixels.map(_ & 0xff).toSeq === Seq(255, 255, 255, 0, 0, 0))
+  }
+
   test("resizeImages routes JPEG through the real codec: resized, PNG re-encoded, lossless from there") {
     import Multimodal.{Asset, AssetMeta, ImageIoCodec, NetpbmCodec}
     val px = Array.tabulate[Byte](8 * 8 * 3)(_ => 120.toByte)

@@ -66,13 +66,43 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # default, and the driver regime) = no cap.
 timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
 
+def _strip_sql_comments(s):
+    """Remove SQL '--' line comments before the CTE scanner runs — an
+    unbalanced paren or quote inside a comment would otherwise miscount
+    depth. Quote-aware: a '--' inside a single-quoted literal is content
+    (e.g. a regex), not a comment."""
+    out, i, n, in_str = [], 0, len(s), False
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    out.append("''"); i += 2; continue
+                in_str = False
+            out.append(c); i += 1
+        elif c == "'":
+            in_str = True; out.append(c); i += 1
+        elif c == "-" and i + 1 < n and s[i + 1] == "-":
+            while i < n and s[i] != "\n":
+                i += 1
+        else:
+            out.append(c); i += 1
+    return "".join(out)
+
 def split_cte_script(sql):
     """Mechanically stage a `WITH [RECURSIVE] a AS (..), b AS (..) SELECT ..`
     oracle into per-CTE statements: [(name, body, is_recursive), ...] plus
     the final SELECT. Quote-aware, paren-depth-aware — CTE bodies contain
-    regex strings with parens/commas. Used by the staged-oracle path below;
-    returns (None, sql) when the statement has no top-level WITH."""
-    s = sql.strip()
+    regex strings with parens/commas. '--' comments are stripped up front
+    (see _strip_sql_comments). KNOWN LIMITATION: double-quoted identifiers
+    are NOT understood — a quoted identifier containing a paren, quote, or
+    'AS' would misparse (no current oracle uses them; keep it that way or
+    teach the scanner). The is_recursive name-mention check can also
+    false-positive on a column alias that shadows the CTE name — harmless
+    (the CTE still materializes, just via the WITH RECURSIVE wrapper).
+    Used by the staged-oracle path below; returns (None, sql) when the
+    statement has no top-level WITH."""
+    s = _strip_sql_comments(sql).strip()
     m = re.match(r"(?is)^WITH\s+(RECURSIVE\s+)?", s)
     if not m:
         return None, sql
@@ -80,11 +110,19 @@ def split_cte_script(sql):
     ctes = []
     n = len(s)
     while True:
-        mm = re.compile(r'\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(MATERIALIZED\s+)?\(',
+        # optional CTE column list: `reachc(id, l) AS (...)` — the list is
+        # carried through so staging can rename (plain comma-separated
+        # identifiers only; an expression-bearing list won't match and the
+        # whole script falls back to one-statement)
+        mm = re.compile(r'\s*([A-Za-z_][A-Za-z0-9_]*)\s*'
+                        r'(\(\s*[A-Za-z_][A-Za-z0-9_]*'
+                        r'(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*\s*\))?'
+                        r'\s+AS\s+(MATERIALIZED\s+)?\(',
                         re.IGNORECASE).match(s, i)
         if not mm:
             return None, sql  # unparseable — fall back to one-statement
         name = mm.group(1)
+        collist = mm.group(2) or ""
         j = mm.end()  # just past the opening paren
         depth, in_str = 1, False
         while j < n and depth > 0:
@@ -99,7 +137,7 @@ def split_cte_script(sql):
             j += 1
         body = s[mm.end():j - 1]
         recursive = re.search(r"\b%s\b" % re.escape(name), body) is not None
-        ctes.append((name, body, recursive))
+        ctes.append((name, collist, body, recursive))
         k = j
         while k < n and s[k].isspace(): k += 1
         if k < n and s[k] == ",":
@@ -131,11 +169,16 @@ def _oracle_child(sql, path, staged=False):
         if staged:
             ctes, final = split_cte_script(sql)
             if ctes is not None:
-                for name, body, recursive in ctes:
+                for name, collist, body, recursive in ctes:
                     if recursive:
                         c2.sql(f"CREATE TEMP TABLE {name} AS "
-                               f"WITH RECURSIVE {name} AS ({body}) "
+                               f"WITH RECURSIVE {name}{collist} AS ({body}) "
                                f"SELECT * FROM {name}")
+                    elif collist:
+                        # rename via a derived-table alias: DuckDB's CTAS
+                        # has no column-list form
+                        c2.sql(f"CREATE TEMP TABLE {name} AS "
+                               f"SELECT * FROM ({body}) AS _g{collist}")
                     else:
                         c2.sql(f"CREATE TEMP TABLE {name} AS {body}")
                 sql = final
