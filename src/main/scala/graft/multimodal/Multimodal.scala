@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` stages (the Scala analog of arrow-batched Pandas UDFs:
   * one JVM pass per partition, batch-shaped, no per-row closure dispatch).
   *
-  * DECODE IS A STUB — with one real exception: binary PGM/PPM images
-  * decode, resample, and re-encode for real via [NetpbmCodec] (pure JVM —
-  * no codec libraries in this container). For every other format
-  * `StubCodec` derives deterministic fake pixels/samples from the payload
-  * bytes. The Spark-side contract — schema, partitioning, batch iteration,
-  * null handling — is real and tested; swapping StubCodec for a JNI/ffmpeg
-  * codec is a one-function change on the same seam the netpbm path uses.
+  * Decode is REAL wherever the JDK has a codec: binary PGM/PPM via
+  * [NetpbmCodec], JPEG/PNG/GIF/BMP via [ImageIoCodec] (javax.imageio),
+  * and WAV/PCM audio via [WavCodec] (javax.sound.sampled) — all pure JVM,
+  * no native libs. VIDEO decode (and compressed audio: mp3/ogg/flac) is
+  * still the loudly-labeled [StubCodec]: ffmpeg/JNI territory, no codec
+  * library in this container. The Spark-side contract — schema,
+  * partitioning, batch iteration, null handling — is identical on both
+  * paths; swapping StubCodec for a JNI/ffmpeg codec is a one-function
+  * change on the same mapPartitions seam the real codecs use.
   */
 object Multimodal {
 
@@ -275,6 +277,128 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for WAV/PCM audio via `javax.sound.sampled` — pure JVM,
+    * ships in the JDK, no native libs (the round-12 imageio move repeated
+    * for the audio half of the multimodal seam). Decodes any WAV the JDK
+    * reader accepts, normalizing to 16-bit signed little-endian PCM (the
+    * JDK's PCM↔PCM converter handles 8-bit unsigned and big-endian
+    * sources), so downstream stages see ONE sample shape. Decoded sample
+    * values are the CONVERTER's output — deterministic in-JVM but not
+    * SQL-re-derivable — so value oracles audit rate/channels/frames/
+    * duration (id-pure in the synthetic fixture) and sample values stay
+    * ScalaTest-verified (MultimodalSpec), the qm03 discipline.
+    */
+  object WavCodec {
+    /** Decoded clip: `samples` frame-major, channel-interleaved, 16-bit. */
+    case class Audio(sampleRate: Int, channels: Int, samples: Array[Short]) {
+      def frames: Int = samples.length / channels
+      /** Integer ms (truncating) — matches the SQL twin's `//` division. */
+      def durationMs: Long = frames.toLong * 1000L / sampleRate
+    }
+
+    /** None for anything the JDK's audio registry can't read (garbage,
+      * truncated RIFF, compressed codecs the JDK lacks) — callers fall
+      * back to the stub path rather than crashing the partition.
+      */
+    def decode(payload: Array[Byte]): Option[Audio] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val alreadyPcm16le =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+          val pcm =
+            if (alreadyPcm16le) in
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                fmt.getSampleRate, 16, fmt.getChannels,
+                fmt.getChannels * 2, fmt.getSampleRate, false), in)
+          val bytes = pcm.readAllBytes()
+          val ch = fmt.getChannels
+          // a frame is ch×2 bytes; a ragged tail means the stream lied
+          // about its length (truncated mid-frame) — reject, don't guess
+          if (ch < 1 || bytes.length % (ch * 2) != 0) None
+          else {
+            val samples = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) =
+                ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            Some(Audio(math.round(fmt.getSampleRate), ch, samples))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None } // malformed ≠ partition crash
+
+    /** 16-bit signed little-endian PCM WAV bytes. */
+    def encode(a: Audio): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        a.sampleRate.toFloat, 16, a.channels, a.channels * 2,
+        a.sampleRate.toFloat, false)
+      val bytes = new Array[Byte](a.samples.length * 2)
+      var i = 0
+      while (i < a.samples.length) {
+        bytes(2 * i) = (a.samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((a.samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt,
+          (a.samples.length / a.channels).toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** 8-bit unsigned PCM WAV (test-fixture generator: the legacy input
+      * shape that exercises decode's 8→16-bit conversion path, the audio
+      * analog of [ImageIoCodec.encodeJpeg]). Mono/multichannel, samples
+      * 0..255 frame-major interleaved.
+      */
+    def encodePcm8(sampleRate: Int, channels: Int, samples: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate.toFloat, 8, channels, channels, sampleRate.toFloat, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(samples), fmt,
+          (samples.length / channels).toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Nearest-frame resample to `targetRate` (source frame
+      * ⌊f·srcFrames/outFrames⌋ — the same box-free integer mapping as
+      * [NetpbmCodec.resize], deterministic, no fp accumulation; the
+      * resample-to-16kHz normalization an ASR/TTS data pipeline runs).
+      */
+    def resample(a: Audio, targetRate: Int): Audio = {
+      require(targetRate > 0, s"target rate must be positive: $targetRate")
+      if (targetRate == a.sampleRate) return a
+      val srcFrames = a.frames
+      val outFrames = (srcFrames.toLong * targetRate / a.sampleRate).toInt
+      val out = new Array[Short](outFrames * a.channels)
+      var f = 0
+      while (f < outFrames) {
+        val sf = (f.toLong * srcFrames / outFrames).toInt
+        var c = 0
+        while (c < a.channels) {
+          out(f * a.channels + c) = a.samples(sf * a.channels + c)
+          c += 1
+        }
+        f += 1
+      }
+      Audio(targetRate, a.channels, out)
+    }
+  }
+
   /** One decode attempt through the codec chain: cheap magic-byte netpbm
     * first, then the JDK ImageIO registry. None = undecodable.
     */
@@ -385,6 +509,138 @@ object Multimodal {
           (Array.tabulate[Byte](64)(j => ((i * 13 + j * 11) % 249).toByte), "bin")
       }
       Asset(i, "image", payload, AssetMeta(format, w, h, 0, 0L))
+    }
+  }
+
+  /** Decode audit over an audio column — the [imageAudit] twin: which
+    * payloads the JDK's WAV reader accepts, plus the DECODED rate/
+    * channels/frames/duration. Narrow scan-shaped pass (mapPartitions,
+    * no shuffle); codec "none" (null fields) for undecodable payloads.
+    */
+  def audioAudit(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        WavCodec.decode(a.payload) match {
+          case Some(au) =>
+            (a.asset_id, "wav", Some(au.sampleRate), Some(au.channels),
+              Some(au.frames), Some(au.durationMs))
+          case None => (a.asset_id, "none", None, None, None, None)
+        }
+      }
+    }.toDF("asset_id", "codec", "sample_rate", "channels", "n_frames",
+      "duration_ms")
+  }
+
+  /** Audio resample-to-target-rate (default 16 kHz — the ASR/TTS pipeline
+    * normalization): non-audio rows pass through untouched; decodable WAV
+    * payloads resample through the REAL codec and re-encode as 16-bit PCM
+    * WAV with meta updated; payloads the reader rejects fall back to the
+    * loudly-labeled [StubCodec] stand-in (same contract as
+    * [resizeImages]' undecodable branch). Schema-preserving, narrow.
+    */
+  def resampleAudio(assets: Dataset[Asset], targetHz: Int = 16000): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map {
+        case a if a.modality == "audio" =>
+          WavCodec.decode(a.payload) match {
+            case Some(au) =>
+              val r = WavCodec.resample(au, targetHz)
+              a.copy(payload = WavCodec.encode(r),
+                meta = a.meta.copy(format = "wav", sampleRate = targetHz,
+                  durationMs = r.durationMs))
+            case None =>
+              a.copy(payload = StubCodec.resize(a.payload, targetHz, 1),
+                meta = a.meta.copy(sampleRate = targetHz))
+          }
+        case a => a
+      }
+    }
+  }
+
+  /** Modality-dispatched decode audit over a MIXED image+audio column —
+    * the single intake pass a multimodal corpus runs: image payloads
+    * through the [decodeImage] chain, audio through [WavCodec]; one row
+    * per asset, the non-applicable half of the columns null. Narrow,
+    * scan-shaped, one decode attempt per payload.
+    */
+  def multimodalAudit(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        a.modality match {
+          case "image" => decodeImage(a.payload) match {
+            case Some((codec, img)) =>
+              (a.asset_id, a.modality, codec, Some(img.width),
+                Some(img.height), Some(img.channels),
+                None: Option[Int], None: Option[Int], None: Option[Long])
+            case None =>
+              (a.asset_id, a.modality, "none", None, None, None, None, None, None)
+          }
+          case "audio" => WavCodec.decode(a.payload) match {
+            case Some(au) =>
+              (a.asset_id, a.modality, "wav", None: Option[Int],
+                None: Option[Int], Some(au.channels), Some(au.sampleRate),
+                Some(au.frames), Some(au.durationMs))
+            case None =>
+              (a.asset_id, a.modality, "none", None, None, None, None, None, None)
+          }
+          case _ =>
+            (a.asset_id, a.modality, "none", None, None, None, None, None, None)
+        }
+      }
+    }.toDF("asset_id", "modality", "codec", "width", "height", "channels",
+      "sample_rate", "n_frames", "duration_ms")
+  }
+
+  /** Deterministic mixed image+audio table for the qm04 audit — the qm03
+    * contract extended across modalities. id mod 6 picks the shape:
+    * 0 = real binary netpbm (PGM when (i/6)%2=0 else PPM), 2 = real JPEG,
+    * 1 = real 16-bit PCM WAV, 3 = real 8-bit unsigned PCM WAV (exercises
+    * decode's format-conversion path), 4/5 = corrupt blobs tagged image/
+    * audio. Every decoded field is a pure function of the id so a SQL
+    * oracle re-derives the full audit frame without touching payload
+    * bytes (which stay ScalaTest-verified down to sample values).
+    * Image dims: (8+i%5)×(6+i%7); audio rate 8000·(1+(i/6)%3), frames
+    * 160·(1+i%5); 16-bit channels 1+(i/6)%2, 8-bit mono.
+    */
+  def syntheticMixedAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 8 + (i % 5).toInt
+      val h = 6 + (i % 7).toInt
+      val rate = 8000 * (1 + ((i / 6) % 3).toInt)
+      val frames = 160 * (1 + (i % 5).toInt)
+      def raster(ch: Int) = Array.tabulate[Byte](w * h * ch)(j =>
+        ((i * 31 + j * 7) % 251).toByte)
+      (i % 6) match {
+        case 0 =>
+          val ch = if ((i / 6) % 2 == 0) 1 else 3
+          Asset(i, "image", NetpbmCodec.encode(
+            NetpbmCodec.Image(w, h, ch, raster(ch))),
+            AssetMeta(if (ch == 1) "pgm" else "ppm", w, h, 0, 0L))
+        case 2 =>
+          Asset(i, "image",
+            ImageIoCodec.encodeJpeg(NetpbmCodec.Image(w, h, 3, raster(3))),
+            AssetMeta("jpg", w, h, 0, 0L))
+        case 1 =>
+          val ch = 1 + ((i / 6) % 2).toInt
+          val samples = Array.tabulate[Short](frames * ch)(j =>
+            (((i * 131 + j * 17) % 4001 - 2000) * 16).toShort)
+          Asset(i, "audio", WavCodec.encode(WavCodec.Audio(rate, ch, samples)),
+            AssetMeta("wav", 0, 0, rate, frames.toLong * 1000L / rate))
+        case 3 =>
+          val samples = Array.tabulate[Byte](frames)(j =>
+            ((i * 29 + j * 13) % 256).toByte)
+          Asset(i, "audio", WavCodec.encodePcm8(rate, 1, samples),
+            AssetMeta("wav", 0, 0, rate, frames.toLong * 1000L / rate))
+        case m =>
+          // deterministic junk no reader accepts (no known magic)
+          Asset(i, if (m == 4) "image" else "audio",
+            Array.tabulate[Byte](64)(j => ((i * 13 + j * 11) % 249).toByte),
+            AssetMeta("bin", 0, 0, 0, 0L))
+      }
     }
   }
 

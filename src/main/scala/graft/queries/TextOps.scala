@@ -1557,7 +1557,18 @@ object TextOps {
     // ScalaTest-verified down to pixel values in MultimodalSpec).
     "qm03_image_audit" -> ((s, _) =>
       graft.multimodal.Multimodal.imageAudit(
-        graft.multimodal.Multimodal.syntheticImageAssets(s, 600))))
+        graft.multimodal.Multimodal.syntheticImageAssets(s, 600))),
+
+    // Mixed image+AUDIO column audit (qm03 extended across modalities):
+    // real netpbm + JPEG images, real 16-bit PCM WAV, real 8-bit unsigned
+    // PCM WAV (decoded through javax.sound.sampled's format converter),
+    // and corrupt blobs in both modalities. Codec identity and the decoded
+    // dims/rate/channels/frames/duration are all pure functions of the
+    // asset id — the oracle re-derives the full frame; sample values stay
+    // ScalaTest-verified (MultimodalSpec).
+    "qm04_multimodal_audit" -> ((s, _) =>
+      graft.multimodal.Multimodal.multimodalAudit(
+        graft.multimodal.Multimodal.syntheticMixedAssets(s, 600))))
 
   // \s+ split matches TextFns.tokens (tabs/newlines are separators too)
   private val tokensSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
@@ -1755,6 +1766,27 @@ object TextOps {
         | (CASE WHEN i % 3 = 2 THEN NULL ELSE 6 + i % 7 END)::INT AS height,
         | (CASE WHEN i % 3 = 0 THEN (CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END)
         |       WHEN i % 3 = 1 THEN 3 END)::INT AS channels
+        |FROM range(600) t(i)""".stripMargin,
+    // qm04: the mixed image+audio contract (i%6: 0 netpbm / 2 jpeg /
+    // 1 wav16 / 3 wav8 / 4,5 garbage; dims 8+i%5 × 6+i%7; rate
+    // 8000·(1+(i//6)%3), frames 160·(1+i%5); wav16 channels 1+(i//6)%2,
+    // wav8 mono; duration = frames·1000 // rate, both sides truncating
+    // integer division).
+    "qm04_multimodal_audit" ->
+      """SELECT i::BIGINT AS asset_id,
+        | CASE WHEN i % 6 IN (0, 2, 4) THEN 'image' ELSE 'audio' END AS modality,
+        | CASE i % 6 WHEN 0 THEN 'netpbm' WHEN 2 THEN 'imageio'
+        |   WHEN 1 THEN 'wav' WHEN 3 THEN 'wav' ELSE 'none' END AS codec,
+        | (CASE WHEN i % 6 IN (0, 2) THEN 8 + i % 5 END)::INT AS width,
+        | (CASE WHEN i % 6 IN (0, 2) THEN 6 + i % 7 END)::INT AS height,
+        | (CASE WHEN i % 6 = 0 THEN (CASE WHEN (i // 6) % 2 = 0 THEN 1 ELSE 3 END)
+        |       WHEN i % 6 = 2 THEN 3
+        |       WHEN i % 6 = 1 THEN 1 + (i // 6) % 2
+        |       WHEN i % 6 = 3 THEN 1 END)::INT AS channels,
+        | (CASE WHEN i % 6 IN (1, 3) THEN 8000 * (1 + (i // 6) % 3) END)::INT AS sample_rate,
+        | (CASE WHEN i % 6 IN (1, 3) THEN 160 * (1 + i % 5) END)::INT AS n_frames,
+        | (CASE WHEN i % 6 IN (1, 3)
+        |   THEN (160 * (1 + i % 5) * 1000) // (8000 * (1 + (i // 6) % 3)) END)::BIGINT AS duration_ms
         |FROM range(600) t(i)""".stripMargin,
     "qt05c_ngram_jaccard_capped" ->
       s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),

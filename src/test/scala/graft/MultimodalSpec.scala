@@ -191,4 +191,107 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.NetpbmCodec.decode(out(1).payload).isEmpty)
     assert(out(1).meta.width === 2 && out(1).meta.height === 2)
   }
+
+  test("WavCodec: 16-bit PCM round-trips sample values bit-exactly") {
+    import Multimodal.WavCodec
+    // stereo ramp with negative values — spot-checks byte order and sign
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 12345, -12345, 7)
+    val wav = WavCodec.encode(WavCodec.Audio(16000, 2, samples))
+    // RIFF/WAVE magic present — this is a real container, not a blob
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    val back = WavCodec.decode(wav).get
+    assert(back.sampleRate === 16000 && back.channels === 2 && back.frames === 4)
+    assert(back.samples.toSeq === samples.toSeq)
+    assert(back.durationMs === 0L) // 4 frames / 16kHz truncates to 0 ms
+  }
+
+  test("WavCodec: 8-bit unsigned PCM converts to full-range 16-bit signed") {
+    import Multimodal.WavCodec
+    // the exact scaling is the JDK converter's (float-based, not a bare
+    // <<8) — assert the semantics, not the implementation: frame count
+    // preserved, midpoint→0, endpoints reach full range, order monotone
+    val samples8 = Array[Byte](0, 64, 127.toByte, 128.toByte, 200.toByte, 255.toByte)
+    val wav = WavCodec.encodePcm8(8000, 1, samples8)
+    val back = WavCodec.decode(wav).get
+    assert(back.sampleRate === 8000 && back.channels === 1 && back.frames === 6)
+    val s = back.samples
+    assert(s(0) === Short.MinValue)          // 0 → full negative
+    assert(s(3) === 0)                       // 128 → zero
+    assert(s(5) >= 32000)                    // 255 → near full positive
+    assert(s.toSeq === s.toSeq.sorted)       // monotone in the input ramp
+    assert(math.abs(s(1) - (-16384)) <= 256) // 64 ≈ half negative
+  }
+
+  test("WavCodec: rejects garbage and truncated payloads without throwing") {
+    import Multimodal.WavCodec
+    assert(WavCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    val wav = WavCodec.encode(WavCodec.Audio(8000, 1, Array[Short](1, 2, 3, 4)))
+    // header-only truncation must not crash (None or a shorter clip are
+    // both safe; the JDK reader trusts the declared data-chunk length)
+    val t = WavCodec.decode(wav.take(20))
+    assert(t.isEmpty || t.get.frames <= 4)
+  }
+
+  test("WavCodec: nearest-frame resample doubles/halves frames, keeps channels aligned") {
+    import Multimodal.WavCodec
+    // stereo, 4 frames: L=10f R=-10f per frame index f
+    val src = WavCodec.Audio(8000, 2,
+      Array[Short](0, 0, 10, -10, 20, -20, 30, -30))
+    val up = WavCodec.resample(src, 16000)
+    assert(up.sampleRate === 16000 && up.frames === 8)
+    // frame f reads source frame f/2 — channel pairs stay together
+    assert(up.samples.toSeq === Seq[Short](0, 0, 0, 0, 10, -10, 10, -10,
+      20, -20, 20, -20, 30, -30, 30, -30))
+    val down = WavCodec.resample(up, 8000)
+    assert(down.frames === 4 && down.samples.toSeq === src.samples.toSeq)
+    // identity resample is a no-op reference
+    assert(WavCodec.resample(src, 8000) eq src)
+  }
+
+  test("resampleAudio: real WAV resamples to 16kHz through the codec, stub otherwise") {
+    import Multimodal.{Asset, AssetMeta, WavCodec}
+    val src = WavCodec.Audio(8000, 1, Array.tabulate[Short](800)(j => (j * 3).toShort))
+    val in = Seq(
+      Asset(0L, "audio", WavCodec.encode(src), AssetMeta("wav", 0, 0, 8000, 100L)),
+      Asset(1L, "audio", Array[Byte](9, 9, 9, 9), AssetMeta("mp3", 0, 0, 44100, 1000L)),
+      Asset(2L, "image", Array[Byte](1), AssetMeta("png", 8, 8, 0, 0L)))
+      .toDS()
+    val out = Multimodal.resampleAudio(in, 16000).collect().sortBy(_.asset_id)
+    val real = WavCodec.decode(out(0).payload).get
+    assert(real.sampleRate === 16000 && real.frames === 1600)
+    // nearest-frame upsample: every source sample appears twice in order
+    assert(real.samples.toSeq === src.samples.flatMap(s => Seq(s, s)).toSeq)
+    assert(out(0).meta.sampleRate === 16000 && out(0).meta.durationMs === 100L)
+    // undecodable audio went through the loudly-labeled stub
+    assert(WavCodec.decode(out(1).payload).isEmpty)
+    assert(out(1).meta.sampleRate === 16000)
+    // non-audio rows pass through untouched
+    assert(out(2).payload.toSeq === Seq[Byte](1) && out(2).meta.format === "png")
+  }
+
+  test("audioAudit + multimodalAudit: codec identity and decoded fields over the mixed column") {
+    val mixed = Multimodal.syntheticMixedAssets(spark, 60)
+    val audit = Multimodal.multimodalAudit(mixed).cache()
+    val byCodec = audit.groupBy("codec").count().as[(String, Long)].collect().toMap
+    assert(byCodec === Map("netpbm" -> 10L, "imageio" -> 10L,
+      "wav" -> 20L, "none" -> 20L))
+    // decoded audio fields match the generator contract (rate
+    // 8000·(1+(i/6)%3), frames 160·(1+i%5)) for every decodable audio row
+    val badAudio = audit.filter($"codec" === "wav")
+      .filter($"sample_rate" =!= lit(8000) * (lit(1) + (col("asset_id") / 6).cast("long") % 3) ||
+        $"n_frames" =!= lit(160) * (lit(1) + col("asset_id") % 5)).count()
+    assert(badAudio === 0)
+    // image rows carry null audio fields and vice versa
+    assert(audit.filter($"modality" === "image" && $"sample_rate".isNotNull).count() === 0)
+    assert(audit.filter($"modality" === "audio" && $"width".isNotNull).count() === 0)
+    // the audio-only audit agrees with the dispatched one on audio rows
+    val aa = Multimodal.audioAudit(mixed.filter(_.modality == "audio"))
+    val mism = aa.as("a").join(audit.as("m"), "asset_id")
+      .filter($"a.codec" =!= $"m.codec" ||
+        coalesce($"a.n_frames", lit(-1)) =!= coalesce($"m.n_frames", lit(-1)))
+      .count()
+    assert(mism === 0)
+  }
 }
