@@ -313,6 +313,115 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  /** Restart-recovery equivalence harness: runs curateStream over the
+    * first half of the fixture, STOPS the query, restarts from the same
+    * checkpoint over the second half (which contains whitespace-variant
+    * twins of half-1 survivors under new negative ids), and asserts the
+    * combined survivor set equals an uninterrupted run's. If the dedup
+    * state (seen fingerprints/simhashes) did not cross the restart, the
+    * twins would survive run 2 and the sets would diverge. foreachBatch
+    * sink: the memory sink refuses checkpoint recovery by design.
+    */
+  private def restartRecoveryRun(ckpt: String): (Set[Long], Set[Long], String) = {
+    implicit val sq = spark.sqlContext
+    import graft.functions.{TextFns, Expressions}
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"text").orderBy($"doc_id").as[(Long, String)].collect()
+    val half1 = docs.take(docs.length / 2)
+    // the batch gate's id→simhash map: picks twin sources that actually
+    // reach the dedup stage, and powers the representative-independent
+    // compare below (fingerprint-equal texts share a token multiset,
+    // hence a simhash — which DUP wins is batching-dependent)
+    val gatedSh = graft.sources.Tables.table(spark, sf, "documents")
+      .select($"doc_id",
+        TextFns.scrubPii(Expressions.normalizeText($"text", "NFC")).as("text"))
+      .filter(TextFns.tokenCount($"text") >= 20 &&
+        TextFns.qualityScore($"text") >= 0.5)
+      .select($"doc_id", Expressions.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    // cross-boundary dups: EXACT copies of ten GATE-PASSING half-1 texts
+    // under fresh negative ids — fingerprint-identical, so run 2 must drop
+    // them from state recovered out of the checkpoint (ts within the 1h
+    // watermark); their originals were emitted and committed in run 1
+    val twins = half1.filter(d => gatedSh.contains(d._1)).take(10)
+      .map { case (id, t) => (-(id + 1), t) }
+    val half2 = docs.drop(docs.length / 2) ++ twins
+    val all = half1 ++ half2
+    def shFor(id: Long): Long = gatedSh(if (id < 0) -id - 1 else id)
+    def stamped(rows: Array[(Long, String)], base: Int) =
+      rows.zipWithIndex.map { case ((id, t), i) => (id, ts((base + i) / 60), t) }.toSeq
+
+    // uninterrupted reference: one query, no stop, same row order/stamps
+    val refIn = MemoryStream[(Long, Timestamp, String)]
+    refIn.addData(stamped(all, 0))
+    val refQ = Streams.curateStream(refIn.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("cur_ref").outputMode("append").start()
+    val ref = try {
+      refQ.processAllAvailable()
+      spark.table("cur_ref").select($"doc_id").as[Long].collect().toSet
+    } finally refQ.stop()
+
+    // interrupted run: same stream instance, two query incarnations over
+    // one checkpoint dir; survivors collected per incarnation
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Timestamp, String)]
+    def start() = Streams.curateStream(
+        input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = df.select(col("doc_id")).as[Long](implicitly).collect()
+        got.synchronized { got ++= ids }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    input.addData(stamped(half1, 0))
+    val q1 = start()
+    val lastProgress = try { q1.processAllAvailable(); q1.lastProgress.json }
+      finally q1.stop() // clean stop: all delivered batches committed
+    input.addData(stamped(half2, half1.length))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val gotSet = got.toSet
+    // 1. THE recovery proof: every twin's original was emitted and
+    //    committed in run 1, so a twin surviving run 2 means the dedup
+    //    state did not cross the restart
+    assert(gotSet.forall(_ >= 0),
+      s"cross-boundary twins survived the restart: ${gotSet.filter(_ < 0)}")
+    assert(got.length === gotSet.size, "a survivor was emitted twice across the restart")
+    // 2. batch-equivalence across the boundary, representative-independent:
+    //    same survivor COUNT and same surviving simhash set as the
+    //    uninterrupted run (which dup of a set wins is batching-dependent)
+    assert(gotSet.size === ref.size,
+      s"restarted run kept ${gotSet.size} docs vs uninterrupted ${ref.size}")
+    assert(gotSet.map(shFor) === ref.map(shFor),
+      "surviving simhash set diverged from the uninterrupted run")
+    (ref, gotSet, lastProgress)
+  }
+
+  test("curateStream restart from checkpoint: survivor set crosses the boundary exactly-once (heap provider)") {
+    restartRecoveryRun(
+      java.nio.file.Files.createTempDirectory("graft_rs_heap").toString): Unit
+  }
+
+  test("curateStream restart from checkpoint: survivor set crosses the boundary exactly-once (RocksDB provider)") {
+    val prior = Streams.rocksDbStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Streams.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (_, _, progress) = restartRecoveryRun(
+        java.nio.file.Files.createTempDirectory("graft_rs_rdb").toString)
+      // the provider really was RocksDB (changelog checkpointing is the
+      // restart machinery under test), not a silently-ignored conf
+      assert(progress.contains("rocksdb"),
+        s"no rocksdb state metrics in progress: $progress")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("curateStream: blocklist ratio gate streams as a stateless filter") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
