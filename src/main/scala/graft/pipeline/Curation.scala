@@ -176,10 +176,23 @@ object Curation {
     * frame is bit-identical to the cache mode's and the two share one
     * oracle (qc01 vs qc01s prices exactly this choice).
     */
+  /** `resume = true` (storage mode only) turns each stage boundary into
+    * the restart point the mode's doc promises: a stage whose parquet is
+    * already COMMITTED under `storageDir` (directory + `_SUCCESS` marker —
+    * a crash mid-write leaves no marker and the stage rewrites) is READ
+    * instead of recomputed, and everything downstream rebuilds from the
+    * surviving prefix. Works for any surviving subset, not just prefixes:
+    * every stored stage's downstream plan reads the parquet scan, never
+    * the upstream lineage. The caller owns the resume invariant — same
+    * input, same config, same code version as the interrupted run (the
+    * medallion restart contract; CurationSpec pins bit-identical output
+    * and untouched surviving-stage files).
+    */
   def stages(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), persist: Boolean = false,
              release: Boolean = false,
-             storageDir: Option[String] = None): Stages = {
+             storageDir: Option[String] = None,
+             resume: Boolean = false): Stages = {
     // persist mode materializes each stage EAGERLY (count after persist):
     // a lazily-persisted stage is cold when the first multi-branch action
     // runs, and concurrent branches race-recompute the shared upstream
@@ -194,8 +207,13 @@ object Curation {
     // files — the count reads parquet footers (metadata, not a data pass)
     def storeOnly(name: String, df: DataFrame): DataFrame = {
       val path = s"${storageDir.get}/$name.parquet"
-      df.write.mode("overwrite").parquet(path)
-      df.sparkSession.read.parquet(path)
+      val spark = df.sparkSession
+      val committed = resume && {
+        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      if (!committed) df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
     }
     def store(name: String, df: DataFrame): DataFrame = {
       val back = storeOnly(name, df)

@@ -216,6 +216,58 @@ class CurationSpec extends SparkSpec {
     assert(stored.packed.collect().toSet === cached.packed.collect().toSet)
   }
 
+  test("storage-mode stages resume mid-pipeline: surviving prefix untouched, output bit-identical") {
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+      f.delete(): Unit
+    }
+    def fileSet(dir: String, stage: String): Set[String] = {
+      val d = new java.io.File(s"$dir/$stage.parquet")
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(f => f.getName + ":" + f.length).toSet
+    }
+    // uninterrupted reference run
+    val refDir = java.nio.file.Files.createTempDirectory("graft_resume_ref").toString
+    val ref = Curation.stages(corpus, benchmark, "doc_id", "text",
+      persist = true, release = true, storageDir = Some(refDir))
+    // the run that "crashes" after the exact stage
+    val crashDir = java.nio.file.Files.createTempDirectory("graft_resume_crash").toString
+    Curation.stages(corpus, benchmark, "doc_id", "text",
+      persist = true, release = true, storageDir = Some(crashDir)): Unit
+    // downstream of the crash point: gone entirely
+    for (s <- Seq("neardup", "pairs", "split", "packed")) {
+      val d = new java.io.File(s"$crashDir/$s.parquet")
+      assert(d.exists(), s"$s.parquet missing before the simulated crash")
+      rmrf(d)
+    }
+    // and one stage died MID-WRITE: files present but no _SUCCESS marker —
+    // resume must treat it as dead and rewrite, never trust partial data
+    assert(new java.io.File(s"$crashDir/clean.parquet/_SUCCESS").delete())
+    val partialBefore = fileSet(crashDir, "clean")
+    // the surviving prefix (default config ⇒ no span gate ⇒ no spans file)
+    val prefix = Seq("input", "quality", "exact")
+    val before = prefix.map(s => s -> fileSet(crashDir, s)).toMap
+    assert(before.values.forall(_.nonEmpty))
+
+    val resumed = Curation.stages(corpus, benchmark, "doc_id", "text",
+      persist = true, release = true, storageDir = Some(crashDir), resume = true)
+    // 1. bit-identical terminal frames + packed stats vs the uninterrupted run
+    assert(resumed.counts === ref.counts)
+    assert(resumed.split.collect().toSet === ref.split.collect().toSet)
+    assert(resumed.packed.collect().toSet === ref.packed.collect().toSet)
+    // 2. the surviving prefix was READ, not recomputed: same part files
+    //    (an overwrite mints fresh task-UUID part names)
+    prefix.foreach(s => assert(fileSet(crashDir, s) === before(s),
+      s"resume rewrote surviving stage $s"))
+    // 3. the partial stage was rewritten, committed, and now has a marker
+    assert(fileSet(crashDir, "clean") !== partialBefore,
+      "resume trusted a stage with no _SUCCESS marker")
+    assert(new java.io.File(s"$crashDir/clean.parquet/_SUCCESS").exists())
+    // 4. downstream stages exist again
+    for (s <- Seq("neardup", "split", "packed"))
+      assert(new java.io.File(s"$crashDir/$s.parquet/_SUCCESS").exists())
+  }
+
   test("state store mode switch: plain save over a bucketed dir clears marker + tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state_ms").toString
     val batch = Curation.stages(corpus, benchmark, "doc_id", "text", persist = true)
