@@ -89,9 +89,12 @@ object Bench {
     var sentinelMid = -1.0
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = entries.zipWithIndex
-      .map { case ((name, fn), entryIdx) =>
-      if (entryIdx == entries.size / 2) sentinelMid = sentinel()
+    // One entry's full measurement protocol (warmup + `runs` timed runs,
+    // isolation before every run). Factored out so the contention requeue
+    // below re-measures an entry under the IDENTICAL protocol.
+    def measureEntry(name: String,
+                     fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double) = {
       // stop at the first failure: one -1 already poisons the query's
       // result, so re-running a known-failed (possibly slow-to-fail) query
       // runs-1 more times buys nothing
@@ -130,14 +133,62 @@ object Bench {
       // — a large value says this entry's number is scheduling/GC noise,
       // not plan cost; the min run's GC seconds say how much of even the
       // best run was collector time (heap-pressure witness)
-      name -> (if (failed) (-1.0, -1.0, 0.0)
-               else {
-                 val best = times.minBy(_._1)
-                 (best._1,
-                   if (best._1 > 0) (times.map(_._1).max - best._1) / best._1 else 0.0,
-                   best._2)
-               })
-    }.toMap
+      if (failed) (-1.0, -1.0, 0.0)
+      else {
+        val best = times.minBy(_._1)
+        (best._1,
+          if (best._1 > 0) (times.map(_._1).max - best._1) / best._1 else 0.0,
+          best._2)
+      }
+    }
+    val firstPass = entries.zipWithIndex
+      .map { case ((name, fn), entryIdx) =>
+        if (entryIdx == entries.size / 2) sentinelMid = sentinel()
+        name -> measureEntry(name, fn)
+      }.toMap
+    val sentinelEnd = sentinel()
+    val sents = Seq(sentinelStart, sentinelMid, sentinelEnd).filter(_ > 0)
+    val sentinelRatio = if (sents.isEmpty) -1.0 else sents.max / sents.min
+    // Contention auto-requeue: three rounds (r8, r9, r11) a contended
+    // driver machine inflated exactly these persist-heavy entries 2-3×
+    // and the headline needed an out-of-band quiet re-run to adjudicate.
+    // When the catalog window's own witness says "contended"
+    // (sentinel_ratio > 1.2), re-measure the persist-heavy list once more
+    // under the identical protocol and keep the per-entry MIN — contention
+    // only ever inflates, so min(first, requeued) is the better estimator
+    // of deterministic cost whichever window was quieter. Both readings
+    // are recorded (`contended` in target/bench.json) plus the requeue
+    // window's own sentinel pair, so a reader can see whether the second
+    // window was actually quiet. The sub-2-s entries stay flat under
+    // contention (measured r8/r11) and are not requeued.
+    val persistHeavy = Seq(
+      "qc01_curation", "qc01s_curation_stored", "qc02_curation_delta",
+      "q50_pagerank", "q50p_pagerank_prod", "q53_trustrank",
+      "q53p_trustrank_prod", "qt18_dedup_clusters", "qr01_retrieval")
+    val fnByName = entries.toMap
+    var requeueSentRatio = -1.0
+    // name -> (first-pass measurement, requeued measurement); empty on a
+    // quiet run. Each measurement is (min, spread, gcOfMin).
+    val contendedPairs: Map[String, ((Double, Double, Double), (Double, Double, Double))] =
+      if (sentinelRatio > 1.2) {
+        val targets = persistHeavy.filter(n => firstPass.get(n).exists(_._1 >= 0))
+        System.err.println(s"[bench] sentinel_ratio ${f"$sentinelRatio%.2f"} > 1.2 — " +
+          s"requeueing ${targets.size} persist-heavy entries")
+        val s0 = sentinel()
+        val second = targets.map(n => n -> measureEntry(n, fnByName(n))).toMap
+        val s1 = sentinel()
+        requeueSentRatio = math.max(s0, s1) / math.min(s0, s1)
+        targets.map(n => n -> (firstPass(n), second(n))).toMap
+      } else Map.empty
+    val results = firstPass.map { case (n, first) =>
+      contendedPairs.get(n) match {
+        // adopt the requeued measurement WHOLESALE (min + its spread + its
+        // gc) when its min is lower — mixing the first pass's witnesses
+        // with the requeue's min would pair readings from different windows
+        case Some((_, req)) if req._1 >= 0 && req._1 < first._1 => n -> req
+        case _ => n -> first
+      }
+    }
     // The driver captures only the last ~2000 bytes of stdout; a queries map
     // keyed by full names with nanosecond-precision doubles overflows that
     // window and the line never parses (round 2 shipped parsed:null). Key by
@@ -200,16 +251,30 @@ object Bench {
     val gcByQuery = gcs.sortBy(_._1)
       .map { case (k, (_, _, g)) => "\"" + shortId(k) + "\":" + f"$g%.3f" }
       .mkString("{", ",", "}")
-    val sentinelEnd = sentinel()
-    val sents = Seq(sentinelStart, sentinelMid, sentinelEnd).filter(_ > 0)
-    val sentinelRatio = if (sents.isEmpty) -1.0 else sents.max / sents.min
     val sentinelJson = sents.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // full contention-requeue record (file artifact only — unbounded):
+    // both windows' readings per requeued entry + the requeue window's own
+    // sentinel ratio, so a reader can adjudicate which window was quiet
+    val contendedJson = contendedPairs.toSeq.sortBy(_._1)
+      .map { case (k, (f1, r)) =>
+        "\"" + shortId(k) + "\":{\"first\":" + f"${f1._1}%.3f" +
+          ",\"requeued\":" + f"${r._1}%.3f" + "}" }
+      .mkString("{", ",", "}")
     val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"spread_worst":$worst,""" +
       s""""gc_sec":${f"$gcTotal%.2f"},"gc_worst":$gcWorst,"gc_by_query":$gcByQuery,""" +
       s""""sentinel":$sentinelJson,"sentinel_ratio":${f"$sentinelRatio%.2f"},""" +
+      s""""contended":$contendedJson,"requeue_sentinel_ratio":${f"$requeueSentRatio%.2f"},""" +
       s""""env":$envStamp,"sf":"$sfDir"}"""
-    def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // 2-decimal, trailing zeros stripped ("0.30"→"0.3", "4.00"→"4") — the
+    // stdout line sits within ~100 bytes of the driver's tail-capture
+    // window and every saved byte is headroom for catalog growth
+    def fmt2(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val s = f"$v%.2f"
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+      }
     val qs2 = results.toSeq.sortBy(_._1)
       .map { case (k, (v, _, _)) => "\"" + shortId(k) + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
@@ -223,9 +288,18 @@ object Bench {
     val gcHot = gcs.filter(_._2._3 >= 0.05).sortBy(-_._2._3).take(5)
       .map { case (k, (_, _, g)) => "\"" + shortId(k) + "\":" + f"$g%.2f" }
       .mkString("{", ",", "}")
+    // compact requeue witness for the parsed line (the full first/requeued
+    // pairs live in the file artifact): how many entries were requeued and
+    // whether the requeue window itself was quiet. The queries map above
+    // already carries the post-requeue minima, so the headline converges
+    // to the quiet number without a judge re-run. Omitted entirely on a
+    // quiet run — zero bytes spent in the common case.
+    val requeueWitness =
+      if (contendedPairs.isEmpty) ""
+      else s""""requeue":{"n":${contendedPairs.size},"sent":${f"$requeueSentRatio%.2f"}},"""
     val stdoutLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2,""" +
       s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"gc_sec":${f"$gcTotal%.2f"},""" +
-      s""""gc_hot":$gcHot,"sentinel_ratio":${f"$sentinelRatio%.2f"},""" +
+      s""""gc_hot":$gcHot,"sentinel_ratio":${f"$sentinelRatio%.2f"},$requeueWitness""" +
       s""""env":$envStamp,"sf":"$sfDir"}"""
     // hard budget check: the driver tail-captures ~2000 bytes and sbt's
     // epilogue (~80 bytes) shares the window; a silent overflow ships
