@@ -626,9 +626,37 @@ object ScaleProbe {
     * sampled-exact terms are expected ~2 — the fixed-panel production
     * variant is the linear form (see SCALE.md round-10).
     */
-  private def exponentProbe(sfDir: String, copies: Int, entriesCsv: String,
-                            skewSource: Boolean = false): Unit = {
-    val spark = GraftSession.get()
+  /** Synthesize an `nCopies`-× scale fixture from `sfDir` into `outDir` —
+    * the shared synthesizer behind the exponent probe and the standalone
+    * `synth` mode (tools/sweep.sh). See the key-offset / content-re-key /
+    * skew comments inline: copies are disjoint key-space shards of the
+    * same distribution, content is re-keyed so dedup pipelines don't kill
+    * the scaled copies, dims stay shared so the join graph is `nCopies`
+    * disjoint copies over fixed dims.
+    *
+    * Content must be re-keyed along with the ids: unioned copies with
+    * IDENTICAL text are 90 % exact duplicates — a dedup pipeline kills
+    * them at its first stage and the "10×" run measures ~1× (first probe
+    * draft read exponent −0.12 for qc01 exactly this way). Per copy i:
+    *   - documents: prefix every NON-STOPWORD token with the copy tag (a
+    *     token-identity bijection that FIXES the langid/quality stopword
+    *     union — the second probe draft tagged every token, the quality
+    *     gate's stopword ratio read 0 on all scaled copies, and the
+    *     curation entries killed 90 % of the "10×" corpus at their first
+    *     filter). Intra-copy dup/near-dup structure is preserved exactly;
+    *     quality/langid profiles are unchanged; cross-copy docs share
+    *     only their stopword runs — so hot all-stopword shingles grow
+    *     df×10, which is precisely the hot-posting stress the prefix
+    *     filter exists for, while cross-copy Jaccard stays under the
+    *     dedup thresholds;
+    *   - embeddings: flip element signs by a deterministic (copy, dim)
+    *     mask — norms and intra-copy cosines are preserved bit-exactly
+    *     (the flips cancel inside every same-copy dot), cross-copy cosine
+    *     decorrelates instead of being 1.0.
+    */
+  def synthFixture(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                   outDir: String, nCopies: Int,
+                   skewSource: Boolean = false): Unit = {
     val off = 1L << 40
     val keyCols = Map(
       "documents" -> Seq("doc_id"),
@@ -653,6 +681,60 @@ object ScaleProbe {
       "nation" -> Seq("n_nationkey"))
     val nationOff = 1000
     val verbatim = Seq("region", "part")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    new java.io.File(outDir).mkdirs()
+    keyCols.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$sfDir/$t.parquet")
+      (0 until nCopies).map { i =>
+        val rekeyed =
+          if (t == "nation")
+            // small Int offset (see keyCols note) + copy-tagged names so
+            // zone IDs / municipio labels stay distinct across copies
+            base.withColumn("n_nationkey", col("n_nationkey") + lit(i * nationOff))
+              .withColumn("n_name",
+                if (i == 0) col("n_name")
+                else concat(col("n_name"), lit(s"_C$i")))
+          else keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
+        val stopAlt = graft.functions.TextFns.LangId.profiles.flatMap(_._2)
+          .distinct.map(java.util.regex.Pattern.quote).mkString("|")
+        val tagPat = s"(?<!\\S)(?!(?:$stopAlt)(?!\\S))(\\S+)"
+        val retexted =
+          if (t == "documents" && i > 0)
+            rekeyed.withColumn("text",
+              regexp_replace(col("text"), tagPat, s"c$i$$1"))
+          else if (t == "embeddings" && i > 0)
+            rekeyed.withColumn("embedding",
+              transform(col("embedding"), (x, j) =>
+                when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
+          else rekeyed
+        // 80 % of every copy into one source/lang (2^40 ≡ 6 mod 10, so
+        // each copy's hot residue set shifts but stays 8 of 10)
+        if (skewSource && t == "documents")
+          retexted
+            .withColumn("source",
+              when(pmod(col("doc_id"), lit(10)) < 8, lit("hot-src"))
+                .otherwise(col("source")))
+            .withColumn("lang",
+              when(pmod(col("doc_id"), lit(10)) < 8, lit("en"))
+                .otherwise(col("lang")))
+        else retexted
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    verbatim.foreach { t =>
+      // read-and-rewrite, not Files.copy: the fixture table may be a
+      // DIRECTORY of part files (the exact layout Spark — including this
+      // probe — writes), and a path-level copy would copy only the empty
+      // directory entry, silently losing the dim tables when the probe
+      // chains off a synthesized fixture.
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  private def exponentProbe(sfDir: String, copies: Int, entriesCsv: String,
+                            skewSource: Boolean = false): Unit = {
+    val spark = GraftSession.get()
     val suffix = if (skewSource) "_skew" else ""
     val scaledDir = s"/tmp/graft_scale_${copies}x$suffix"
     // skew mode (the quota/window-family stressor): 80 % of every copy's
@@ -663,78 +745,8 @@ object ScaleProbe {
     // baseline is synthesized alongside and used for t1.
     val baseDir = if (skewSource) s"/tmp/graft_scale_1x$suffix" else sfDir
     val t0 = System.nanoTime()
-    // Content must be re-keyed along with the ids: unioned copies with
-    // IDENTICAL text are 90 % exact duplicates — a dedup pipeline kills
-    // them at its first stage and the "10×" run measures ~1× (first probe
-    // draft read exponent −0.12 for qc01 exactly this way). Per copy i:
-    //   - documents: prefix every NON-STOPWORD token with the copy tag (a
-    //     token-identity bijection that FIXES the langid/quality stopword
-    //     union — the second probe draft tagged every token, the quality
-    //     gate's stopword ratio read 0 on all scaled copies, and the
-    //     curation entries killed 90 % of the "10×" corpus at their first
-    //     filter). Intra-copy dup/near-dup structure is preserved exactly;
-    //     quality/langid profiles are unchanged; cross-copy docs share
-    //     only their stopword runs — so hot all-stopword shingles grow
-    //     df×10, which is precisely the hot-posting stress the prefix
-    //     filter exists for, while cross-copy Jaccard stays under the
-    //     dedup thresholds;
-    //   - embeddings: flip element signs by a deterministic (copy, dim)
-    //     mask — norms and intra-copy cosines are preserved bit-exactly
-    //     (the flips cancel inside every same-copy dot), cross-copy cosine
-    //     decorrelates instead of being 1.0.
-    def synth(outDir: String, nCopies: Int): Unit = {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-      new java.io.File(outDir).mkdirs()
-      keyCols.foreach { case (t, keys) =>
-        val base = spark.read.parquet(s"$sfDir/$t.parquet")
-        (0 until nCopies).map { i =>
-          val rekeyed =
-            if (t == "nation")
-              // small Int offset (see keyCols note) + copy-tagged names so
-              // zone IDs / municipio labels stay distinct across copies
-              base.withColumn("n_nationkey", col("n_nationkey") + lit(i * nationOff))
-                .withColumn("n_name",
-                  if (i == 0) col("n_name")
-                  else concat(col("n_name"), lit(s"_C$i")))
-            else keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
-          val stopAlt = graft.functions.TextFns.LangId.profiles.flatMap(_._2)
-            .distinct.map(java.util.regex.Pattern.quote).mkString("|")
-          val tagPat = s"(?<!\\S)(?!(?:$stopAlt)(?!\\S))(\\S+)"
-          val retexted =
-            if (t == "documents" && i > 0)
-              rekeyed.withColumn("text",
-                regexp_replace(col("text"), tagPat, s"c$i$$1"))
-            else if (t == "embeddings" && i > 0)
-              rekeyed.withColumn("embedding",
-                transform(col("embedding"), (x, j) =>
-                  when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
-            else rekeyed
-          // 80 % of every copy into one source/lang (2^40 ≡ 6 mod 10, so
-          // each copy's hot residue set shifts but stays 8 of 10)
-          if (skewSource && t == "documents")
-            retexted
-              .withColumn("source",
-                when(pmod(col("doc_id"), lit(10)) < 8, lit("hot-src"))
-                  .otherwise(col("source")))
-              .withColumn("lang",
-                when(pmod(col("doc_id"), lit(10)) < 8, lit("en"))
-                  .otherwise(col("lang")))
-          else retexted
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      }
-      verbatim.foreach { t =>
-        // read-and-rewrite, not Files.copy: the fixture table may be a
-        // DIRECTORY of part files (the exact layout Spark — including this
-        // probe — writes), and a path-level copy would copy only the empty
-        // directory entry, silently losing the dim tables when the probe
-        // chains off a synthesized fixture.
-        spark.read.parquet(s"$sfDir/$t.parquet")
-          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      }
-    }
-    synth(scaledDir, copies)
-    if (skewSource) synth(baseDir, 1)
+    synthFixture(spark, sfDir, scaledDir, copies, skewSource)
+    if (skewSource) synthFixture(spark, sfDir, baseDir, 1, skewSource)
     println(f"""{"probe":"exponent_setup","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -959,6 +971,22 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("gatebench"))
       return gateBench(args.lift(1).map(_.toInt).getOrElse(1000000))
+    if (args.headOption.contains("synth")) {
+      // synth-only (tools/sweep.sh): `synth <sfDir> <copies> [outDir] [skew]`
+      // — fixture synthesis without the timing runs, so a parity sweep can
+      // build the scale fixture in one bounded Spark invocation
+      val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+      val copies = args.lift(2).map(_.toInt).getOrElse(10)
+      val skew = args.lift(4).contains("skew")
+      val outDir = args.lift(3).filter(_.nonEmpty)
+        .getOrElse(s"/tmp/graft_scale_${copies}x${if (skew) "_skew" else ""}")
+      val spark = GraftSession.get()
+      val t0 = System.nanoTime()
+      synthFixture(spark, sfDir, outDir, copies, skew)
+      println(f"""{"probe":"synth","copies":$copies,"out":"$outDir","sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("exponent"))
       return exponentProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(10),

@@ -7,9 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scale-sweep regime: shuffle-partition count must ride the fixture
+    // (the spill-aware sizing rule — at 100× on cpus-many partitions the
+    // 60M-row graph joins sort millions of rows per task and the single-JVM
+    // execution pool throws UNABLE_TO_ACQUIRE_MEMORY, measured in the
+    // exponent probe). Unset (the driver regime) = cpus, as always.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -22,12 +29,56 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Scale-sweep regime only: a per-entry wall cap, so an entry that is
+    // CAPACITY-bound at a synthesized fixture (qt12r's exact all-pairs
+    // baseline at 100× = 2·10¹⁰ pairs by definition) classifies as a
+    // self-describing skip (`_CAPACITY` marker, read by diffcheck) instead
+    // of stalling the sweep for hours. Unset in the driver regime — a
+    // base-scale entry must never be capped.
+    val entryCapSec = sys.env.get("SPARK_GRAFT_ENTRY_TIMEOUT").map(_.toInt)
+    final case class EntryCapped(sec: Int) extends Exception(s"wall-cap ${sec}s")
+    def runCapped(name: String, run: () => Unit): Unit = entryCapSec match {
+      case None => run()
+      case Some(cap) =>
+        import scala.concurrent.{Await, Future, TimeoutException}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // job group must be set on the thread that SUBMITS the jobs
+        // (localProperties are thread-local; pooled future threads don't
+        // inherit the main thread's)
+        val fut = Future {
+          spark.sparkContext.setJobGroup(name, s"verify:$name",
+            interruptOnCancel = true)
+          run()
+        }
+        try Await.result(fut, cap.seconds)
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            // grace window for the cancel to unwind the writer (abandoning
+            // a thread still submitting jobs would corrupt the next entry's
+            // scheduling); if it doesn't land, the future thread dies with
+            // its job group already cancelled
+            scala.util.Try(Await.result(fut, 120.seconds))
+            throw EntryCapped(cap)
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try runCapped(name, () =>
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"))
+      catch {
+        case EntryCapped(sec) =>
+        // capacity, not failure: clear any partial artifact, leave a marker
+        // diffcheck classifies (with the CAPACITY_BY_DESIGN rationale when
+        // registered), keep errors.json for true failures only
+        System.err.println(s"[verify] $name CAPACITY: wall-cap ${sec}s at $sfDir")
+        val d = new java.io.File(s"$outDir/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(d); d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_CAPACITY"), s"wall-cap ${sec}s\n")
+        case e: Throwable =>
         // A broken entry must be LOUD, never absent: r7 lost five queries
         // from CORRECTNESS because a thrown analysis error left no artifact
         // for the driver to diff. Write a _FAILED marker in the query's own

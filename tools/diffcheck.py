@@ -257,39 +257,70 @@ only = {s.strip() for s in os.environ.get("GRAFT_ONLY", "").split(",") if s.stri
 
 fails = 0
 capacity = []   # oracle-side OOM/timeout: the ORACLE can't run, not a diff
+# per-entry record for the machine-readable parity artifact
+# (GRAFT_PARITY_JSON=path): status ok|fail|skip, rows, reason
+record = {}
+import time
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
+    t0 = time.time()
+    # Spark-side capacity marker (Verify's SPARK_GRAFT_ENTRY_TIMEOUT wall
+    # cap, scale-sweep regime only): the SPARK side couldn't complete at
+    # this fixture — classify before burning oracle time on it
+    if os.path.exists(f"{out_dir}/{name}/_CAPACITY"):
+        why = open(f"{out_dir}/{name}/_CAPACITY").read().strip()
+        reason = f"spark capacity ({why})"
+        bd = CAPACITY_BY_DESIGN.get(name)
+        if bd:
+            reason += f" — BY DESIGN: {bd}"
+        print(f"SKIP {name}: {reason}", flush=True)
+        record[name] = {"status": "skip", "reason": reason}
+        capacity.append(name); continue
     try:
         exp, cap = run_oracle(sql, name)
         if cap:
-            print(f"SKIP {name}: {skip_reason(name, cap)}", flush=True)
+            reason = skip_reason(name, cap)
+            print(f"SKIP {name}: {reason}", flush=True)
+            record[name] = {"status": "skip", "reason": reason}
             capacity.append(name); continue
     except duckdb.OutOfMemoryException as e:
-        print(f"SKIP {name}: {skip_reason(name, f'OOM: {e}')}")
+        reason = skip_reason(name, f'OOM: {e}')
+        print(f"SKIP {name}: {reason}")
+        record[name] = {"status": "skip", "reason": reason}
         capacity.append(name); continue
     except Exception as e:
-        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1
+        record[name] = {"status": "fail", "reason": f"oracle error: {e}"}; continue
     try:
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
     except Exception as e:
-        print(f"FAIL {name}: spark output missing: {e}"); fails += 1; continue
+        print(f"FAIL {name}: spark output missing: {e}"); fails += 1
+        record[name] = {"status": "fail", "reason": "spark output missing"}; continue
     try:
         exp, got = canon(exp), canon(got)
     except TypeError as e:
-        print(f"FAIL {name}: {e}"); fails += 1; continue
+        print(f"FAIL {name}: {e}"); fails += 1
+        record[name] = {"status": "fail", "reason": str(e)}; continue
     if list(exp.columns) != list(got.columns):
-        print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}"); fails += 1; continue
+        print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}"); fails += 1
+        record[name] = {"status": "fail", "reason": "column mismatch"}; continue
     if len(exp) != len(got):
-        print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}"); fails += 1
+        record[name] = {"status": "fail",
+                        "reason": f"rows {len(got)} vs oracle {len(exp)}"}; continue
     if not exp.equals(got):
         neq = (exp != got) & ~(exp.isna() & got.isna())
         bad = neq.any(axis=1)
         print(f"FAIL {name}: {bad.sum()} mismatched rows of {len(exp)}")
         print("  oracle:", exp[bad].head(3).to_dict("records"))
         print("  spark: ", got[bad].head(3).to_dict("records"))
-        fails += 1; continue
-    print(f"OK   {name}: {len(exp)} rows")
+        fails += 1
+        record[name] = {"status": "fail",
+                        "reason": f"{int(bad.sum())} mismatched rows of {len(exp)}"}; continue
+    print(f"OK   {name}: {len(exp)} rows", flush=True)
+    record[name] = {"status": "ok", "rows": int(len(exp)),
+                    "oracle_sec": round(time.time() - t0, 1)}
 # queries without oracle
 for p in sorted(glob.glob(f"{out_dir}/*/")):
     n = p.rstrip("/").split("/")[-1]
@@ -298,6 +329,19 @@ for p in sorted(glob.glob(f"{out_dir}/*/")):
     if n not in oracle:
         cnt = con.sql(f"SELECT count(*) FROM '{p}*.parquet'").fetchone()[0]
         print(f"ROWS {n}: {cnt} rows (no oracle)")
+        record[n] = {"status": "rows_only", "rows": int(cnt)}
+parity_path = os.environ.get("GRAFT_PARITY_JSON")
+if parity_path:
+    ok = sum(1 for r in record.values() if r["status"] == "ok")
+    summary = {"sf_dir": sf_dir, "out_dir": out_dir,
+               "oracle_timeout_s": timeout_s,
+               "duckdb_mem": os.environ.get("GRAFT_DUCKDB_MEM", "96GB"),
+               "oracled": len([n for n in oracle if not only or n in only]),
+               "value_checked": ok, "failures": fails,
+               "capacity_skips": capacity}
+    with open(parity_path, "w") as f:
+        json.dump({"summary": summary, "entries": record}, f, indent=1)
+    print(f"parity record written to {parity_path}")
 print(f"\n{fails} failures / {len(oracle)} oracled queries"
       + (f" ({len(capacity)} oracle-capacity skips: {','.join(capacity)})"
          if capacity else ""))

@@ -1,0 +1,74 @@
+#!/usr/bin/env bash
+# One-command scale parity sweep: synthesize the N-copy fixture, dump the
+# full catalog with graft.Verify, diff every oracle in DuckDB (subprocess-
+# isolated, wall-capped, staged where registered), write PARITY_<tag>.json.
+#
+#   tools/sweep.sh <copies> [tag] [baseSfDir]
+#
+#   tools/sweep.sh 10  r13          # reproduces the round-12 10x record
+#   tools/sweep.sh 100 r13_100x     # the 100x twin
+#
+# Base defaults to sf0.1 — the base every exponent probe and parity
+# sweep since round 10 has used (10x = 10 disjoint re-keyed copies of
+# sf0.1; see ScaleProbe.synthFixture for the re-keying rules).
+#
+# Knobs (env, all optional):
+#   GRAFT_SWEEP_CPUS     local[N] for the Spark dump (default 16)
+#   GRAFT_ORACLE_TIMEOUT per-oracle wall cap, seconds (default 400)
+#   GRAFT_ENTRY_TIMEOUT  per-ENTRY Spark wall cap, seconds (default 900)
+#                        — a capacity-bound entry at the scale fixture
+#                        becomes a _CAPACITY skip, not a multi-hour stall
+#   GRAFT_DUCKDB_MEM     DuckDB budget (default 70GB — leaves room for the
+#                        page cache; NEVER run the diff concurrently with a
+#                        Spark JVM, the two together exhaust RAM)
+#   GRAFT_ONLY           comma list to restrict both dump and diff
+#
+# The Spark dump and the DuckDB diff run SERIALLY by construction — that
+# is the documented safe regime (see .claude/skills/verify/SKILL.md).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+COPIES="${1:?usage: tools/sweep.sh <copies> [tag] [baseSfDir]}"
+TAG="${2:-${COPIES}x}"
+BASE="${3:-/root/testdata/sf0.1}"
+CPUS="${GRAFT_SWEEP_CPUS:-16}"
+TIMEOUT="${GRAFT_ORACLE_TIMEOUT:-400}"
+ENTRY_TIMEOUT="${GRAFT_ENTRY_TIMEOUT:-900}"
+MEM="${GRAFT_DUCKDB_MEM:-70GB}"
+# spill-aware shuffle sizing (the exponent probe's rule): partitions ride
+# the fixture — 32 at <=10x, 32*copies/10 above, so per-task sort volume
+# stays roughly constant as the corpus grows
+SHUF=$(( 32 * (COPIES > 10 ? COPIES / 10 : 1) ))
+FIXTURE="/tmp/graft_sweep_${COPIES}x"
+OUT="/tmp/graft_sweep_out_${TAG}"
+PARITY="PARITY_${TAG}.json"
+
+echo "[sweep] 1/3 synthesizing ${COPIES}x fixture from ${BASE} -> ${FIXTURE}"
+sbt -batch "runMain graft.ScaleProbe synth ${BASE} ${COPIES} ${FIXTURE}" \
+  2>&1 | grep -E '"probe"|error' || true
+test -d "${FIXTURE}/documents.parquet" || {
+  echo "[sweep] synthesis failed: ${FIXTURE}/documents.parquet missing" >&2
+  exit 1
+}
+
+echo "[sweep] 2/3 dumping catalog at ${FIXTURE} (local[${CPUS}]) -> ${OUT}"
+# `env` (not bare prefix assignments): a ${VAR:+...} expansion is not an
+# assignment at bash parse time, so a bare-prefix form silently turns the
+# next assignment into the command word
+env SPARK_GRAFT_CPUS="${CPUS}" \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS="${SHUF}" \
+  SPARK_GRAFT_ENTRY_TIMEOUT="${ENTRY_TIMEOUT}" \
+  ${GRAFT_ONLY:+SPARK_GRAFT_ONLY="${GRAFT_ONLY}"} \
+  sbt -batch "runMain graft.Verify ${FIXTURE} ${OUT}" 2>&1 \
+  | grep -E '\[verify\]|FAILED|CAPACITY' || true
+test -f "${OUT}/oracle_sql.json" || {
+  echo "[sweep] dump failed: ${OUT}/oracle_sql.json missing" >&2
+  exit 1
+}
+
+echo "[sweep] 3/3 diffing against DuckDB (timeout ${TIMEOUT}s, mem ${MEM})"
+env GRAFT_ORACLE_TIMEOUT="${TIMEOUT}" GRAFT_DUCKDB_MEM="${MEM}" \
+  ${GRAFT_ONLY:+GRAFT_ONLY="${GRAFT_ONLY}"} \
+  GRAFT_PARITY_JSON="${PARITY}" \
+  python3 -u tools/diffcheck.py "${FIXTURE}" "${OUT}"
+echo "[sweep] done: ${PARITY}"
