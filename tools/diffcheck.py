@@ -196,6 +196,13 @@ def run_oracle(sql, name=None):
     path = os.path.join(tmp, "oracle_result.parquet")
     for p_ in (path, path + ".cap", path + ".err"):
         if os.path.exists(p_): os.remove(p_)
+    # a killed/OOMed child leaks its spill blocks (no process left to
+    # clean them); 9 such children at the 60GB cap would fill the disk —
+    # sweep the temp dir before each oracle (serial execution, nothing
+    # else owns these files)
+    for f_ in glob.glob(os.path.join(tmp, "duckdb_temp_*")):
+        try: os.remove(f_)
+        except OSError: pass
     proc = multiprocessing.Process(target=_oracle_child,
                                    args=(sql, path, name in STAGED_AT_SCALE))
     proc.start(); proc.join(timeout_s)
