@@ -63,9 +63,36 @@ object Verify {
             throw EntryCapped(cap)
         }
     }
+    // Scale-sweep regime: entries MEASURED to exceed the machine at the
+    // fixture (qt12r at 100× fills the disk with ~10¹⁰ LSH candidate id
+    // pairs before any wall cap can fire) are pre-declared — the marker
+    // is written without running, diffcheck attaches the
+    // CAPACITY_BY_DESIGN rationale, and the skip is visible in the parity
+    // record. Never a silent cap: absent from this list = the entry runs.
+    val preDeclared = sys.env.get("SPARK_GRAFT_CAPACITY_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // Scale-sweep regime: resume an interrupted dump — entries with a
+    // complete artifact (parquet _SUCCESS or _CAPACITY marker) from a
+    // previous run against the SAME fixture/outDir are kept, so a
+    // mid-dump crash doesn't restart a multi-hour sweep from entry one.
+    val resume = sys.env.get("SPARK_GRAFT_RESUME").contains("1")
+    def hasArtifact(name: String): Boolean = {
+      val d = new java.io.File(s"$outDir/$name")
+      new java.io.File(d, "_SUCCESS").exists() ||
+        new java.io.File(d, "_CAPACITY").exists()
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      if (preDeclared.contains(name)) {
+        System.err.println(s"[verify] $name CAPACITY: pre-declared skip at $sfDir")
+        val d = new java.io.File(s"$outDir/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(d); d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_CAPACITY"),
+          "pre-declared (measured capacity at this fixture; see CAPACITY_BY_DESIGN)\n")
+      } else if (resume && hasArtifact(name)) {
+        System.err.println(s"[verify] $name RESUME: artifact kept")
+      } else
       try runCapped(name, () =>
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name"))
@@ -117,6 +144,17 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
+    // A mid-dump SparkContext death (executor OOM in local mode, fatal
+    // uncaught exception) fails every remaining entry with the SAME
+    // stopped-context error — those _FAILED markers describe the crash,
+    // not the entries. Exit nonzero so a caller (tools/sweep.sh) aborts
+    // instead of diffing a dump that is mostly crash residue. The jsons
+    // above are still written: the partial dump is inspectable.
+    if (spark.sparkContext.isStopped) {
+      System.err.println("[verify] ABORT: SparkContext stopped mid-dump — " +
+        "entries after the stop are crash residue, not results")
+      sys.exit(2)
+    }
     spark.stop()
   }
 }

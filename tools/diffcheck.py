@@ -236,7 +236,15 @@ CAPACITY_BY_DESIGN = {
         "q50_pagerank (staged form green at 10x, r12)",
     "qt12r_embed_neardup_recall": "exact all-pairs recall baseline is "
         "O(n²) by definition; the residue-class panel inside the entry is "
-        "the scaled check",
+        "the scaled check. At 100× even the SPARK side is capacity-bound "
+        "(measured r13): the entry's FIXED LSH operating points "
+        "(planes=8 → 256 buckets) put ~780 of the 200k near-random "
+        "vectors in every bucket, so the candidate generator feeds "
+        "~10^10 raw id pairs into its dedup shuffle (~700 GB — filled "
+        "the disk at 559 s). Production scales planes with log N (the "
+        "lshTopK scaladoc rule); the fixed-point recall grid is "
+        "fixture-scale instrumentation, pre-declared via "
+        "SPARK_GRAFT_CAPACITY_SKIP at 100×",
     "qt46_lm_buckets": "re-derives the corpus bigram-NLL model in one "
         "query; qt46s_lm_buckets_sampled is the scaled value check",
     "qc02_curation_delta": "re-derives the ENTIRE batch curation run (the "

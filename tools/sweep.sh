@@ -22,6 +22,11 @@
 #                        page cache; NEVER run the diff concurrently with a
 #                        Spark JVM, the two together exhaust RAM)
 #   GRAFT_ONLY           comma list to restrict both dump and diff
+#   GRAFT_CAPACITY_SKIP  comma list of entries pre-declared Spark-capacity
+#                        at this fixture (marker written without running;
+#                        reason must be in diffcheck's CAPACITY_BY_DESIGN)
+#   GRAFT_RESUME=1       keep complete artifacts from a prior dump against
+#                        the same out dir (crash-resume for long sweeps)
 #
 # The Spark dump and the DuckDB diff run SERIALLY by construction — that
 # is the documented safe regime (see .claude/skills/verify/SKILL.md).
@@ -43,24 +48,42 @@ FIXTURE="/tmp/graft_sweep_${COPIES}x"
 OUT="/tmp/graft_sweep_out_${TAG}"
 PARITY="PARITY_${TAG}.json"
 
-echo "[sweep] 1/3 synthesizing ${COPIES}x fixture from ${BASE} -> ${FIXTURE}"
-sbt -batch "runMain graft.ScaleProbe synth ${BASE} ${COPIES} ${FIXTURE}" \
-  2>&1 | grep -E '"probe"|error' || true
-test -d "${FIXTURE}/documents.parquet" || {
-  echo "[sweep] synthesis failed: ${FIXTURE}/documents.parquet missing" >&2
-  exit 1
-}
+# a completed synthesis is stamped and reused (deterministic for a given
+# base+copies); a crashed/partial one is re-run
+if [ -f "${FIXTURE}/.synth_done" ] \
+   && [ "$(cat "${FIXTURE}/.synth_done")" = "${BASE} ${COPIES}" ]; then
+  echo "[sweep] 1/3 reusing synthesized fixture ${FIXTURE}"
+else
+  echo "[sweep] 1/3 synthesizing ${COPIES}x fixture from ${BASE} -> ${FIXTURE}"
+  sbt -batch "runMain graft.ScaleProbe synth ${BASE} ${COPIES} ${FIXTURE}" \
+    2>&1 | grep -E '"probe"|error' || true
+  test -d "${FIXTURE}/documents.parquet" || {
+    echo "[sweep] synthesis failed: ${FIXTURE}/documents.parquet missing" >&2
+    exit 1
+  }
+  echo "${BASE} ${COPIES}" > "${FIXTURE}/.synth_done"
+fi
 
 echo "[sweep] 2/3 dumping catalog at ${FIXTURE} (local[${CPUS}]) -> ${OUT}"
 # `env` (not bare prefix assignments): a ${VAR:+...} expansion is not an
 # assignment at bash parse time, so a bare-prefix form silently turns the
 # next assignment into the command word
+# full dump log kept (a grep-filtered pipe loses Spark's own fatal
+# lines AND the pipe swallows sbt's exit code — both bit round 13)
+DUMPLOG="/tmp/graft_sweep_dump_${TAG}.log"
 env SPARK_GRAFT_CPUS="${CPUS}" \
   SPARK_GRAFT_SHUFFLE_PARTITIONS="${SHUF}" \
   SPARK_GRAFT_ENTRY_TIMEOUT="${ENTRY_TIMEOUT}" \
   ${GRAFT_ONLY:+SPARK_GRAFT_ONLY="${GRAFT_ONLY}"} \
-  sbt -batch "runMain graft.Verify ${FIXTURE} ${OUT}" 2>&1 \
-  | grep -E '\[verify\]|FAILED|CAPACITY' || true
+  ${GRAFT_CAPACITY_SKIP:+SPARK_GRAFT_CAPACITY_SKIP="${GRAFT_CAPACITY_SKIP}"} \
+  ${GRAFT_RESUME:+SPARK_GRAFT_RESUME="${GRAFT_RESUME}"} \
+  sbt -batch "runMain graft.Verify ${FIXTURE} ${OUT}" \
+  > "${DUMPLOG}" 2>&1 || {
+  echo "[sweep] dump ABORTED (SparkContext death or sbt failure) — see ${DUMPLOG}" >&2
+  grep -E '\[verify\]|SparkException|OutOfMemory|Killed' "${DUMPLOG}" | tail -20 >&2
+  exit 1
+}
+grep -E '\[verify\]' "${DUMPLOG}" || true
 test -f "${OUT}/oracle_sql.json" || {
   echo "[sweep] dump failed: ${OUT}/oracle_sql.json missing" >&2
   exit 1
