@@ -491,7 +491,11 @@ object Extras {
       Split.assignSplit(T(s, d, "orders"), col("o_orderkey"),
         Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = "r2")
         .groupBy(col("split"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+        .agg(count(lit(1)).as("n"),
+          // exact decimal cents (q01_agg's round-10 scale rule): the 5M-row
+          // splits sum to ~7.5e11 at 100× where a double sum's
+          // partition-order drift crosses the cent
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))),
 
     // Snapshot diff (CDC): two deterministic snapshots of orders (deletes =
@@ -1036,7 +1040,8 @@ object Extras {
         |  FROM orders),
         | s AS (SELECT *, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
         |                      ELSE 'test' END AS split FROM b)
-        |SELECT split, count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sum_price,
+        |SELECT split, count(*)::BIGINT AS n,
+        | sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price,
         | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM s GROUP BY split""".stripMargin,
     "q44_table_diff" ->

@@ -32,9 +32,19 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // quantity is integer-valued: a double sum is exact below 2^53
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          // money sums in EXACT decimal cents, double only at the very end
+          // (round-10 scale rule): a direct double sum is partition-order
+          // dependent and its random-walk drift crosses the cent at the
+          // 100× fixture's ~4e11 magnitudes (measured r13 — 3 of 6 groups
+          // off by 0.01). The decimal sum is order-independent and both
+          // engines convert the identical decimal to the identical double.
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("sum_disc_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
@@ -83,7 +93,10 @@ object Relational {
         .join(broadcast(rich), col("o_custkey") === col("rich_key"), "left")
         .withColumn("is_rich_cust", col("rich_key").isNotNull)
         .groupBy(col("o_orderstatus"), col("is_rich_cust"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          // exact decimal cents (see q01_agg) — the double sum drifted past
+          // the cent at 100× magnitudes
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
     // J3: self-join with equi-key (region) + != residual — the reference's
@@ -218,8 +231,9 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+        | sum(l_extendedprice::DECIMAL(18,2)
+        |     * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(3,2)))::DOUBLE AS sum_disc_price,
         | round(avg(l_discount),6) AS avg_disc, count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -242,7 +256,7 @@ object Relational {
     "q05_flag_semi" ->
       """SELECT o_orderstatus,
         | o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) AS is_rich_cust,
-        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        | count(*) AS n_orders, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q06_cross_theta" ->
       """SELECT a.n_regionkey AS rk, a.n_nationkey AS id_a, b.n_nationkey AS id_b

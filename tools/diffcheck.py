@@ -234,6 +234,11 @@ CAPACITY_BY_DESIGN = {
         "(personalized variant; staged form green at 10x, r12)",
     "q53p_trustrank_prod": "same unrolled-CTE oracle premium as "
         "q50_pagerank (staged form green at 10x, r12)",
+    "qt12_embed_neardup": "the exact all-pairs near-dup baseline (the "
+        "oracle target and qt12r's ground truth) is O(n²) by definition — "
+        "2·10^10 pair dot products at the 100× fixture (hits the Spark "
+        "wall cap; value-checked at 1× and 10×). The scale path is "
+        "qt12r's LSH candidates + exact verify",
     "qt12r_embed_neardup_recall": "exact all-pairs recall baseline is "
         "O(n²) by definition; the residue-class panel inside the entry is "
         "the scaled check. At 100× even the SPARK side is capacity-bound "
