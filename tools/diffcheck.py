@@ -262,6 +262,24 @@ CAPACITY_BY_DESIGN = {
         "one query (~105 GB at the 100x fixture); "
         "qt46s_lm_buckets_sampled runs the identical chain on the "
         "doc_id % 31 slice and stays green at every decade",
+    "qt40_lm_score": "same corpus bigram-NLL re-derivation as the qt46 "
+        "family (DuckDB OOM at the 100x fixture, including a standalone "
+        "900s/80GB retry, r13); qt46s_lm_buckets_sampled — the identical "
+        "NLL chain on the doc_id % 31 slice — is the scaled value check "
+        "(green at 100x)",
+    "qt26r_semdedup_recall": "the recall GRID re-derives Lloyd-trained "
+        "semdedup pair sets per nlist plus the sampled exact baseline in "
+        "SQL — capacity-bound at the 100x fixture (timeout at 400s and at "
+        "a standalone 900s/80GB retry, r13). The OPERATOR'S full survivor "
+        "decision is qt26_semdedup, hash-green at 100x (200k rows) — the "
+        "recall grid is fixture-scale instrumentation (value-checked at "
+        "1x/10x)",
+    "qt51_entropy": "the oracle re-derives per-doc character entropy by "
+        "exploding text to characters (~1e9 rows at the 100x fixture; "
+        "DuckDB OOM incl. standalone 900s/80GB retry, r13) — the premium "
+        "is the oracle's, not the operator's: the Spark side is a "
+        "map-side native expression, dumped green at 100x and "
+        "value-checked at 1x/10x",
 }
 
 def skip_reason(name, cap):
