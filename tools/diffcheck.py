@@ -229,7 +229,11 @@ CAPACITY_BY_DESIGN = {
         "entry is the story for decades where even the staged form "
         "exceeds the cap",
     "q50p_pagerank_prod": "same unrolled-CTE oracle premium as q50_pagerank "
-        "(staged form green at 10x, r12)",
+        "(staged form green at 10x, r12). At 100x the staged form is "
+        "MEMORY-bound, not time-bound: standalone 1500s/85GB retry OOMs "
+        "(160M-edge contribution frames x 3 iterations, r13); Spark side "
+        "green at 100x. A residue-class subgraph twin (q50s) is the "
+        "tractable-at-any-decade oracle shape if one is needed",
     "q53_trustrank": "same unrolled-CTE oracle premium as q50_pagerank "
         "(personalized variant; staged form green at 10x, r12)",
     "q53p_trustrank_prod": "same unrolled-CTE oracle premium as "
