@@ -161,19 +161,52 @@ object Bench {
     // window's own sentinel pair, so a reader can see whether the second
     // window was actually quiet. The sub-2-s entries stay flat under
     // contention (measured r8/r11) and are not requeued.
-    val persistHeavy = Seq(
-      "qc01_curation", "qc01s_curation_stored", "qc02_curation_delta",
-      "q50_pagerank", "q50p_pagerank_prod", "q53_trustrank",
-      "q53p_trustrank_prod", "qt18_dedup_clusters", "qr01_retrieval")
+    // Entry name -> quiet-band seconds: each persist-heavy entry's MIN
+    // from the last quiet adjudicated window (r13 judge re-run: local[32],
+    // sf0.1, runs=3, sentinel 1.05, spread_max 0.68). Bands are requeue
+    // TRIGGERS, not gates — a code change that genuinely slows an entry
+    // just makes the requeue confirm the slower number twice. Refresh the
+    // values whenever a quiet full-catalog run moves an entry's min.
+    val persistHeavy = Map(
+      "qc01_curation" -> 26.4, "qc01s_curation_stored" -> 8.6,
+      "qc02_curation_delta" -> 12.6,
+      "q50_pagerank" -> 3.9, "q50p_pagerank_prod" -> 4.0,
+      "q53_trustrank" -> 4.4, "q53p_trustrank_prod" -> 4.1,
+      "qt18_dedup_clusters" -> 1.4, "qr01_retrieval" -> 2.2)
     val fnByName = entries.toMap
+    // A renamed persist-heavy entry silently dropping out of the requeue
+    // would reintroduce the r8/r11 inflated-headline failure mode with no
+    // warning — fail loudly on the full-catalog (driver) run, warn on a
+    // deliberately-filtered local run.
+    val missingHeavy = persistHeavy.keys.filterNot(fnByName.contains).toSeq.sorted
+    if (missingHeavy.nonEmpty) {
+      val msg = s"persistHeavy names missing from the catalog (renamed?): " +
+        missingHeavy.mkString(", ")
+      if (only.isEmpty) throw new IllegalStateException(s"[bench] $msg")
+      else System.err.println(s"[bench] WARNING: $msg")
+    }
     var requeueSentRatio = -1.0
+    // Per-entry band trigger: the sentinel is a pure-CPU probe and misses
+    // memory-bandwidth contention (r13 driver run: sentinel 1.16 — under
+    // the 1.2 trigger — yet qc01 read +25% over its quiet band). An entry
+    // exceeding its own quiet band by >20% is requeued even on a
+    // sentinel-quiet run; min(first, requeued) still converges to the
+    // quiet number whichever window was calmer.
+    val bandExceeded = persistHeavy.filter { case (n, band) =>
+      firstPass.get(n).exists(m => m._1 >= 0 && m._1 > band * 1.2)
+    }.keys.toSeq.sorted
     // name -> (first-pass measurement, requeued measurement); empty on a
     // quiet run. Each measurement is (min, spread, gcOfMin).
     val contendedPairs: Map[String, ((Double, Double, Double), (Double, Double, Double))] =
-      if (sentinelRatio > 1.2) {
-        val targets = persistHeavy.filter(n => firstPass.get(n).exists(_._1 >= 0))
-        System.err.println(s"[bench] sentinel_ratio ${f"$sentinelRatio%.2f"} > 1.2 — " +
-          s"requeueing ${targets.size} persist-heavy entries")
+      if (sentinelRatio > 1.2 || bandExceeded.nonEmpty) {
+        val targets =
+          if (sentinelRatio > 1.2)
+            persistHeavy.keys.toSeq.sorted.filter(n => firstPass.get(n).exists(_._1 >= 0))
+          else bandExceeded
+        System.err.println(s"[bench] requeueing ${targets.size} persist-heavy " +
+          s"entries (sentinel_ratio ${f"$sentinelRatio%.2f"}" +
+          (if (bandExceeded.nonEmpty)
+             s"; band exceeded >20%: ${bandExceeded.mkString(", ")}" else "") + ")")
         val s0 = sentinel()
         val second = targets.map(n => n -> measureEntry(n, fnByName(n))).toMap
         val s1 = sentinel()

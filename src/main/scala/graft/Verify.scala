@@ -40,26 +40,43 @@ object Verify {
     def runCapped(name: String, run: () => Unit): Unit = entryCapSec match {
       case None => run()
       case Some(cap) =>
-        import scala.concurrent.{Await, Future, TimeoutException}
+        import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
         import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
+        // DEDICATED single-thread daemon executor per capped entry — never
+        // the global pool: an orphaned cancel that fails to unwind within
+        // the grace would permanently occupy a global-pool worker, and
+        // enough leaked workers starve later entries into spurious
+        // _CAPACITY timeouts. A private executor is simply shut down; the
+        // daemon flag keeps a stuck orphan from blocking JVM exit.
+        val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+          (r: Runnable) => {
+            val t = new Thread(r, s"verify-capped-$name"); t.setDaemon(true); t
+          })
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(exec)
         // job group must be set on the thread that SUBMITS the jobs
-        // (localProperties are thread-local; pooled future threads don't
+        // (localProperties are thread-local; executor threads don't
         // inherit the main thread's)
         val fut = Future {
           spark.sparkContext.setJobGroup(name, s"verify:$name",
             interruptOnCancel = true)
           run()
         }
-        try Await.result(fut, cap.seconds)
+        try { Await.result(fut, cap.seconds); exec.shutdown() }
         catch {
           case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(name)
             // grace window for the cancel to unwind the writer (abandoning
             // a thread still submitting jobs would corrupt the next entry's
-            // scheduling); if it doesn't land, the future thread dies with
-            // its job group already cancelled
-            scala.util.Try(Await.result(fut, 120.seconds))
+            // scheduling); if it doesn't land, the orphan keeps only its
+            // own private daemon thread — and because it may still finish
+            // a mode(overwrite) write AFTER the _CAPACITY marker lands,
+            // the caller's marker write below re-creates the dir fresh.
+            val unwound = scala.util.Try(Await.result(fut, 120.seconds)).isSuccess
+            exec.shutdownNow()
+            if (!unwound)
+              System.err.println(s"[verify] $name: cancel did not unwind in " +
+                "grace — orphan left on its private daemon thread; entry dir " +
+                "will be recreated for the marker")
             throw EntryCapped(cap)
         }
     }

@@ -841,6 +841,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact near-dup pairs with BOTH endpoints in the `idCol % mod == res`
+    * panel — the q50s residue-class-subgraph discipline applied to the
+    * recall baseline. The panel-TOUCHING baseline above costs |panel|·N
+    * (fine on Spark, capacity-bound for the SQL oracle at the 100×
+    * fixture); both-endpoints costs |panel|²/2 — (N/31)²/2, i.e. 961×
+    * cheaper than all-pairs at any corpus size, and the oracle stays
+    * feasible at every decade. Recall over both-in-panel pairs is an
+    * unbiased estimate of pair recall on the panel subpopulation (the
+    * residue class is independent of the cluster/LSH hashes graded).
+    */
+  def embeddingNearDupPairsPanel(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, mod: Int, res: Int): DataFrame = {
+    val p = df.filter(pmod(col(idCol), lit(mod)) === res)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.norm(col(vecCol)).as("__n"))
+    broadcast(p.select(col("__id").as("id_a"), col("__v").as("v_a"), col("__n").as("n_a")))
+      .join(p.select(col("__id").as("id_b"), col("__v").as("v_b"), col("__n").as("n_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("cos_sim", graft.functions.Expressions.barrier( // same fence
+        round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** [semDedupPairs] with BOTH pair endpoints in the panel (the
+    * both-endpoints counterpart of [semDedupPairsSampled]): training and
+    * cell assignment still run on the FULL corpus — they are what is
+    * being graded — but the within-cell join puts panel members on BOTH
+    * sides, so pair volume is (|panel|/nlist)²·nlist. Each unordered pair
+    * appears once (home cell is unique per vector; id_a < id_b orders it),
+    * so no dedup pass is needed.
+    */
+  def semDedupPairsPanel(df: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, tau: Double, lloydIters: Int = 2,
+                         trainFraction: Double = 1.0,
+                         oracleMode: Boolean = false,
+                         mod: Int = 31, res: Int = 7): DataFrame = {
+    val assigned =
+      semAssign(df, idCol, vecCol, nlist, lloydIters, trainFraction, oracleMode)
+    val panel = assigned.filter(pmod(col("__id"), lit(mod)) === res)
+    broadcast(panel.select(col("cell"), col("__id").as("id_a"),
+        col("__v").as("v_a"), col("__n").as("n_a")))
+      .join(panel.select(col("cell"), col("__id").as("id_b"),
+        col("__v").as("v_b"), col("__n").as("n_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dotProduct(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")), 6) >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Cross-document duplicate SPAN detection — the window-granular, Spark-
     * native analog of suffix-array exact-substring dedup (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better": verbatim

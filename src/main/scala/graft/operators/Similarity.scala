@@ -187,6 +187,64 @@ object Similarity {
   def hashEmbedding(text: Column, dim: Int): Column =
     graft.functions.Expressions.hashEmbedding(text, dim)
 
+  /** Pluggable BATCHED text-encoder seam — the multimodal codec
+    * discipline applied to embeddings. A real encoder is a model server
+    * or an in-process ONNX/JNI session that wants BATCHES (padded tensor
+    * inference amortizes per-call overhead ~100×), so the production
+    * boundary is `encodeBatch`, crossed inside a mapPartitions stage —
+    * never a per-row UDF. Implementations are constructed on the driver
+    * and serialized to executors (hold session handles in @transient
+    * lazy vals so each executor opens its own); a null text slot must
+    * yield a null vector, never throw — malformed input must not crash a
+    * partition (the codec rule, Multimodal.scala).
+    */
+  trait TextEncoder extends Serializable {
+    def dim: Int
+    /** texts.length ≤ the seam's batchSize; result aligns index-for-index. */
+    def encodeBatch(texts: Array[String]): Array[Array[Float]]
+  }
+
+  /** The deterministic hash encoder as a [TextEncoder] — the in-repo
+    * instance that makes the seam TESTABLE: it delegates to the same
+    * scalar kernel as the native-expression column path
+    * (ExprImpl.hashEmbedding), so an ANN pipeline served through the seam
+    * must reproduce the direct `hashEmbedding(col)` path bit-for-bit
+    * (SimilaritySpec pins it). Production swaps this one class for a real
+    * model; everything downstream is indifferent.
+    */
+  final case class HashTextEncoder(dim: Int) extends TextEncoder {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    def encodeBatch(texts: Array[String]): Array[Array[Float]] =
+      texts.map { t =>
+        if (t == null) null
+        else graft.functions.ExprImpl.hashEmbedding(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), dim)
+          .toFloatArray()
+      }
+  }
+
+  /** Run `encoder` over a text column in batches: (id, text) →
+    * (id, embedding float[dim]). One narrow mapPartitions stage — no
+    * shuffle, scan-shaped at any corpus width; `batchSize` bounds the
+    * per-call tensor, the iterator never materializes the partition.
+    * Ids are long (the corpus key type everywhere in this library).
+    */
+  def encodeText(df: DataFrame, idCol: String, textCol: String,
+                 encoder: TextEncoder, batchSize: Int = 64,
+                 outCol: String = "embedding"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = encoder.encodeBatch(batch.map(_._2).toArray)
+          batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
+        }
+      }.toDF(idCol, outCol)
+  }
+
   /** Column-expression formulation of [hashEmbedding] — same bits, kept
     * only as an independent implementation for differential testing
     * (RetrievalSpec). As the production path it interpreted the whole

@@ -77,4 +77,48 @@ object Skew {
     // unionByName: saltedJoin's drop can reorder columns vs the plain join
     hot.unionByName(cold)
   }
+
+  /** Sketch-based hot-key detection — the 100 TB feeder for
+    * [saltedJoinHot]'s `hotKeys` list. The exact groupBy-count top-k a
+    * fixture-scale caller can afford (q42h) shuffles every distinct key;
+    * at full width the detector must be one COMBINABLE aggregate. Two
+    * passes, both bounded:
+    *
+    *  1. one global Misra–Gries aggregate (`Aggregators.MisraGriesAgg`,
+    *     O(k) state per partition, merged at the single reduce) plus the
+    *     row count, in the same job — by the MG guarantee every key with
+    *     f_true > n/k is IN the candidate summary, so no key above the
+    *     threshold can be missed;
+    *  2. an exact verification count over the ≤ k−1 candidate keys only
+    *     (the sketch's estimates are lower bounds; the verify pass — the
+    *     same candidate+verify pattern as the LSH/IVF rerank family —
+    *     restores exact counts before the threshold cut).
+    *
+    * Returns keys whose EXACT frequency exceeds `minShare`·n, heaviest
+    * first, in the key column's native type. The driver collect is
+    * bounded at k−1 rows by construction. Keys are sketched through a
+    * string cast (the MG aggregator's domain); the verify filter applies
+    * the same cast, so any key type with a stable string form works.
+    * Pick minShare ≥ 1/k — below that the sketch's containment guarantee
+    * no longer covers the threshold and a qualifying key could be absent.
+    */
+  def hotKeysSketch(df: DataFrame, keyCol: String, k: Int,
+                    minShare: Double): Seq[Any] = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(minShare >= 1.0 / k,
+      f"minShare $minShare%.4f < 1/k=${1.0 / k}%.4f: keys between the two " +
+        "could exceed the threshold yet be pruned from the sketch")
+    val row = df.agg(
+      graft.functions.Aggregators.heavyHitters(k)(col(keyCol).cast("string"))
+        .as("mg"),
+      count(lit(1)).as("n")).head()
+    val cands = row.getMap[String, Long](0).keys.toSeq
+    val n = row.getLong(1)
+    if (cands.isEmpty) Seq.empty
+    else df.filter(col(keyCol).cast("string").isin(cands: _*))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > lit(minShare * n))
+      .orderBy(col("__n").desc, col(keyCol).asc)
+      .collect().map(_.get(0)).toSeq // ≤ k−1 rows by construction
+  }
 }

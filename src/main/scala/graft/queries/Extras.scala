@@ -242,8 +242,10 @@ object Extras {
     }),
 
     // Hot-key-split variant: salts ONLY the listed heavy-hitter keys (here
-    // the top-2 orderkeys by lineitem count, derived in-query the way a
-    // production heavy-hitter pass would); the cold path joins
+    // the top-2 orderkeys by an exact lineitem groupBy-count, affordable at
+    // fixture scale; the 100 TB detector is Skew.hotKeysSketch — one
+    // combinable Misra–Gries aggregate + candidate-only verify, see
+    // docs/DEPLOY.md); the cold path joins
     // replication-free. Oracle = the same UNSALTED SQL join as q42.
     "q42h_skew_hotkey" -> ((s, d) => {
       val li = T(s, d, "lineitem")
@@ -574,6 +576,43 @@ object Extras {
       val r = graft.operators.PageRank.personalizedPageRank(tradeGraph(s, d),
         seeds, "src", "dst", "node", iters = 3, assumeDistinct = true)
       topKByRank(r, 20)
+    }),
+
+    // Residue-class subgraph panel twins (the qt12r/qt46s panel discipline
+    // applied to graphs): the graph family's only oracle shape that stays
+    // tractable at EVERY decade. The panel is the 1/31 residue class of
+    // each node space (custkey % 31 == 7, suppkey % 31 == 7) and the
+    // subgraph keeps edges with BOTH endpoints in panel — ~|E|/961 at any
+    // corpus size, so the unrolled-CTE oracle that is MEMORY-bound at the
+    // 100× fixture on the full graph (PARITY_r13_100x retry evidence:
+    // 1500s/85GB OOM) runs in seconds on the twin. The Spark side is the
+    // IDENTICAL operator code path the full entries run — store-served
+    // bucketed edges (the filter preserves the bucketing), oracle-mode
+    // sorted folds, per-iteration checkpoint — so a scale regression in
+    // the iteration itself shows here as a value mismatch. Note the
+    // synthesized fixtures rotate the panel per copy (2^40 ≡ 1 mod 31, so
+    // copy i selects residue (7−i) mod 31 of base keys) — still exactly
+    // 1/31 of each copy's node space.
+    "q50s_pagerank_panel" -> ((s, d) =>
+      graft.operators.PageRank.pageRank(panelGraph(s, d), "src", "dst",
+        iters = 3, oracleMode = true, assumeDistinct = true)),
+
+    // TrustRank on the panel subgraph. Seeds = ALL panel suppliers (the
+    // supplier side of the residue class): any nation-scoped seed set
+    // goes empty on some fixture (nation 3 ∩ panel is empty at every base
+    // SF; no single nation covers sf0.001 AND sf0.01), and
+    // personalizedPageRank requires ≥1 seed PRESENT in the graph — which
+    // the supplier class satisfies at any scale by construction (every
+    // panel edge has a supplier endpoint). Seeds absent from the subgraph
+    // are ignored by operator and oracle alike (both intersect with the
+    // node set before normalizing teleport mass).
+    "q53s_trustrank_panel" -> ((s, d) => {
+      val seeds = T(s, d, "supplier")
+        .filter(col("s_suppkey") % 31 === 7)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+      graft.operators.PageRank.personalizedPageRank(panelGraph(s, d), seeds,
+        "src", "dst", "node", iters = 3, oracleMode = true,
+        assumeDistinct = true)
     }))
 
   /** Top-k nodes by (rank desc, node asc), ranked 1..k. sort+limit first —
@@ -678,6 +717,22 @@ object Extras {
     s.table(tbl).select(col("src"), col("dst"))
   }
 
+  /** q50s/q53s's residue-class panel subgraph: the bucketed edge store
+    * filtered to edges whose BOTH endpoint keys sit in the % 31 == 7
+    * residue class. Filtering the store-served frame preserves its
+    * hash(src) bucketing (a Filter doesn't change outputPartitioning), so
+    * the power iteration stays Exchange-free on the edge side exactly as
+    * the full-graph entries are; distinctness survives filtering, so
+    * assumeDistinct remains valid. The key is parsed back off the tagged
+    * node id ("c:123" → 123) — identical to filtering the raw keys
+    * pre-concat, which is what the oracle does.
+    */
+  private def panelGraph(s: SparkSession, d: String): DataFrame = {
+    def inPanel(c: org.apache.spark.sql.Column) =
+      substring_index(c, ":", -1).cast("long") % 31 === 7
+    tradeGraph(s, d).filter(inPanel(col("src")) && inPanel(col("dst")))
+  }
+
   /** q50's DuckDB twin: `iters` PageRank rounds unrolled as chained CTEs,
     * every per-node sum a source-ordered `list_sum` (the Spark side's
     * oracle-mode sorted fold). All float arithmetic is forced through
@@ -685,26 +740,38 @@ object Extras {
     * which would diverge from IEEE by an ulp and compound per iteration.
     */
   private def pagerankSql(iters: Int, personalized: Boolean = false,
-                          topK: Option[Int] = None): String = {
+                          topK: Option[Int] = None,
+                          panel: Boolean = false): String = {
+    // panel twins (q50s/q53s): both-endpoint residue filter on the RAW
+    // keys, pushed into both union arms so DuckDB prunes at the scans —
+    // the predicate the Spark side applies to the parsed-back node ids
+    val pw = if (panel) "\n    WHERE o_custkey % 31 = 7 AND l_suppkey % 31 = 7"
+             else ""
     val graph =
-      """WITH e AS MATERIALIZED (
+      s"""WITH e AS MATERIALIZED (
         |  SELECT DISTINCT src, dst FROM (
         |   SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
-        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey$pw
         |   UNION ALL
         |   SELECT 's:' || l_suppkey, 'c:' || o_custkey
-        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey)),
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey$pw)),
         | nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
         |   SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
         | nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
         | od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS odeg FROM e GROUP BY 1)"""
+    // q53 seeds nation 3; the q53s panel twin seeds the whole panel
+    // supplier class (a nation-scoped set goes empty on some fixture —
+    // see the entry)
+    val seedPred =
+      if (panel) "s_suppkey % 31 = 7"
+      else "s_nationkey = 3"
     val init =
       if (!personalized)
         """,
           | r0 AS (SELECT node, 1.0::DOUBLE / n::DOUBLE AS rank FROM nodes CROSS JOIN nn)"""
       else
-        """,
-          | seeds AS (SELECT DISTINCT 's:' || s_suppkey AS node FROM supplier WHERE s_nationkey = 3),
+        s""",
+          | seeds AS (SELECT DISTINCT 's:' || s_suppkey AS node FROM supplier WHERE $seedPred),
           | ns AS (SELECT count(*)::BIGINT AS n FROM seeds JOIN nodes USING (node)),
           | tn AS MATERIALIZED (SELECT n2.node,
           |   CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE / ns.n::DOUBLE ELSE 0.0::DOUBLE END AS t
@@ -746,6 +813,8 @@ object Extras {
     "q50p_pagerank_prod" -> pagerankSql(3, topK = Some(20)),
     "q53_trustrank" -> pagerankSql(3, personalized = true),
     "q53p_trustrank_prod" -> pagerankSql(3, personalized = true, topK = Some(20)),
+    "q50s_pagerank_panel" -> pagerankSql(3, panel = true),
+    "q53s_trustrank_panel" -> pagerankSql(3, personalized = true, panel = true),
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,

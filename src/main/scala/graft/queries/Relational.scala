@@ -38,8 +38,13 @@ object Relational {
           // (round-10 scale rule): a direct double sum is partition-order
           // dependent and its random-walk drift crosses the cent at the
           // 100× fixture's ~4e11 magnitudes (measured r13 — 3 of 6 groups
-          // off by 0.01). The decimal sum is order-independent and both
-          // engines convert the identical decimal to the identical double.
+          // off by 0.01). The decimal sum is order-independent. The final
+          // decimal→double conversions CAN differ by 1 ulp between engines
+          // (Spark's BigDecimal.doubleValue is correctly rounded; DuckDB's
+          // int128→double then /10^scale may double-round — latent at
+          // ~4e11 where round(6) is a no-op), so diffcheck's compare
+          // carries a 2e-15 relative tolerance on float columns: ~4.5 ulps,
+          // a decade below a cent error at these magnitudes.
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *

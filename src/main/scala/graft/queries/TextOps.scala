@@ -989,6 +989,30 @@ object TextOps {
             nlist = 64, tau = 0.4, lloydIters = 1, oracleMode = true))))
     }),
 
+    // qt26r's SCALED-ORACLE twin (the q50s both-endpoints-in-panel
+    // discipline): the same recall grid with BOTH the exact baseline and
+    // the semdedup pair sets restricted to both-endpoints-in-panel pairs.
+    // qt26r's oracle pays |panel|·N for the baseline and Σ|cell|² per
+    // operating point — capacity-bound at the 100× fixture (400s timeout
+    // + standalone 900s/80GB retry, r13); both-endpoints cuts those to
+    // |panel|²/2 and (|panel|/nlist)²·nlist, 961× cheaper at any decade.
+    // Training and assignment still run on the FULL corpus (what is being
+    // graded); tau drops to 0.2 because the near-random fixture has no
+    // both-in-panel pair above 0.4 at base scale (6 pairs ≥ 0.2 at
+    // sf0.01, 111 at sf0.1 — non-trivial at every fixture).
+    "qt26rs_semdedup_recall_panel" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val exact = Dedup.embeddingNearDupPairsPanel(e, "vec_id", "embedding",
+        threshold = 0.2, mod = 31, res = 7)
+      recallQuery(exact, Seq("id_a", "id_b"), ("nlist", "lloyd_iters", "tau_pct"),
+        Seq(((4, 1, 20), Dedup.semDedupPairsPanel(e, "vec_id", "embedding",
+            nlist = 4, tau = 0.2, lloydIters = 1, oracleMode = true)),
+          ((16, 1, 20), Dedup.semDedupPairsPanel(e, "vec_id", "embedding",
+            nlist = 16, tau = 0.2, lloydIters = 1, oracleMode = true)),
+          ((64, 1, 20), Dedup.semDedupPairsPanel(e, "vec_id", "embedding",
+            nlist = 64, tau = 0.2, lloydIters = 1, oracleMode = true))))
+    }),
+
     // Unicode normalization differential: the fixture text is ASCII, so the
     // query MANUFACTURES the two canonical-equivalence hazards from it —
     // composed accents (translate a→á …) and decomposed ones (e + U+0301) —
@@ -1079,6 +1103,21 @@ object TextOps {
     // only engine divergence is sub-round ulp noise in ln.
     "qt40_lm_score" -> ((s, d) =>
       graft.operators.LmScore.bigramNll(T(s, d, "documents"), "doc_id", "text")),
+
+    // The SCALED-ORACLE twin of qt40 (qt46s discipline): the identical
+    // train+score chain over the deterministic doc_id % 31 slice — model,
+    // scores, and unscored zero-bigram rows all scoped to the slice, so
+    // it is semantics-complete on its own corpus. qt40's one-statement
+    // oracle re-derives the full corpus bigram model and OOMs DuckDB at
+    // the 100× fixture (measured r13, incl. a standalone 900s/80GB
+    // retry); the 1/31 slice keeps the oracle's bigram volume ~3× BASE
+    // scale even at 100× while still exercising the scaled fixture's
+    // re-keyed id domain — the per-doc NLL VALUES stay checked at every
+    // decade where qt40 itself must skip.
+    "qt40s_lm_score_sampled" -> ((s, d) =>
+      graft.operators.LmScore.bigramNll(
+        T(s, d, "documents").filter(col("doc_id") % 31 === 0),
+        "doc_id", "text")),
 
     // Retrieval-side chunking: overlapping 32-token windows advancing 24
     // (8-token overlap), the embedding-index prep shape. Map-only explode;
@@ -1266,30 +1305,17 @@ object TextOps {
     // character distribution (probabilities from integer counts, the
     // contribution fold ordered by character) and distinct/total token
     // ratio. Low entropy or low TTR = repetitive/templated text.
-    "qt51_entropy" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val cc = docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .filter(col("ch") =!= "")
-        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
-      val tot = cc.groupBy(col("doc_id")).agg(sum(col("n")).as("nc"))
-      val p = col("n").cast("double") / col("nc")
-      val ent = cc.join(tot, "doc_id")
-        .select(col("doc_id"), col("nc"), col("ch"), (p * log(p)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(first(col("nc")).as("n_chars"),
-          round(-graft.functions.Expressions.foldSumField(
-            array_sort(collect_list(struct(col("ch"), col("c"))))), 6).as("char_entropy"))
-      val tk = docs.select(col("doc_id"),
-        graft.functions.Expressions.ngrams(col("text"), 1).as("ts"))
-        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
-          size(array_distinct(col("ts"))).cast("long").as("n_types"))
-      docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left").join(tk, "doc_id")
-        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
-          coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"),
-          col("n_tokens"), col("n_types"),
-          when(col("n_tokens") > 0,
-            round(col("n_types").cast("double") / col("n_tokens"), 6)).as("ttr"))
-    }),
+    "qt51_entropy" -> ((s, d) => entropyProfile(T(s, d, "documents"))),
+
+    // The SCALED-ORACLE twin of qt51 (qt46s discipline). The entropy/TTR
+    // values are doc-LOCAL (no corpus model), so the slice twin is simply
+    // the same chain over the doc_id % 31 slice — but the oracle premium
+    // is not: qt51's SQL explodes text to characters (~1e9 rows at the
+    // 100× fixture; DuckDB OOM incl. a standalone 900s/80GB retry, r13),
+    // while the slice keeps the exploded volume ~3× base at every decade.
+    // The per-doc VALUES stay checked at 100× where qt51 itself skips.
+    "qt51s_entropy_sampled" -> ((s, d) =>
+      entropyProfile(T(s, d, "documents").filter(col("doc_id") % 31 === 0))),
 
     // Compressibility quality signal (Rae et al. 2021's repetition rule).
     // The raw DEFLATE length/ratio is JVM-zlib-specific, so the oracle is
@@ -1592,6 +1618,58 @@ object TextOps {
        |  FROM pb JOIN ratio USING (bucket) GROUP BY doc_id),
        | allw AS (SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
        |  FROM documents d LEFT JOIN wts w USING (doc_id))""".stripMargin
+
+  /** qt51/qt51s's shared DuckDB twin, `src` a FROM-clause subquery string
+    * (the bigramNllCtes generalization pattern). */
+  private def entropySql(src: String): String =
+    s"""WITH ch AS (SELECT doc_id, c
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '') AS cs FROM $src sdocs),
+       |    unnest(cs) AS t(c) WHERE c != ''),
+       | cc AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+       | tt AS (SELECT doc_id, sum(n)::BIGINT AS nc FROM cc GROUP BY 1),
+       | ent AS (SELECT doc_id,
+       |   round(-list_sum(list((n::DOUBLE / nc) * ln(n::DOUBLE / nc) ORDER BY c)), 6) AS char_entropy
+       |  FROM cc JOIN tt USING (doc_id) GROUP BY doc_id),
+       | tk AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+       |   len(list_distinct(ts))::BIGINT AS n_types
+       |  FROM (SELECT doc_id, $tokensSql AS ts FROM $src sdocs2))
+       |SELECT d.doc_id, coalesce(t2.nc, 0)::BIGINT AS n_chars,
+       | coalesce(e.char_entropy, 0.0) AS char_entropy,
+       | tk.n_tokens, tk.n_types,
+       | CASE WHEN tk.n_tokens > 0 THEN round(tk.n_types::DOUBLE / tk.n_tokens, 6) END AS ttr
+       |FROM $src d LEFT JOIN ent e USING (doc_id)
+       | LEFT JOIN tt t2 USING (doc_id) JOIN tk ON tk.doc_id = d.doc_id""".stripMargin
+
+  /** qt51/qt51s's shared chain: Shannon entropy over the per-doc character
+    * distribution (probabilities from integer counts, contribution fold
+    * ordered by character) plus distinct/total token ratio. Doc-local —
+    * the frame passed in defines the corpus, so the slice twin is exactly
+    * this over a filtered frame.
+    */
+  private def entropyProfile(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cc = docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+    val tot = cc.groupBy(col("doc_id")).agg(sum(col("n")).as("nc"))
+    val p = col("n").cast("double") / col("nc")
+    val ent = cc.join(tot, "doc_id")
+      .select(col("doc_id"), col("nc"), col("ch"), (p * log(p)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("nc")).as("n_chars"),
+        round(-graft.functions.Expressions.foldSumField(
+          array_sort(collect_list(struct(col("ch"), col("c"))))), 6).as("char_entropy"))
+    val tk = docs.select(col("doc_id"),
+      graft.functions.Expressions.ngrams(col("text"), 1).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_types"))
+    docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left").join(tk, "doc_id")
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"),
+        col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens"), 6)).as("ttr"))
+  }
 
   /** qt46/qt46a's shared NLL derivation: the corpus-trained add-one bigram
     * LM and the position-ordered per-doc average — up to the `per`
@@ -1929,6 +2007,43 @@ object TextOps {
          |UNION ALL SELECT 16, 1, 40, rec FROM rsb
          |UNION ALL SELECT 64, 1, 40, rec FROM rsc""".stripMargin
     },
+    // qt26rs: qt26r's grid with both-endpoints-in-panel pair sets (home
+    // cells restricted to the panel on BOTH join sides, exact baseline
+    // panel×panel) — the ivf training CTEs still run on the full corpus.
+    // tau 0.2 (see the entry); |panel|²-scale pair volume at any decade.
+    "qt26rs_semdedup_recall_panel" -> {
+      def pairCtes(tag: String): String =
+        s"""home$tag AS (SELECT vec_id, cell FROM asg$tag
+           |   WHERE crnk = 1 AND vec_id % 31 = 7),
+           | pr$tag AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM home$tag a JOIN home$tag b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |  WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+           |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+           |    (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+           |     sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.2),
+           | r$tag AS (SELECT round(avg(CASE WHEN p.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exactp e LEFT JOIN pr$tag p ON p.id_a = e.id_a AND p.id_b = e.id_b)""".stripMargin
+      s"""WITH hh AS (SELECT vec_id, embedding, ${HashSql.mixCols("vec_id::UBIGINT")}
+         |   FROM embeddings WHERE embedding IS NOT NULL),
+         | exactp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 31 = 7 AND b.vec_id % 31 = 7
+         |    AND round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.2),
+         | ${ivfAssignCtes("sa", nlist = 4)},
+         | ${pairCtes("sa")},
+         | ${ivfAssignCtes("sb", nlist = 16)},
+         | ${pairCtes("sb")},
+         | ${ivfAssignCtes("sc", nlist = 64)},
+         | ${pairCtes("sc")}
+         |SELECT 4 AS nlist, 1 AS lloyd_iters, 20 AS tau_pct, rec AS recall_vs_brute FROM rsa
+         |UNION ALL SELECT 16, 1, 20, rec FROM rsb
+         |UNION ALL SELECT 64, 1, 20, rec FROM rsc""".stripMargin
+    },
     // Two independent Unicode stacks (java.text.Normalizer vs utf8proc)
     // must produce byte-identical NFC/strip-accents output on the
     // manufactured composed/decomposed text.
@@ -2074,6 +2189,14 @@ object TextOps {
          |  FROM contrib GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams, p.nll
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+    // qt40s: qt40's chain verbatim over the doc_id % 31 slice (the qt46s
+    // discipline) — model, scores, and unscored rows all slice-scoped, so
+    // the oracle's bigram volume stays ~3× base even at the 100× fixture
+    "qt40s_lm_score_sampled" ->
+      s"""${bigramNllCtes("(SELECT * FROM documents WHERE doc_id % 31 = 0) sdocs")}
+         |SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams, p.nll
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |WHERE d.doc_id % 31 = 0""".stripMargin,
     "qt41_chunk" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
          | st AS (SELECT doc_id, ts, i AS start
@@ -2144,24 +2267,12 @@ object TextOps {
         | TRUE AS ratio_positive, TRUE AS empty_guard, TRUE AS dup_no_worse,
         | CASE WHEN strlen(text) BETWEEN 1 AND 30000 THEN TRUE END AS dup_second_copy_cheap
         |FROM documents""".stripMargin,
-    "qt51_entropy" ->
-      s"""WITH ch AS (SELECT doc_id, c
-         |  FROM (SELECT doc_id, regexp_split_to_array(text, '') AS cs FROM documents),
-         |    unnest(cs) AS t(c) WHERE c != ''),
-         | cc AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
-         | tt AS (SELECT doc_id, sum(n)::BIGINT AS nc FROM cc GROUP BY 1),
-         | ent AS (SELECT doc_id,
-         |   round(-list_sum(list((n::DOUBLE / nc) * ln(n::DOUBLE / nc) ORDER BY c)), 6) AS char_entropy
-         |  FROM cc JOIN tt USING (doc_id) GROUP BY doc_id),
-         | tk AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
-         |   len(list_distinct(ts))::BIGINT AS n_types
-         |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents))
-         |SELECT d.doc_id, coalesce(t2.nc, 0)::BIGINT AS n_chars,
-         | coalesce(e.char_entropy, 0.0) AS char_entropy,
-         | tk.n_tokens, tk.n_types,
-         | CASE WHEN tk.n_tokens > 0 THEN round(tk.n_types::DOUBLE / tk.n_tokens, 6) END AS ttr
-         |FROM documents d LEFT JOIN ent e USING (doc_id)
-         | LEFT JOIN tt t2 USING (doc_id) JOIN tk ON tk.doc_id = d.doc_id""".stripMargin,
+    "qt51_entropy" -> entropySql("documents"),
+    // qt51s: the identical chain over the doc_id % 31 slice — the
+    // char-explode volume stays ~3× base at the 100× fixture where
+    // qt51's full-corpus explode (~1e9 rows) OOMs DuckDB
+    "qt51s_entropy_sampled" ->
+      entropySql("(SELECT * FROM documents WHERE doc_id % 31 = 0)"),
     "qt50_heavy_hitters" ->
       s"""WITH tok AS (SELECT lang, t.term
          |  FROM (SELECT lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),

@@ -88,6 +88,41 @@ class AsOfSpec extends SparkSpec {
     assert("(?i)generate".r.findAllIn(plan).size === 1, plan.take(2000))
   }
 
+  test("hotKeysSketch: detected keys ⊇ exact keys above the n/k threshold, native type, heaviest first") {
+    // skewed fixture: key 1 = 50%, key 2 = 25%, the rest a long uniform
+    // tail — the q42h shape, but fed through the combinable sketch
+    val n = 4000
+    val df = Seq.tabulate(n) { i =>
+      val k: Long = if (i % 4 < 2) 1L else if (i % 4 == 2) 2L else 100L + i % 37
+      (k, s"v$i")
+    }.toDF("k", "v")
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k = 10
+    val got = Skew.hotKeysSketch(df, "k", k = k, minShare = 1.0 / k)
+    // containment: every key with f_true > n/k must be detected (the
+    // Misra–Gries guarantee + exact verify); here that's keys 1 and 2
+    val mustHave = exact.filter(_._2 > n.toDouble / k).keys.toSet
+    assert(mustHave === Set(1L, 2L)) // fixture sanity
+    assert(mustHave.forall(got.contains), s"got $got")
+    // verified threshold: nothing below minShare·n survives the cut
+    got.foreach(key => assert(exact(key.asInstanceOf[Long]) > n.toDouble / k))
+    // native type + heaviest-first ordering (the saltedJoinHot handoff)
+    assert(got === Seq(1L, 2L))
+    // the handoff composes: the sketch-fed hot list reproduces the join
+    val right = Seq((1L, "r1"), (2L, "r2"), (100L, "r100")).toDF("k", "rv")
+    val plain = df.join(right, Seq("k"))
+    val hot = Skew.saltedJoinHot(df, right, Seq("k"), salt = 4, hotKeys = got)
+    assert(hot.exceptAll(plain).isEmpty && plain.exceptAll(hot).isEmpty)
+  }
+
+  test("hotKeysSketch rejects a minShare below the sketch's containment guarantee") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.hotKeysSketch(df, "k", k = 10, minShare = 0.05)
+    }
+  }
+
   test("saltedJoin stays a drop-in when the left frame carries a map column") {
     val left = Seq.tabulate(20)(i => (i % 3, s"l$i", Map("a" -> i)))
       .toDF("k", "lv", "attrs")

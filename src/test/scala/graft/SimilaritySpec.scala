@@ -27,6 +27,36 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.sorted.reverse.toSeq === sims.toSeq)
   }
 
+  test("encoder seam: ANN through encodeText(HashTextEncoder) ≡ the direct column path") {
+    // the seam contract: a pipeline that swaps the direct hashEmbedding
+    // column for the batched mapPartitions encoder must reproduce the
+    // SAME vectors — and therefore the same ANN results — bit-for-bit
+    val docs = Tables.table(spark, sf, "documents").select("doc_id", "text")
+    val direct = docs.select(col("doc_id"),
+      Similarity.hashEmbedding(col("text"), 16).as("embedding"))
+    // batchSize 7 deliberately misaligns with partition sizes so the
+    // grouped-iterator batching itself is exercised (ragged final batch)
+    val seam = Similarity.encodeText(docs, "doc_id", "text",
+      Similarity.HashTextEncoder(16), batchSize = 7)
+    assert(seam.schema("embedding").dataType ===
+      direct.schema("embedding").dataType)
+    assert(seam.exceptAll(direct).isEmpty && direct.exceptAll(seam).isEmpty)
+    // and an ANN entry served from each embedding frame agrees exactly
+    def ann(e: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(e, e.filter($"doc_id" < 5), k = 3,
+          idCol = "doc_id")
+        .select("query_id", "corpus_id", "rnk")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(ann(direct) === ann(seam))
+    // codec rule: a null text yields a null vector, never a crash
+    val withNull = Seq((1L, "some text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val enc = Similarity.encodeText(withNull, "doc_id", "text",
+      Similarity.HashTextEncoder(16))
+    assert(enc.filter($"doc_id" === 2 && $"embedding".isNull).count() === 1)
+    assert(enc.filter($"embedding".isNotNull).count() === 1)
+  }
+
   test("ivfTopK probes a fraction of cells with useful recall@5") {
     val e = Tables.table(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 20)

@@ -225,19 +225,22 @@ def run_oracle(sql, name=None):
 # stand-in that stays green at every decade.
 CAPACITY_BY_DESIGN = {
     "q50_pagerank": "unrolled power-iteration CTEs over the full trade "
-        "graph; STAGED_AT_SCALE rescues 10x (hash-green, r12) — this "
-        "entry is the story for decades where even the staged form "
-        "exceeds the cap",
+        "graph; STAGED_AT_SCALE rescues 10x (hash-green, r12) — "
+        "q50s_pagerank_panel (the residue-class subgraph twin, r14) is "
+        "the value check at decades where even the staged form exceeds "
+        "the cap",
     "q50p_pagerank_prod": "same unrolled-CTE oracle premium as q50_pagerank "
         "(staged form green at 10x, r12). At 100x the staged form is "
         "MEMORY-bound, not time-bound: standalone 1500s/85GB retry OOMs "
         "(160M-edge contribution frames x 3 iterations, r13); Spark side "
-        "green at 100x. A residue-class subgraph twin (q50s) is the "
-        "tractable-at-any-decade oracle shape if one is needed",
+        "green at 100x. q50s_pagerank_panel (r14) is the "
+        "tractable-at-any-decade value check for the family",
     "q53_trustrank": "same unrolled-CTE oracle premium as q50_pagerank "
-        "(personalized variant; staged form green at 10x, r12)",
+        "(personalized variant; staged form green at 10x, r12); "
+        "q53s_trustrank_panel (r14) is the any-decade value check",
     "q53p_trustrank_prod": "same unrolled-CTE oracle premium as "
-        "q50_pagerank (staged form green at 10x, r12)",
+        "q50_pagerank (staged form green at 10x, r12); "
+        "q53s_trustrank_panel (r14) is the any-decade value check",
     "qt12_embed_neardup": "the exact all-pairs near-dup baseline (the "
         "oracle target and qt12r's ground truth) is O(n²) by definition — "
         "2·10^10 pair dot products at the 100× fixture (hits the Spark "
@@ -268,22 +271,23 @@ CAPACITY_BY_DESIGN = {
         "doc_id % 31 slice and stays green at every decade",
     "qt40_lm_score": "same corpus bigram-NLL re-derivation as the qt46 "
         "family (DuckDB OOM at the 100x fixture, including a standalone "
-        "900s/80GB retry, r13); qt46s_lm_buckets_sampled — the identical "
-        "NLL chain on the doc_id % 31 slice — is the scaled value check "
-        "(green at 100x)",
+        "900s/80GB retry, r13); qt40s_lm_score_sampled (r14) — the "
+        "identical train+score chain on the doc_id % 31 slice — is the "
+        "scaled value check for this entry's per-doc NLL output",
     "qt26r_semdedup_recall": "the recall GRID re-derives Lloyd-trained "
         "semdedup pair sets per nlist plus the sampled exact baseline in "
         "SQL — capacity-bound at the 100x fixture (timeout at 400s and at "
         "a standalone 900s/80GB retry, r13). The OPERATOR'S full survivor "
-        "decision is qt26_semdedup, hash-green at 100x (200k rows) — the "
-        "recall grid is fixture-scale instrumentation (value-checked at "
-        "1x/10x)",
+        "decision is qt26_semdedup, hash-green at 100x (200k rows), and "
+        "qt26rs_semdedup_recall_panel (r14, both-endpoints-in-panel pair "
+        "sets) is the recall value check at every decade",
     "qt51_entropy": "the oracle re-derives per-doc character entropy by "
         "exploding text to characters (~1e9 rows at the 100x fixture; "
         "DuckDB OOM incl. standalone 900s/80GB retry, r13) — the premium "
         "is the oracle's, not the operator's: the Spark side is a "
-        "map-side native expression, dumped green at 100x and "
-        "value-checked at 1x/10x",
+        "map-side native expression, dumped green at 100x, and "
+        "qt51s_entropy_sampled (r14, the doc_id % 31 slice) is the "
+        "value check at every decade",
 }
 
 def skip_reason(name, cap):
@@ -353,7 +357,33 @@ for name, sql in sorted(oracle.items()):
                         "reason": f"rows {len(got)} vs oracle {len(exp)}"}; continue
     if not exp.equals(got):
         neq = (exp != got) & ~(exp.isna() & got.isna())
+        # Float columns: DECIMAL→DOUBLE conversion can differ by 1 ulp
+        # between engines (Spark's BigDecimal.doubleValue is correctly
+        # rounded; DuckDB's int128→double then /10^scale may double-round).
+        # At ~4e11 magnitudes 1 ulp ≈ 6e-5, beyond round(6)'s reach. rtol
+        # 2e-15 ≈ 4.5 ulps absorbs conversion noise while a CENT error at
+        # 4e11 (rel 2.5e-14) still fails — the tolerance window sits a
+        # decade below the smallest real money bug at these magnitudes.
+        import numpy as np
+        ulp_rescued = []
+        for c in exp.columns:
+            if (str(exp[c].dtype).startswith("float")
+                    and str(got[c].dtype).startswith("float")
+                    and neq[c].any()):
+                close = np.isclose(exp[c].to_numpy(), got[c].to_numpy(),
+                                   rtol=2e-15, atol=1e-9, equal_nan=True)
+                if (neq[c] & close).any():
+                    ulp_rescued.append(c)
+                neq[c] = neq[c] & ~close
         bad = neq.any(axis=1)
+        if not bad.any():
+            # never silent: a tolerance-rescued pass is visible in the log
+            print(f"OK   {name}: {len(exp)} rows "
+                  f"(ulp-tolerance on {','.join(ulp_rescued)})", flush=True)
+            record[name] = {"status": "ok", "rows": int(len(exp)),
+                            "ulp_tolerance_cols": ulp_rescued,
+                            "oracle_sec": round(time.time() - t0, 1)}
+            continue
         print(f"FAIL {name}: {bad.sum()} mismatched rows of {len(exp)}")
         print("  oracle:", exp[bad].head(3).to_dict("records"))
         print("  spark: ", got[bad].head(3).to_dict("records"))
@@ -369,7 +399,28 @@ for p in sorted(glob.glob(f"{out_dir}/*/")):
     if only and n not in only:
         continue
     if n not in oracle:
-        cnt = con.sql(f"SELECT count(*) FROM '{p}*.parquet'").fetchone()[0]
+        # a dir holding only a _CAPACITY/_FAILED marker has no parquet to
+        # count — classify instead of letting DuckDB's IO error abort the
+        # script before the parity JSON is written
+        marker = next((m for m in ("_CAPACITY", "_FAILED")
+                       if os.path.exists(p + m)), None)
+        if marker:
+            why = open(p + marker).read().strip()
+            st = "skip" if marker == "_CAPACITY" else "fail"
+            print(f"{'SKIP' if st == 'skip' else 'FAIL'} {n}: "
+                  f"{marker[1:].lower()} marker, no oracle ({why})")
+            record[n] = {"status": st, "reason": f"{marker} ({why}), no oracle"}
+            if st == "skip": capacity.append(n)
+            else: fails += 1
+            continue
+        try:
+            cnt = con.sql(f"SELECT count(*) FROM '{p}*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {n}: unreadable spark output (no oracle): {e}")
+            fails += 1
+            record[n] = {"status": "fail",
+                         "reason": f"unreadable spark output: {e}"}
+            continue
         print(f"ROWS {n}: {cnt} rows (no oracle)")
         record[n] = {"status": "rows_only", "rows": int(cnt)}
 parity_path = os.environ.get("GRAFT_PARITY_JSON")

@@ -55,12 +55,26 @@ if [ -f "${FIXTURE}/.synth_done" ] \
   echo "[sweep] 1/3 reusing synthesized fixture ${FIXTURE}"
 else
   echo "[sweep] 1/3 synthesizing ${COPIES}x fixture from ${BASE} -> ${FIXTURE}"
+  # full synth log kept and exit code honored (a grep-filtered pipe swallows
+  # sbt's exit code — the same pitfall the step-2 comment documents); the
+  # stamp is written only after EVERY table synthFixture emits exists, so a
+  # crash between tables can never cache a partial fixture for later sweeps
+  SYNTHLOG="/tmp/graft_sweep_synth_${TAG}.log"
   sbt -batch "runMain graft.ScaleProbe synth ${BASE} ${COPIES} ${FIXTURE}" \
-    2>&1 | grep -E '"probe"|error' || true
-  test -d "${FIXTURE}/documents.parquet" || {
-    echo "[sweep] synthesis failed: ${FIXTURE}/documents.parquet missing" >&2
+    > "${SYNTHLOG}" 2>&1 || {
+    echo "[sweep] synthesis ABORTED (sbt failure) — see ${SYNTHLOG}" >&2
+    grep -E '"probe"|error|OutOfMemory|Killed' "${SYNTHLOG}" | tail -20 >&2
     exit 1
   }
+  grep -E '"probe"' "${SYNTHLOG}" || true
+  # keep in sync with ScaleProbe.synthFixture's keyCols + verbatim
+  for t in documents embeddings orders lineitem customer supplier events \
+           nation region part; do
+    test -d "${FIXTURE}/${t}.parquet" || {
+      echo "[sweep] synthesis failed: ${FIXTURE}/${t}.parquet missing" >&2
+      exit 1
+    }
+  done
   echo "${BASE} ${COPIES}" > "${FIXTURE}/.synth_done"
 fi
 
