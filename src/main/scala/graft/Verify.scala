@@ -98,9 +98,24 @@ object Verify {
       new java.io.File(d, "_SUCCESS").exists() ||
         new java.io.File(d, "_CAPACITY").exists()
     }
+    // Between-entry cache isolation (Bench.isolate's rule applied to the
+    // dump): entries that persist/localCheckpoint internally leak storage
+    // blocks into the shared JVM, and because `queries` is a HashMap the
+    // ENTRY ORDER shifts whenever the catalog grows — the r14 100× dump
+    // OOMed the 8g heap when the hash order made a new panel entry the
+    // first to pay the 160M-edge store build on top of accumulated blocks
+    // (r13's order survived the same build). Safe between entries: each
+    // entry is fully written to parquet before the next starts, so no
+    // later scan depends on an earlier entry's cached/checkpointed frame.
+    def isolate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      isolate()
       if (preDeclared.contains(name)) {
         System.err.println(s"[verify] $name CAPACITY: pre-declared skip at $sfDir")
         val d = new java.io.File(s"$outDir/$name")

@@ -18,6 +18,11 @@
 #   GRAFT_ENTRY_TIMEOUT  per-ENTRY Spark wall cap, seconds (default 900)
 #                        — a capacity-bound entry at the scale fixture
 #                        becomes a _CAPACITY skip, not a multi-hour stall
+#   GRAFT_DUMP_MEM       Spark driver heap for the dump (default 24g; the
+#                        dump runs ALONE, so it can take real heap — the
+#                        build.sbt 8g default OOMed the r14 100x dump when
+#                        hash-order put the trade-graph store build on top
+#                        of accumulated entry caches)
 #   GRAFT_DUCKDB_MEM     DuckDB budget (default 70GB — leaves room for the
 #                        page cache; NEVER run the diff concurrently with a
 #                        Spark JVM, the two together exhaust RAM)
@@ -86,6 +91,7 @@ echo "[sweep] 2/3 dumping catalog at ${FIXTURE} (local[${CPUS}]) -> ${OUT}"
 # lines AND the pipe swallows sbt's exit code — both bit round 13)
 DUMPLOG="/tmp/graft_sweep_dump_${TAG}.log"
 env SPARK_GRAFT_CPUS="${CPUS}" \
+  SPARK_DRIVER_MEM="${GRAFT_DUMP_MEM:-24g}" \
   SPARK_GRAFT_SHUFFLE_PARTITIONS="${SHUF}" \
   SPARK_GRAFT_ENTRY_TIMEOUT="${ENTRY_TIMEOUT}" \
   ${GRAFT_ONLY:+SPARK_GRAFT_ONLY="${GRAFT_ONLY}"} \
