@@ -152,7 +152,14 @@ def split_cte_script(sql):
 # path executes the identical single statement it always did.
 STAGED_AT_SCALE = {"qc02_curation_delta", "q50_pagerank",
                    "q50p_pagerank_prod", "q53_trustrank",
-                   "q53p_trustrank_prod"}
+                   "q53p_trustrank_prod",
+                   # r14: the text-oracle family — the one-statement forms
+                   # OOM DuckDB at 100x holding the whole bigram/char
+                   # pipeline at once, but each CTE materialized as a temp
+                   # table (bg ~400M slim rows, contrib likewise) fits the
+                   # budget with memory released between stages
+                   "qt40_lm_score", "qt46_lm_buckets",
+                   "qt46a_lm_buckets_approx", "qt51_entropy"}
 
 def _oracle_child(sql, path, staged=False):
     """Runs one oracle in a forked child: a capacity-class oracle can OOM,
@@ -258,7 +265,8 @@ CAPACITY_BY_DESIGN = {
         "fixture-scale instrumentation, pre-declared via "
         "SPARK_GRAFT_CAPACITY_SKIP at 100×",
     "qt46_lm_buckets": "re-derives the corpus bigram-NLL model in one "
-        "query; qt46s_lm_buckets_sampled is the scaled value check",
+        "query; STAGED_AT_SCALE (r14) runs it green at 100x, and "
+        "qt46s_lm_buckets_sampled is the always-cheap slice twin",
     "qc02_curation_delta": "re-derives the ENTIRE batch curation run (the "
         "corpus state) plus the delta chain; the one-statement form is "
         "capacity-bound past 10x, so the scale sweep STAGES it "
@@ -266,14 +274,16 @@ CAPACITY_BY_DESIGN = {
         "registry entry is the fallback story if even the staged form "
         "exceeds the cap at a given decade",
     "qt46a_lm_buckets_approx": "re-derives the corpus bigram-NLL model in "
-        "one query (~105 GB at the 100x fixture); "
+        "one query (~105 GB one-statement at the 100x fixture); "
+        "STAGED_AT_SCALE (r14) runs it green at 100x (500k rows), and "
         "qt46s_lm_buckets_sampled runs the identical chain on the "
-        "doc_id % 31 slice and stays green at every decade",
-    "qt40_lm_score": "same corpus bigram-NLL re-derivation as the qt46 "
-        "family (DuckDB OOM at the 100x fixture, including a standalone "
-        "900s/80GB retry, r13); qt40s_lm_score_sampled (r14) — the "
-        "identical train+score chain on the doc_id % 31 slice — is the "
-        "scaled value check for this entry's per-doc NLL output",
+        "doc_id % 31 slice at every decade",
+    "qt40_lm_score": "one-statement corpus bigram-NLL re-derivation OOMs "
+        "DuckDB at the 100x fixture; STAGED_AT_SCALE (r14) rescues it — "
+        "per-CTE temp tables ran green at 100x in ~13 min (500k rows) — "
+        "so this registry entry is the fallback story for a decade where "
+        "even the staged form exceeds the cap; qt40s_lm_score_sampled is "
+        "the always-cheap slice twin",
     "qt26r_semdedup_recall": "the recall GRID re-derives Lloyd-trained "
         "semdedup pair sets per nlist plus the sampled exact baseline in "
         "SQL — capacity-bound at the 100x fixture (timeout at 400s and at "
@@ -283,9 +293,10 @@ CAPACITY_BY_DESIGN = {
         "sets) is the recall value check at every decade",
     "qt51_entropy": "the oracle re-derives per-doc character entropy by "
         "exploding text to characters (~1e9 rows at the 100x fixture; "
-        "DuckDB OOM incl. standalone 900s/80GB retry, r13) — the premium "
-        "is the oracle's, not the operator's: the Spark side is a "
-        "map-side native expression, dumped green at 100x, and "
+        "DuckDB OOM one-statement, r13; STAGED_AT_SCALE still times out "
+        "at 900s/70GB, r14 — compute-bound, not plan-shape-bound) — the "
+        "premium is the oracle's, not the operator's: the Spark side is "
+        "a map-side native expression, dumped green at 100x, and "
         "qt51s_entropy_sampled (r14, the doc_id % 31 slice) is the "
         "value check at every decade",
 }
