@@ -141,10 +141,22 @@ object Bench {
           best._2)
       }
     }
+    // qc01 stage-level cost attribution: the entry is ~18% of the catalog
+    // total, so the file artifact records where inside the composed
+    // pipeline the seconds go (Curation.lastStageSecs — set by every
+    // persist/storage stages() run; snapshotted HERE, immediately after
+    // qc01's measurement and before qc01s/qc02 overwrite it, so the map
+    // is qc01's last timed run).
+    var qc01Stages: Map[String, Double] = Map.empty
+    def snapshotStages(name: String): Unit =
+      if (name == "qc01_curation")
+        qc01Stages = graft.pipeline.Curation.lastStageSecs.get()
     val firstPass = entries.zipWithIndex
       .map { case ((name, fn), entryIdx) =>
         if (entryIdx == entries.size / 2) sentinelMid = sentinel()
-        name -> measureEntry(name, fn)
+        val m = measureEntry(name, fn)
+        snapshotStages(name)
+        name -> m
       }.toMap
     val sentinelEnd = sentinel()
     val sents = Seq(sentinelStart, sentinelMid, sentinelEnd).filter(_ > 0)
@@ -162,17 +174,33 @@ object Bench {
     // window was actually quiet. The sub-2-s entries stay flat under
     // contention (measured r8/r11) and are not requeued.
     // Entry name -> quiet-band seconds: each persist-heavy entry's MIN
-    // from the last quiet adjudicated window (r13 judge re-run: local[32],
-    // sf0.1, runs=3, sentinel 1.05, spread_max 0.68). Bands are requeue
-    // TRIGGERS, not gates — a code change that genuinely slows an entry
-    // just makes the requeue confirm the slower number twice. Refresh the
-    // values whenever a quiet full-catalog run moves an entry's min.
+    // from the last quiet adjudicated window (r14 judge re-run: local[32],
+    // sf0.1, runs=3, requeue-window sentinel 1.03, spread_max 0.61). Bands
+    // are requeue TRIGGERS, not gates — a code change that genuinely slows
+    // an entry just makes the requeue confirm the slower number twice.
+    // Refresh the values whenever a quiet full-catalog run moves an
+    // entry's min.
     val persistHeavy = Map(
-      "qc01_curation" -> 26.4, "qc01s_curation_stored" -> 8.6,
-      "qc02_curation_delta" -> 12.6,
-      "q50_pagerank" -> 3.9, "q50p_pagerank_prod" -> 4.0,
-      "q53_trustrank" -> 4.4, "q53p_trustrank_prod" -> 4.1,
-      "qt18_dedup_clusters" -> 1.4, "qr01_retrieval" -> 2.2)
+      "qc01_curation" -> 23.9, "qc01s_curation_stored" -> 8.1,
+      "qc02_curation_delta" -> 10.5,
+      "q50_pagerank" -> 3.7, "q50p_pagerank_prod" -> 2.9,
+      "q53_trustrank" -> 3.7, "q53p_trustrank_prod" -> 3.6,
+      "q50s_pagerank_panel" -> 1.9, "q53s_trustrank_panel" -> 2.5,
+      "qt26rs_semdedup_recall_panel" -> 1.6,
+      "qt18_dedup_clusters" -> 1.4, "qr01_retrieval" -> 1.8)
+    // The bands above are absolute seconds calibrated to ONE configuration
+    // (sf0.1, local[32], runs=3). At any other fixture or core count every
+    // heavy entry trips the >1.2× band even on a quiet machine, requeueing
+    // the whole list each run and stamping the run "contended". So the
+    // per-entry band trigger applies only on the calibrated configuration;
+    // the sentinel trigger (pure machine witness, scale-free) still covers
+    // uncalibrated runs.
+    val bandsCalibrated =
+      sfDir.stripSuffix("/").endsWith("sf0.1") && cpus == "32" && runs == 3
+    if (!bandsCalibrated)
+      System.err.println(s"[bench] per-entry quiet bands skipped: run config " +
+        s"(sf=$sfDir cpus=$cpus runs=$runs) != calibration (sf0.1, 32, 3); " +
+        "sentinel trigger still active")
     val fnByName = entries.toMap
     // A renamed persist-heavy entry silently dropping out of the requeue
     // would reintroduce the r8/r11 inflated-headline failure mode with no
@@ -192,9 +220,10 @@ object Bench {
     // exceeding its own quiet band by >20% is requeued even on a
     // sentinel-quiet run; min(first, requeued) still converges to the
     // quiet number whichever window was calmer.
-    val bandExceeded = persistHeavy.filter { case (n, band) =>
-      firstPass.get(n).exists(m => m._1 >= 0 && m._1 > band * 1.2)
-    }.keys.toSeq.sorted
+    val bandExceeded = (if (bandsCalibrated) persistHeavy else Map.empty[String, Double])
+      .filter { case (n, band) =>
+        firstPass.get(n).exists(m => m._1 >= 0 && m._1 > band * 1.2)
+      }.keys.toSeq.sorted
     // name -> (first-pass measurement, requeued measurement); empty on a
     // quiet run. Each measurement is (min, spread, gcOfMin).
     val contendedPairs: Map[String, ((Double, Double, Double), (Double, Double, Double))] =
@@ -208,7 +237,9 @@ object Bench {
           (if (bandExceeded.nonEmpty)
              s"; band exceeded >20%: ${bandExceeded.mkString(", ")}" else "") + ")")
         val s0 = sentinel()
-        val second = targets.map(n => n -> measureEntry(n, fnByName(n))).toMap
+        val second = targets.map { n =>
+          val m = measureEntry(n, fnByName(n)); snapshotStages(n); n -> m
+        }.toMap
         val s1 = sentinel()
         requeueSentRatio = math.max(s0, s1) / math.min(s0, s1)
         targets.map(n => n -> (firstPass(n), second(n))).toMap
@@ -293,11 +324,17 @@ object Bench {
         "\"" + shortId(k) + "\":{\"first\":" + f"${f1._1}%.3f" +
           ",\"requeued\":" + f"${r._1}%.3f" + "}" }
       .mkString("{", ",", "}")
+    // qc01 per-stage wall seconds (file artifact only): insertion order =
+    // pipeline order, so the JSON reads as the stage sequence
+    val qc01StagesJson = qc01Stages
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":$runs,"spread_max":${f"$spreadMax%.2f"},"spread_worst":$worst,""" +
       s""""gc_sec":${f"$gcTotal%.2f"},"gc_worst":$gcWorst,"gc_by_query":$gcByQuery,""" +
       s""""sentinel":$sentinelJson,"sentinel_ratio":${f"$sentinelRatio%.2f"},""" +
       s""""contended":$contendedJson,"requeue_sentinel_ratio":${f"$requeueSentRatio%.2f"},""" +
+      s""""qc01_stages":$qc01StagesJson,""" +
       s""""env":$envStamp,"sf":"$sfDir"}"""
     // 2-decimal, trailing zeros stripped ("0.30"→"0.3", "4.00"→"4") — the
     // stdout line sits within ~100 bytes of the driver's tail-capture

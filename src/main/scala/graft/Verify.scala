@@ -61,7 +61,13 @@ object Verify {
             interruptOnCancel = true)
           run()
         }
-        try { Await.result(fut, cap.seconds); exec.shutdown() }
+        // finally is the single shutdown authority: the success path, the
+        // timeout path, AND an entry that throws any other exception all
+        // reach it — without it, a failed entry's rethrow out of
+        // Await.result leaked the private daemon thread for the JVM
+        // lifetime (one per failed entry). shutdownNow on an already-done
+        // or already-shut executor is idempotent.
+        try Await.result(fut, cap.seconds)
         catch {
           case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(name)
@@ -72,13 +78,13 @@ object Verify {
             // a mode(overwrite) write AFTER the _CAPACITY marker lands,
             // the caller's marker write below re-creates the dir fresh.
             val unwound = scala.util.Try(Await.result(fut, 120.seconds)).isSuccess
-            exec.shutdownNow()
             if (!unwound)
               System.err.println(s"[verify] $name: cancel did not unwind in " +
                 "grace — orphan left on its private daemon thread; entry dir " +
                 "will be recreated for the marker")
             throw EntryCapped(cap)
         }
+        finally exec.shutdownNow()
     }
     // Scale-sweep regime: entries MEASURED to exceed the machine at the
     // fixture (qt12r at 100× fills the disk with ~10¹⁰ LSH candidate id

@@ -705,6 +705,32 @@ object Dedup {
     * planes/tables/probes triple trades recall against candidate density,
     * and the driver records the measured recall each round (qt12r).
     */
+  /** The PRODUCTION planes rule: planes ride log₂ of the corpus size so
+    * per-table bucket count scales WITH the corpus and expected bucket
+    * occupancy stays ~`targetPerBucket` — fixed fixture-scale operating
+    * points instead funnel ~10¹⁰ same-bucket pairs into the candidate
+    * shuffle at 100× (the measured r13 disk-fill). planes =
+    * clamp(floor, cap, ceil(log₂(⌈n/target⌉))), computed in INTEGER
+    * arithmetic (bit length of buckets−1) so the DuckDB oracle re-derives
+    * it bit-for-bit (`length(bin(b-1))`) with no fp-log boundary hazard at
+    * exact powers of two. The floor keeps tiny corpora from degenerating
+    * into one bucket; the cap (≤24, well under LshBucket's 63-bit limit)
+    * bounds the oracle's (1 << p) INT32 shifts and the plane-dot grid.
+    * Candidate volume then scales ~linearly: tables · probes² · n ·
+    * target/2 expected same-bucket pairs, never quadratic in n.
+    */
+  def lshPlanesForCorpus(n: Long, targetPerBucket: Int = 8,
+                         floorPlanes: Int = 6, capPlanes: Int = 24): Int = {
+    require(n >= 0 && targetPerBucket >= 1 && floorPlanes >= 1 &&
+      capPlanes >= floorPlanes && capPlanes <= 24)
+    // overflow-safe ceil division (n + target - 1 wraps near Long.MaxValue)
+    val buckets = n / targetPerBucket + (if (n % targetPerBucket != 0) 1L else 0L)
+    val bits =
+      if (buckets <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(capPlanes, math.max(floorPlanes, bits))
+  }
+
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, planes: Int = 8, tables: Int = 4,
                                probes: Int = 1): DataFrame = {

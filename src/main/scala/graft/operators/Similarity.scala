@@ -245,6 +245,34 @@ object Similarity {
       }.toDF(idCol, outCol)
   }
 
+  /** [encodeText] for frames whose key is not a long (the RAG chunk store
+    * keys by a (doc_id, chunk_id) STRUCT): appends `outCol` while
+    * PRESERVING every input column. Same batched mapPartitions seam — one
+    * narrow stage, no shuffle, iterator-incremental (grouped(batchSize)
+    * bounds what is resident); null text → null vector per the codec rule.
+    */
+  def encodeTextRows(df: DataFrame, textCol: String, encoder: TextEncoder,
+                     batchSize: Int = 64,
+                     outCol: String = "embedding"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val tIdx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema.add(outCol,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false),
+      nullable = true)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r =>
+          if (r.isNullAt(tIdx)) null else r.getString(tIdx)).toArray
+        val vecs = encoder.encodeBatch(texts)
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ (if (v == null) null else v.toSeq))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Column-expression formulation of [hashEmbedding] — same bits, kept
     * only as an independent implementation for differential testing
     * (RetrievalSpec). As the production path it interpreted the whole

@@ -134,7 +134,27 @@ object Curation {
                       * the observer must reproduce that). Empty map when
                       * persist = false (nothing was materialized to count).
                       */
-                    counts: Map[String, Long] = Map.empty)
+                    counts: Map[String, Long] = Map.empty,
+                    /** Wall seconds between consecutive materialization
+                      * boundaries of a persist/storage-mode run, keyed like
+                      * `counts` — stage N's value covers everything since
+                      * stage N−1 materialized, so eager construction work
+                      * (the component loop's checkpoint rounds) is
+                      * attributed to the stage that triggered it. Bench
+                      * cost attribution only (see [lastStageSecs]) — never
+                      * part of an oracle frame. Empty on lazy runs.
+                      */
+                    stageSecs: Map[String, Double] = Map.empty)
+
+  /** The most recent persist/storage-mode [stages] run's per-stage wall
+    * seconds — a diagnostic side-channel for Bench (qc01 is ~18% of the
+    * catalog total; its next optimization needs per-stage attribution,
+    * not a guess). Bench snapshots this immediately after measuring
+    * qc01_curation, so the value it records is that entry's last timed
+    * run. Never read on a correctness path.
+    */
+  val lastStageSecs =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
 
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Curated = {
@@ -220,10 +240,25 @@ object Curation {
       audit(name) = back.count()
       back
     }
-    def mark(name: String, df: DataFrame): DataFrame =
-      if (storageDir.isDefined) store(name, df)
-      else if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p }
-      else df
+    // Per-stage wall attribution (Stages.stageSecs): boundary-to-boundary
+    // deltas, so eager work between two marks (the component loop's
+    // checkpoint rounds run during construction, not inside any count)
+    // lands on the stage whose materialization follows it.
+    val stageWall = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var lastBoundary = System.nanoTime()
+    def stamp(name: String): Unit = {
+      val now = System.nanoTime()
+      stageWall(name) = (now - lastBoundary) / 1e9
+      lastBoundary = now
+    }
+    def mark(name: String, df: DataFrame): DataFrame = {
+      val out =
+        if (storageDir.isDefined) store(name, df)
+        else if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p }
+        else df
+      if (storageDir.isDefined || persist) stamp(name)
+      out
+    }
     // drop an upstream stage's cache once the downstream materialization
     // has consumed it (no-op outside persist+release mode, and a no-op on
     // storage mode's never-cached scan frames); non-blocking — the store
@@ -374,6 +409,7 @@ object Curation {
           .foreach(r => audit("split_" + r.getString(0)) = r.getLong(1))
         back
       } else markSplit(split0, persist, audit)
+    if (storageDir.isDefined || persist) stamp("split")
     drop(clean)
     val trainTokens = split.filter(col("split") === lit(cfg.trainSplit))
       .select(id, TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
@@ -391,8 +427,14 @@ object Curation {
         if (!r.isNullAt(2)) audit("packed_tokens") = r.getLong(2)
         back
       } else markPacked(packed0, persist, audit)
+    if (storageDir.isDefined || persist) stamp("packed")
+    // ListMap: keep pipeline order so the bench JSON reads as the stage
+    // sequence (a plain toMap re-hashes the keys)
+    val stageSecsOrdered =
+      scala.collection.immutable.ListMap(stageWall.toSeq: _*)
+    lastStageSecs.set(stageSecsOrdered)
     Stages(canon, quality, spanGated, exact, deduped, clean, split, packed,
-      counts = audit.toMap)
+      counts = audit.toMap, stageSecs = stageSecsOrdered)
   }
 
   /** Persist-mode materialization of the split frame whose eager action is

@@ -90,12 +90,22 @@ object TextOps {
     * operating point, since plane identity t·10007+p is independent of the
     * variant's plane count.
     */
-  private def lshDotsCtes(maxTables: Int, maxPlanes: Int): String =
+  private def lshDotsCtes(maxTables: Int, maxPlanes: Int,
+                          planesFilter: String = "",
+                          vecWhere: String = ""): String = {
+    // planesFilter: optional SQL predicate over `p` (e.g. the derived
+    // production-rule plane count, `p < (SELECT pl FROM plc)`) so the grid
+    // upper bound can be the rule's static CAP while the dots frame stays
+    // sized to the DERIVED planes. vecWhere: optional extra predicate over
+    // `e` (panel twins restrict the dots to the residue class — sign-LSH
+    // hyperplanes are data-independent, so a pair's buckets don't change
+    // when the rest of the corpus is filtered away).
+    val pf = if (planesFilter.isEmpty) "" else s"\n   WHERE $planesFilter"
     s"""dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
        | pgrid AS (SELECT t, p, i, (t*10007 + p)::UBIGINT AS pg
        |   FROM (SELECT unnest(range(0, $maxTables)) AS t),
        |        (SELECT unnest(range(0, $maxPlanes)) AS p),
-       |        (SELECT unnest(range(0, (SELECT d FROM dims))) AS i)),
+       |        (SELECT unnest(range(0, (SELECT d FROM dims))) AS i)$pf),
        | s1 AS (SELECT t, p, i, ${HashSql.mixCols("pg", "a")} FROM pgrid),
        | s2 AS (SELECT t, p, i,
        |   ${HashSql.mixCols(s"xor(ma, ${HashSql.familySeed("i::UBIGINT")})", "b")} FROM s1),
@@ -105,7 +115,23 @@ object TextOps {
        | dots AS (SELECT e.vec_id, c.t, c.p,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
        |      i -> e.embedding[i]::DOUBLE * c.cs[i])) AS dot
-       |   FROM embeddings e CROSS JOIN cl c WHERE e.embedding IS NOT NULL)""".stripMargin
+       |   FROM embeddings e CROSS JOIN cl c
+       |   WHERE e.embedding IS NOT NULL $vecWhere)""".stripMargin
+  }
+
+  /** CTEs deriving the production planes rule of
+    * [[graft.operators.Dedup.lshPlanesForCorpus]] in SQL — emits
+    * `plc(pl INTEGER)`. Integer-exact on both engines: ceil(log₂(B)) for
+    * B = ⌈n/target⌉ is the bit length of B−1 (`length(bin(B-1))` — DuckDB's
+    * bin() has no leading zeros), clamped to [floor, cap]; no fp log that
+    * could round differently at an exact power of two.
+    */
+  private def lshPlanesRuleCtes(targetPerBucket: Int = 8, floorP: Int = 6,
+                                capP: Int = 24): String =
+    s"""nrows AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       | plc AS (SELECT greatest($floorP, least($capP,
+       |     length(bin((n + ${targetPerBucket - 1}) // $targetPerBucket - 1))))::INTEGER AS pl
+       |   FROM nrows)""".stripMargin
 
   /** Shared bucket + probe + candidate CTEs for a query-side (vec_id < 20)
     * LSH operating point, namespaced by `tag`: base buckets are the
@@ -175,8 +201,13 @@ object TextOps {
     * sharing any (table, bucket), and the verify stage is the exact-cosine
     * threshold, not a rank cut. Emits `pv$tag(id_a, id_b)`.
     */
-  private def lshPairCtes(tag: String, planes: Int, tables: Int,
-                          probes: Int, threshold: Double): String = {
+  private def lshPairCtes(tag: String, planes: String, tables: Int,
+                          probes: Int, threshold: Double,
+                          emitSim: Boolean = false): String = {
+    // `planes` is a SQL expression, not an Int: fixed operating points pass
+    // a literal ("8"); the production-rule point passes the derived count
+    // ("(SELECT pl FROM plc)" — see lshPlanesRuleCtes) so the plane cut
+    // rides the corpus size identically to the Scala side.
     val base =
       s"""b$tag AS (SELECT vec_id, t,
          |    sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
@@ -196,17 +227,20 @@ object TextOps {
            |   SELECT m.vec_id, m.t, xor(b.bucket::UBIGINT, (1 << m.p)::UBIGINT)::BIGINT AS bucket
            |   FROM mr$tag m JOIN b$tag b ON b.vec_id = m.vec_id AND b.t = m.t
            |   WHERE m.mrnk <= ${probes - 1})""".stripMargin
+    val simExpr =
+      s"""round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+         |       i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+         |     (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |      sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+    val simCol = if (emitSim) s",\n   $simExpr AS cos_sim" else ""
     base + probeCtes +
       s""",
          | pr$tag AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |   FROM qp$tag a JOIN qp$tag b ON a.t = b.t AND a.bucket = b.bucket
          |     AND a.vec_id < b.vec_id),
-         | pv$tag AS (SELECT id_a, id_b FROM pr$tag
+         | pv$tag AS (SELECT id_a, id_b$simCol FROM pr$tag
          |   JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b
-         |   WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
-         |       i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
-         |     (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-         |      sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= $threshold)""".stripMargin
+         |   WHERE $simExpr >= $threshold)""".stripMargin
   }
 
   /** Int8-shortlist + float-rerank CTEs for one QUANTIZED LSH operating
@@ -560,19 +594,54 @@ object TextOps {
       out
     })
 
-  /** The serve half of the RAG chain against [ragIndexDir]'s artifacts. */
-  private def retrievalServe(s: SparkSession, d: String): DataFrame = {
+  /** qr03's index artifacts: the SAME layout as [ragIndexDir] but with the
+    * chunk embedding table built THROUGH the batched encoder seam
+    * ([Similarity.encodeTextRows] over [Similarity.HashTextEncoder]) instead
+    * of the native column expression. HashTextEncoder delegates to the same
+    * scalar kernel, so the persisted vectors are bit-identical — which is
+    * exactly what makes the seam a driver-checkable entry (the qc01s
+    * pattern: same oracle, different production machinery).
+    */
+  private def ragIndexDirEncoded(s: SparkSession, d: String): String =
+    ragIndexMemo.computeIfAbsent("enc:" + d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_rag_index_enc_").toString
+      graft.sources.Tables.deleteOnExit(out)
+      ragChunkStore(s, d).write.mode("overwrite").parquet(s"$out/chunks")
+      val stored = s.read.parquet(s"$out/chunks")
+      graft.operators.Retrieval.saveBm25Index(
+        graft.operators.Retrieval.bm25Index(stored, "ck", "chunk_text"),
+        s"$out/bm25", bucketed = true)
+      graft.operators.Similarity.encodeTextRows(stored, "chunk_text",
+          graft.operators.Similarity.HashTextEncoder(RagDim), outCol = "emb")
+        .select(col("ck").as("vid"), col("emb"))
+        .write.mode("overwrite").parquet(s"$out/emb")
+      out
+    })
+
+  /** The serve half of the RAG chain against [ragIndexDir]'s artifacts;
+    * `encoded = true` (qr03) serves from [ragIndexDirEncoded] and embeds
+    * the query panel through the encoder seam too — every vector in the
+    * chain then crossed the production encodeBatch boundary.
+    */
+  private def retrievalServe(s: SparkSession, d: String,
+                             encoded: Boolean = false): DataFrame = {
     val k = RagK
-    val dir = ragIndexDir(s, d)
+    val dir = if (encoded) ragIndexDirEncoded(s, d) else ragIndexDir(s, d)
     val queries = T(s, d, "documents").filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("text").as("qtext"))
     val sparse = graft.operators.Retrieval.bm25TopKIndexed(
       graft.operators.Retrieval.loadBm25Index(s, s"$dir/bm25"),
       queries, k = k, idCol = "ck")
     val cEmb = s.read.parquet(s"$dir/emb")
-    val qEmb = queries.select(
+    val qRaw =
+      if (encoded)
+        graft.operators.Similarity.encodeText(queries, "query_id", "qtext",
+          graft.operators.Similarity.HashTextEncoder(RagDim), outCol = "emb")
+      else queries.select(col("query_id"),
+        graft.operators.Similarity.hashEmbedding(col("qtext"), RagDim).as("emb"))
+    val qEmb = qRaw.select(
       struct(col("query_id").as("doc_id"), lit(-1L).as("chunk_id")).as("vid"),
-      graft.operators.Similarity.hashEmbedding(col("qtext"), RagDim).as("emb"))
+      col("emb"))
     val dense = graft.operators.Similarity.bruteForceTopK(cEmb, qEmb, k = k,
         idCol = "vid", vecCol = "emb")
       .select(col("query_id.doc_id").as("query_id"),
@@ -957,6 +1026,46 @@ object TextOps {
             planes = 6, tables = 4, probes = 6))))
     }),
 
+    // The PRODUCTION-RULE near-dup entry: planes derived from the corpus
+    // size (Dedup.lshPlanesForCorpus — ceil(log₂⌈N/8⌉) clamped to [6,24]),
+    // so expected bucket occupancy stays ~8 at every decade instead of the
+    // fixed-point candidate blowup the r13 100× sweep measured. Full pair
+    // set with exact-cosine verify at qt12's threshold; the derived plane
+    // count rides the output so the oracle value-checks the rule itself.
+    "qt12p_embed_neardup_prod" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val pl = Dedup.lshPlanesForCorpus(e.count())
+      Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", threshold = 0.4,
+        planes = pl, tables = 4, probes = 2)
+        .withColumn("planes", lit(pl))
+    }),
+
+    // qt12r's both-endpoints-panel twin (the qt26rs discipline): recall of
+    // the qt12r grid PLUS the production-rule point, measured over
+    // both-in-panel exact pairs. The LSH sides run on the panel-filtered
+    // frame — legitimate, unlike semdedup, because sign-LSH buckets are
+    // data-independent per vector (a pair's candidacy never depends on the
+    // rest of the corpus; spec-gated in DedupSpec) — EXCEPT the production
+    // point's plane count, which derives from the FULL corpus count: that
+    // is what the rule is graded on. tau 0.2 per the qt26rs calibration
+    // (no both-in-panel pair clears 0.4 at base scale).
+    "qt12rs_embed_neardup_recall_panel" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val pl = Dedup.lshPlanesForCorpus(e.count())
+      val panel = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+      val exact = Dedup.embeddingNearDupPairsPanel(e, "vec_id", "embedding",
+        threshold = 0.2, mod = 31, res = 7)
+      recallQuery(exact, Seq("id_a", "id_b"), ("planes", "tables", "probes"),
+        Seq(((8, 4, 1), Dedup.embeddingNearDupPairsLsh(panel, "vec_id", "embedding", 0.2,
+            planes = 8, tables = 4, probes = 1)),
+          ((8, 4, 4), Dedup.embeddingNearDupPairsLsh(panel, "vec_id", "embedding", 0.2,
+            planes = 8, tables = 4, probes = 4)),
+          ((6, 4, 6), Dedup.embeddingNearDupPairsLsh(panel, "vec_id", "embedding", 0.2,
+            planes = 6, tables = 4, probes = 6)),
+          ((pl, 4, 2), Dedup.embeddingNearDupPairsLsh(panel, "vec_id", "embedding", 0.2,
+            planes = pl, tables = 4, probes = 2))))
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means cluster blocking + within-cell
     // cosine, drop the larger id of every within-cell duplicate pair. The
     // full survivor decision — Lloyd-1 centroids, home cells, pair
@@ -1277,6 +1386,17 @@ object TextOps {
     // oracle SQL is qr01's verbatim.
     "qr02_retrieval_serve" -> ((s, d) => retrievalServe(s, d)),
 
+    // qr02's chain served through the BATCHED TEXT-ENCODER seam: chunk
+    // embeddings built via Similarity.encodeTextRows(HashTextEncoder) at
+    // index-build time, the query panel via encodeText at serve time —
+    // every vector crosses the production encodeBatch boundary (the
+    // mapPartitions batch seam a real model server plugs into).
+    // HashTextEncoder delegates to the same scalar kernel as the native
+    // column path, so rankings are bit-identical and the entry shares
+    // qr01's oracle verbatim — the driver now value-checks the seam, not
+    // just SimilaritySpec.
+    "qr03_retrieval_encoded" -> ((s, d) => retrievalServe(s, d, encoded = true)),
+
     // Heavy hitters via Misra–Gries candidates + verification counts: the
     // MG summary (bounded O(k) buffer per group, any vocabulary size)
     // guarantees every term with f > n/k survives; counting ONLY the
@@ -1309,13 +1429,15 @@ object TextOps {
 
     // The SCALED-ORACLE twin of qt51 (qt46s discipline). The entropy/TTR
     // values are doc-LOCAL (no corpus model), so the slice twin is simply
-    // the same chain over the doc_id % 31 slice — but the oracle premium
+    // the same chain over the doc_id % 7 slice — but the oracle premium
     // is not: qt51's SQL explodes text to characters (~1e9 rows at the
     // 100× fixture; DuckDB OOM incl. a standalone 900s/80GB retry, r13),
-    // while the slice keeps the exploded volume ~3× base at every decade.
-    // The per-doc VALUES stay checked at 100× where qt51 itself skips.
+    // while the slice keeps the exploded volume ~14% of the corpus at
+    // every decade (widened from %31's 3.2% in r15 so the 100× evidence
+    // covers ≥10% of the docs; the oracle's explode stays ~1/7 of the
+    // full-corpus volume that OOMed).
     "qt51s_entropy_sampled" -> ((s, d) =>
-      entropyProfile(T(s, d, "documents").filter(col("doc_id") % 31 === 0))),
+      entropyProfile(T(s, d, "documents").filter(col("doc_id") % 7 === 0))),
 
     // Compressibility quality signal (Rae et al. 2021's repetition rule).
     // The raw DEFLATE length/ratio is JVM-zlib-specific, so the oracle is
@@ -2259,6 +2381,10 @@ object TextOps {
     // serve-only twin returns qr01's exact rows (bit-identical serve from
     // persisted artifacts) — one oracle definition, shared
     "qr02_retrieval_serve" -> retrievalOracle(capped = false),
+    // qr03 serves bit-identical rankings through the encoder seam
+    // (HashTextEncoder = the same scalar kernel), so it shares the chain
+    // oracle verbatim — the qc01s same-oracle/different-machinery pattern.
+    "qr03_retrieval_encoded" -> retrievalOracle(capped = false),
     // qt49's invariant twin: DuckDB predicts every boolean from text
     // length alone; the Spark side computes them from actual zlib output.
     "qt49_compress" ->
@@ -2268,11 +2394,11 @@ object TextOps {
         | CASE WHEN strlen(text) BETWEEN 1 AND 30000 THEN TRUE END AS dup_second_copy_cheap
         |FROM documents""".stripMargin,
     "qt51_entropy" -> entropySql("documents"),
-    // qt51s: the identical chain over the doc_id % 31 slice — the
-    // char-explode volume stays ~3× base at the 100× fixture where
-    // qt51's full-corpus explode (~1e9 rows) OOMs DuckDB
+    // qt51s: the identical chain over the doc_id % 7 slice (14% of docs —
+    // widened from %31 in r15) — the char-explode volume stays ~1/7 of
+    // the full-corpus ~1e9 rows that OOM DuckDB at the 100× fixture
     "qt51s_entropy_sampled" ->
-      entropySql("(SELECT * FROM documents WHERE doc_id % 31 = 0)"),
+      entropySql("(SELECT * FROM documents WHERE doc_id % 7 = 0)"),
     "qt50_heavy_hitters" ->
       s"""WITH tok AS (SELECT lang, t.term
          |  FROM (SELECT lang, $tokensSql AS ts FROM documents), unnest(ts) AS t(term)),
@@ -2993,10 +3119,10 @@ object TextOps {
          |       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
          |     (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
          |      sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4),
-         |${lshPairCtes("v1", planes = 8, tables = 4, probes = 1, threshold = 0.4)},
-         |${lshPairCtes("v2", planes = 8, tables = 4, probes = 4, threshold = 0.4)},
-         |${lshPairCtes("v3", planes = 8, tables = 2, probes = 4, threshold = 0.4)},
-         |${lshPairCtes("v4", planes = 6, tables = 4, probes = 6, threshold = 0.4)},
+         |${lshPairCtes("v1", planes = "8", tables = 4, probes = 1, threshold = 0.4)},
+         |${lshPairCtes("v2", planes = "8", tables = 4, probes = 4, threshold = 0.4)},
+         |${lshPairCtes("v3", planes = "8", tables = 2, probes = 4, threshold = 0.4)},
+         |${lshPairCtes("v4", planes = "6", tables = 4, probes = 6, threshold = 0.4)},
          |${recallCte("v1")},
          |${recallCte("v2")},
          |${recallCte("v3")},
@@ -3005,6 +3131,63 @@ object TextOps {
          |UNION ALL SELECT 8, 4, 4, rec FROM rv2
          |UNION ALL SELECT 8, 2, 4, rec FROM rv3
          |UNION ALL SELECT 6, 4, 6, rec FROM rv4""".stripMargin
+    },
+
+    // qt12's PRODUCTION-RULE twin: the full LSH-bucketed near-dup pair set
+    // at the lshPlanesForCorpus operating point — planes ride log₂(N) (so
+    // buckets scale with the corpus; see the rule's scaladoc), tables=4,
+    // probes=2, exact-cosine verify at qt12's threshold. The derived plane
+    // count is emitted as a column so the oracle certifies the RULE, not
+    // just the pair set. Both engines derive planes from count(*) in
+    // integer arithmetic — no fp-log boundary hazard.
+    "qt12p_embed_neardup_prod" ->
+      s"""WITH ${lshPlanesRuleCtes()},
+         | ${lshDotsCtes(maxTables = 4, maxPlanes = 24,
+               planesFilter = "p < (SELECT pl FROM plc)")},
+         |${lshPairCtes("v1", planes = "(SELECT pl FROM plc)", tables = 4,
+               probes = 2, threshold = 0.4, emitSim = true)}
+         |SELECT id_a, id_b, cos_sim, (SELECT pl FROM plc) AS planes
+         |FROM pvv1""".stripMargin,
+
+    // qt12r's SCALED-ORACLE twin (the qt26rs both-endpoints-in-panel
+    // discipline): exact baseline AND the LSH pair sets restricted to
+    // vec_id % 31 = 7 on BOTH endpoints. Sign-LSH hyperplanes are
+    // data-independent, so a pair's buckets — hence its candidacy — are
+    // unchanged by filtering the rest of the corpus away: the dots grid
+    // itself is panel-restricted and every stage costs |panel|-scale at
+    // any decade (961× cheaper than qt12r's panel-touching baseline).
+    // The production-rule point still derives planes from the FULL corpus
+    // count (what the rule is graded on); threshold 0.2 because the
+    // near-random fixture has no both-in-panel pair above 0.4 at base
+    // scale (the qt26rs calibration).
+    "qt12rs_embed_neardup_recall_panel" -> {
+      def recallCte(tag: String): String =
+        s"""r$tag AS (SELECT round(avg(CASE WHEN v.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rec
+           |   FROM exact e LEFT JOIN pv$tag v ON v.id_a = e.id_a AND v.id_b = e.id_b)""".stripMargin
+      s"""WITH ${lshPlanesRuleCtes()},
+         | ${lshDotsCtes(maxTables = 4, maxPlanes = 24,
+               planesFilter = "p < greatest(8, (SELECT pl FROM plc))",
+               vecWhere = "AND e.vec_id % 31 = 7")},
+         | exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |   WHERE a.vec_id % 31 = 7 AND b.vec_id % 31 = 7
+         |     AND round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+         |     (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+         |      sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.2),
+         |${lshPairCtes("v1", planes = "8", tables = 4, probes = 1, threshold = 0.2)},
+         |${lshPairCtes("v2", planes = "8", tables = 4, probes = 4, threshold = 0.2)},
+         |${lshPairCtes("v3", planes = "6", tables = 4, probes = 6, threshold = 0.2)},
+         |${lshPairCtes("v4", planes = "(SELECT pl FROM plc)", tables = 4,
+               probes = 2, threshold = 0.2)},
+         |${recallCte("v1")},
+         |${recallCte("v2")},
+         |${recallCte("v3")},
+         |${recallCte("v4")}
+         |SELECT 8 AS planes, 4 AS tables, 1 AS probes, rec AS recall_vs_brute FROM rv1
+         |UNION ALL SELECT 8, 4, 4, rec FROM rv2
+         |UNION ALL SELECT 6, 4, 6, rec FROM rv3
+         |UNION ALL SELECT (SELECT pl FROM plc), 4, 2, rec FROM rv4""".stripMargin
     }))
 
   /** qt05's oracle, parameterized on the Jaccard threshold: the

@@ -146,6 +146,40 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.3, s"pair recall $recall (|exact|=${exact.size})")
   }
 
+  test("lshPlanesForCorpus: integer-exact ceil(log2(ceil(n/8))) with clamps") {
+    // the qt12p production rule: planes ride log₂(N) so expected bucket
+    // occupancy stays ~targetPerBucket at every decade
+    assert(Dedup.lshPlanesForCorpus(0) === 6)
+    assert(Dedup.lshPlanesForCorpus(1) === 6) // B=1 → floor
+    assert(Dedup.lshPlanesForCorpus(500) === 6) // B=63 → 6 bits
+    assert(Dedup.lshPlanesForCorpus(2000) === 8) // B=250 → 8 bits
+    assert(Dedup.lshPlanesForCorpus(200000) === 15) // B=25000 → 15 bits
+    assert(Dedup.lshPlanesForCorpus(Long.MaxValue) === 24) // cap
+    // exact power-of-two boundaries — the case an fp log2 could misround
+    assert(Dedup.lshPlanesForCorpus(8L * 1024) === 10) // B=1024 = 2^10
+    assert(Dedup.lshPlanesForCorpus(8L * 1024 + 1) === 11) // B=1025
+    assert(Dedup.lshPlanesForCorpus(512) === 6) // B=64 = 2^6
+    assert(Dedup.lshPlanesForCorpus(513) === 7) // B=65
+  }
+
+  test("LSH pair candidacy is data-independent: panel-input run ≡ full run filtered to panel") {
+    // the qt12rs optimization gate: sign-LSH hyperplanes are hash-derived,
+    // so pair (a,b)'s buckets — hence its candidacy AND its exact verify —
+    // are unchanged when the rest of the corpus is filtered away (unlike
+    // semdedup, whose cells are corpus-trained)
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingNearDupPairsLsh(df, "vec_id", "embedding", 0.2,
+        planes = 6, tables = 4, probes = 2)
+    val full = pairs(e)
+      .filter(pmod($"id_a", lit(31)) === 7 && pmod($"id_b", lit(31)) === 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val panel = pairs(e.filter(pmod($"vec_id", lit(31)) === 7))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(panel === full)
+    assert(panel.nonEmpty, "fixture panel should contain cosine≥0.2 LSH pairs")
+  }
+
   test("semDedup: drop rule ≡ within-cell exact pairs; tau boundary; modes agree") {
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
     val out = Dedup.semDedup(e, "vec_id", "embedding", nlist = 16, tau = 0.4,

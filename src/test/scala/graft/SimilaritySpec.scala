@@ -57,6 +57,28 @@ class SimilaritySpec extends SparkSpec {
     assert(enc.filter($"embedding".isNotNull).count() === 1)
   }
 
+  test("encodeTextRows: schema-preserving seam ≡ direct column path (struct keys survive)") {
+    // the qr03 shape: the RAG chunk store keys by a STRUCT, so the seam
+    // must append the vector while carrying arbitrary columns through
+    val docs = Tables.table(spark, sf, "documents")
+      .select(struct($"doc_id", ($"doc_id" % 3).as("chunk_id")).as("ck"),
+        $"text", $"lang")
+    val direct = docs.withColumn("embedding",
+      Similarity.hashEmbedding($"text", 16))
+    val seam = Similarity.encodeTextRows(docs, "text",
+      Similarity.HashTextEncoder(16), batchSize = 7)
+    assert(seam.columns.toSeq === direct.columns.toSeq)
+    assert(seam.exceptAll(direct).isEmpty && direct.exceptAll(seam).isEmpty)
+    // codec rule through the row seam: null text → null vector, the other
+    // columns intact
+    val withNull = Seq((1L, "some text"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val enc = Similarity.encodeTextRows(withNull, "text",
+      Similarity.HashTextEncoder(16))
+    assert(enc.filter($"id" === 2 && $"embedding".isNull).count() === 1)
+    assert(enc.filter($"embedding".isNotNull).count() === 1)
+  }
+
   test("ivfTopK probes a fraction of cells with useful recall@5") {
     val e = Tables.table(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 20)

@@ -56,7 +56,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(6)
         elif "datetime" in str(df[c].dtype):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # Row-alignment rule: sort by non-float columns FIRST, floats last. The
+    # ulp/rtol rescue below compares columns positionally after this sort;
+    # with alphabetical order a float aggregate can precede the key columns,
+    # and a 1-ulp engine difference in that float between near-tied rows
+    # would align exp/got differently — turning tolerable conversion noise
+    # into a confusing multi-column mismatch FAIL instead of a rescue.
+    # Floats stay in the key (tail position) so frames that differ only in
+    # float columns still sort deterministically; whenever the non-float
+    # columns identify rows (the usual case: keys are ids/strings), the
+    # alignment is immune to sub-tolerance float noise entirely.
+    non_float = [c for c in df.columns
+                 if not str(df[c].dtype).startswith("float")]
+    floats = [c for c in df.columns if str(df[c].dtype).startswith("float")]
+    df = df.sort_values(by=non_float + floats).reset_index(drop=True)
     return df
 
 # Optional per-oracle wall-clock cap for scale-fixture sweeps: several
