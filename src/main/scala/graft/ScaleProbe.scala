@@ -303,8 +303,8 @@ object ScaleProbe {
       .select(col("o_orderkey"), col("o_custkey"))
       .join(graft.sources.Tables.table(spark, sfDir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
-      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
-        concat(lit("s:"), col("l_suppkey")).as("snode"))
+      .select(col("o_custkey").cast("long").as("cnode"),
+        (negate(col("l_suppkey").cast("long")) - 1).as("snode"))
     val e = ol.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
     def time(name: String)(act: => Long): Unit = {

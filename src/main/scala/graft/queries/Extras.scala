@@ -557,7 +557,7 @@ object Extras {
     // oracle, multiplication-form teleport mirrored exactly.
     "q53_trustrank" -> ((s, d) => {
       val seeds = T(s, d, "supplier").filter(col("s_nationkey") === 3)
-        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+        .select((negate(col("s_suppkey").cast("long")) - 1).as("node"))
       graft.operators.PageRank.personalizedPageRank(tradeGraph(s, d), seeds,
         "src", "dst", "node", iters = 3, oracleMode = true,
         assumeDistinct = true)
@@ -572,7 +572,7 @@ object Extras {
     // for BOTH graph entries, not just PageRank.
     "q53p_trustrank_prod" -> ((s, d) => {
       val seeds = T(s, d, "supplier").filter(col("s_nationkey") === 3)
-        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+        .select((negate(col("s_suppkey").cast("long")) - 1).as("node"))
       val r = graft.operators.PageRank.personalizedPageRank(tradeGraph(s, d),
         seeds, "src", "dst", "node", iters = 3, assumeDistinct = true)
       topKByRank(r, 20)
@@ -609,7 +609,7 @@ object Extras {
     "q53s_trustrank_panel" -> ((s, d) => {
       val seeds = T(s, d, "supplier")
         .filter(col("s_suppkey") % 31 === 7)
-        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+        .select((negate(col("s_suppkey").cast("long")) - 1).as("node"))
       graft.operators.PageRank.personalizedPageRank(panelGraph(s, d), seeds,
         "src", "dst", "node", iters = 3, oracleMode = true,
         assumeDistinct = true)
@@ -656,11 +656,19 @@ object Extras {
     * what the probe prices is by construction what the entries serve.
     */
   private[graft] def buildTradeEdges(s: SparkSession, d: String): DataFrame = {
+    // BIGINT node ids, sign-tagged (the synthesizer's negative-sentinel
+    // rule): customer node = custkey, supplier node = −(suppkey+1) — total
+    // over the whole non-negative key domain with zero collision risk.
+    // r15 change from the 'c:'||key VARCHAR tags: the 100× staged oracle
+    // was MEMORY-bound at 85 GB largely because every 160M-edge
+    // contribution frame carried VARCHAR node ids (r13 retry evidence);
+    // 8-byte fixed-width keys shrink those frames ~4× on both engines,
+    // and hash/sort on longs beats strings at every scale.
     val ol = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(T(s, d, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), "o_orderkey")
-      .select(concat(lit("c:"), col("o_custkey")).as("cnode"),
-        concat(lit("s:"), col("l_suppkey")).as("snode"))
+      .select(col("o_custkey").cast("long").as("cnode"),
+        (negate(col("l_suppkey").cast("long")) - 1).as("snode"))
     ol.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(ol.select(col("snode").as("src"), col("cnode").as("dst")))
       .distinct()
@@ -723,13 +731,14 @@ object Extras {
     * hash(src) bucketing (a Filter doesn't change outputPartitioning), so
     * the power iteration stays Exchange-free on the edge side exactly as
     * the full-graph entries are; distinctness survives filtering, so
-    * assumeDistinct remains valid. The key is parsed back off the tagged
-    * node id ("c:123" → 123) — identical to filtering the raw keys
-    * pre-concat, which is what the oracle does.
+    * assumeDistinct remains valid. The raw key is decoded off the
+    * sign-tagged BIGINT node id (node ≥ 0 → node; node < 0 → −node−1) —
+    * identical to filtering the raw keys pre-encode, which is what the
+    * oracle does.
     */
   private def panelGraph(s: SparkSession, d: String): DataFrame = {
     def inPanel(c: org.apache.spark.sql.Column) =
-      substring_index(c, ":", -1).cast("long") % 31 === 7
+      when(c >= 0, c).otherwise(negate(c) - 1) % 31 === 7
     tradeGraph(s, d).filter(inPanel(col("src")) && inPanel(col("dst")))
   }
 
@@ -747,13 +756,17 @@ object Extras {
     // the predicate the Spark side applies to the parsed-back node ids
     val pw = if (panel) "\n    WHERE o_custkey % 31 = 7 AND l_suppkey % 31 = 7"
              else ""
+    // BIGINT sign-tagged node ids (customer = custkey, supplier =
+    // −(suppkey+1)) — mirrors buildTradeEdges; the former 'c:'||key
+    // VARCHAR tags were the bulk of the 100× staged form's 85 GB
+    // (every 160M-edge contribution frame carried string keys)
     val graph =
       s"""WITH e AS MATERIALIZED (
         |  SELECT DISTINCT src, dst FROM (
-        |   SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        |   SELECT o_custkey::BIGINT AS src, -(l_suppkey::BIGINT) - 1 AS dst
         |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey$pw
         |   UNION ALL
-        |   SELECT 's:' || l_suppkey, 'c:' || o_custkey
+        |   SELECT -(l_suppkey::BIGINT) - 1, o_custkey::BIGINT
         |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey$pw)),
         | nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
         |   SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
@@ -771,7 +784,7 @@ object Extras {
           | r0 AS (SELECT node, 1.0::DOUBLE / n::DOUBLE AS rank FROM nodes CROSS JOIN nn)"""
       else
         s""",
-          | seeds AS (SELECT DISTINCT 's:' || s_suppkey AS node FROM supplier WHERE $seedPred),
+          | seeds AS (SELECT DISTINCT -(s_suppkey::BIGINT) - 1 AS node FROM supplier WHERE $seedPred),
           | ns AS (SELECT count(*)::BIGINT AS n FROM seeds JOIN nodes USING (node)),
           | tn AS MATERIALIZED (SELECT n2.node,
           |   CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE / ns.n::DOUBLE ELSE 0.0::DOUBLE END AS t

@@ -190,13 +190,13 @@ class FuzzSpec extends SparkSpec {
   // other parameter points, production-mode folds, tolerance one ulp of
   // the 6-decimal rounding)
 
-  private def refPageRank(edges: Seq[(String, String)], d: Double, iters: Int,
-                          seeds: Option[Set[String]]): Map[String, Double] = {
+  private def refPageRank[N](edges: Seq[(N, N)], d: Double, iters: Int,
+                             seeds: Option[Set[N]]): Map[N, Double] = {
     val dist = edges.distinct
     val nodes = (dist.map(_._1) ++ dist.map(_._2)).distinct
     val odeg = dist.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
     val n = nodes.size
-    val t: Map[String, Double] = seeds match {
+    val t: Map[N, Double] = seeds match {
       case Some(s) =>
         val present = s.intersect(nodes.toSet); val ns = present.size
         nodes.map(x => x -> (if (present(x)) 1.0 / ns else 0.0)).toMap
@@ -218,16 +218,16 @@ class FuzzSpec extends SparkSpec {
     rank
   }
 
-  private def tradeEdges(): Seq[(String, String)] =
+  private def tradeEdges(): Seq[(Long, Long)] =
     graft.queries.Extras.buildTradeEdges(spark, sf)
-      .as[(String, String)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq
 
   for ((d, iters) <- Seq((0.7, 5), (0.9, 2))) {
     test(s"fuzz pagerank d=$d iters=$iters: Spark ≡ Scala power iteration") {
       val edges = tradeEdges()
       val got = graft.operators.PageRank.pageRank(
           edges.toDF("src", "dst"), "src", "dst", iters = iters, damping = d)
-        .as[(String, Double)].collect().toMap
+        .as[(Long, Double)].collect().toMap
       val ref = refPageRank(edges, d, iters, None)
       assert(got.keySet === ref.keySet, "node set diverged")
       ref.foreach { case (node, r) =>
@@ -269,11 +269,12 @@ class FuzzSpec extends SparkSpec {
 
   test("fuzz personalized pagerank d=0.6 iters=4: Spark ≡ Scala power iteration") {
     val edges = tradeEdges()
-    val seedSet = edges.map(_._1).filter(_.startsWith("s:")).distinct.sorted.take(5).toSet
+    // supplier nodes are the sign-tagged negatives (node = -(suppkey+1))
+    val seedSet = edges.map(_._1).filter(_ < 0).distinct.sorted.take(5).toSet
     val got = graft.operators.PageRank.personalizedPageRank(
         edges.toDF("src", "dst"), seedSet.toSeq.toDF("node"),
         "src", "dst", "node", iters = 4, damping = 0.6)
-      .as[(String, Double)].collect().toMap
+      .as[(Long, Double)].collect().toMap
     val ref = refPageRank(edges, 0.6, 4, Some(seedSet))
     assert(got.keySet === ref.keySet, "node set diverged")
     ref.foreach { case (node, r) =>

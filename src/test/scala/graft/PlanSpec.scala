@@ -409,7 +409,7 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // the power iteration's join shape: edges ⨝ rank on src, inflow by dst
       val ranks = spark.range(64)
-        .select(concat(lit("c:"), $"id").as("src"), lit(1.0).as("rank"))
+        .select($"id".as("src"), lit(1.0).as("rank"))
       val j = e.join(ranks, "src").groupBy($"dst").agg(sum($"rank").as("inflow"))
       val pj = plan(j).split("== Initial Plan ==").head
       assert(pj.contains("SelectedBucketsCount"), s"edge scan is not a bucketed read:\n$pj")

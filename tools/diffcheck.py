@@ -172,7 +172,13 @@ STAGED_AT_SCALE = {"qc02_curation_delta", "q50_pagerank",
                    # table (bg ~400M slim rows, contrib likewise) fits the
                    # budget with memory released between stages
                    "qt40_lm_score", "qt46_lm_buckets",
-                   "qt46a_lm_buckets_approx", "qt51_entropy"}
+                   "qt46a_lm_buckets_approx", "qt51_entropy",
+                   # r15: the production-rule LSH pair oracle — the dots
+                   # grid (N·tables·planes rows), bucket memberships, and
+                   # the ~tens-of-millions-pair candidate set each
+                   # materialize once instead of DuckDB holding the whole
+                   # chain's hash joins live at the 100x fixture
+                   "qt12p_embed_neardup_prod"}
 
 def _oracle_child(sql, path, staged=False):
     """Runs one oracle in a forked child: a capacity-class oracle can OOM,
