@@ -271,7 +271,8 @@ CAPACITY_BY_DESIGN = {
         "oracle target and qt12r's ground truth) is O(n²) by definition — "
         "2·10^10 pair dot products at the 100× fixture (hits the Spark "
         "wall cap; value-checked at 1× and 10×). The scale path is "
-        "qt12r's LSH candidates + exact verify",
+        "qt12p_embed_neardup_prod — the log-N planes rule's LSH "
+        "candidates + exact verify, value-checked at every decade (r15)",
     "qt12r_embed_neardup_recall": "exact all-pairs recall baseline is "
         "O(n²) by definition; the residue-class panel inside the entry is "
         "the scaled check. At 100× even the SPARK side is capacity-bound "
@@ -279,9 +280,11 @@ CAPACITY_BY_DESIGN = {
         "(planes=8 → 256 buckets) put ~780 of the 200k near-random "
         "vectors in every bucket, so the candidate generator feeds "
         "~10^10 raw id pairs into its dedup shuffle (~700 GB — filled "
-        "the disk at 559 s). Production scales planes with log N (the "
-        "lshTopK scaladoc rule); the fixed-point recall grid is "
-        "fixture-scale instrumentation, pre-declared via "
+        "the disk at 559 s). Production scales planes with log N "
+        "(Dedup.lshPlanesForCorpus) — qt12p_embed_neardup_prod runs that "
+        "rule's full pair set and qt12rs_embed_neardup_recall_panel its "
+        "recall grid at every decade (r15); the fixed-point recall grid "
+        "here is fixture-scale instrumentation, pre-declared via "
         "SPARK_GRAFT_CAPACITY_SKIP at 100×",
     "qt46_lm_buckets": "re-derives the corpus bigram-NLL model in one "
         "query; STAGED_AT_SCALE (r14) runs it green at 100x, and "
