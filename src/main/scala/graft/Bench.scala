@@ -195,8 +195,12 @@ object Bench {
     // per-entry band trigger applies only on the calibrated configuration;
     // the sentinel trigger (pure machine witness, scale-free) still covers
     // uncalibrated runs.
+    // normalized compare (trim + basename): a cosmetic variation in
+    // SPARK_GRAFT_SF_DIR ("/root/testdata/sf0.1/", a symlinked prefix) or
+    // a padded SPARK_GRAFT_CPUS must not silently disable the band trigger
     val bandsCalibrated =
-      sfDir.stripSuffix("/").endsWith("sf0.1") && cpus == "32" && runs == 3
+      new java.io.File(sfDir.trim).getName == "sf0.1" &&
+        cpus.trim == "32" && runs == 3
     if (!bandsCalibrated)
       System.err.println(s"[bench] per-entry quiet bands skipped: run config " +
         s"(sf=$sfDir cpus=$cpus runs=$runs) != calibration (sf0.1, 32, 3); " +

@@ -731,20 +731,52 @@ object Dedup {
     math.min(capPlanes, math.max(floorPlanes, bits))
   }
 
+  /** `planes = 0` (the DEFAULT) derives the plane count from the corpus
+    * via [[lshPlanesForCorpus]] — one count() job, then the log-N rule.
+    * A caller who takes the default therefore gets the production shape
+    * at every corpus size; fixed operating points (instrumentation, the
+    * qt12/qt12r recall grids) pass an explicit positive planes.
+    */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, planes: Int = 8, tables: Int = 4,
+                               threshold: Double, planes: Int = 0, tables: Int = 4,
                                probes: Int = 1): DataFrame = {
+    require(planes >= 0 && planes <= 24,
+      s"planes must be in [1, 24], or 0 to derive from the corpus count: $planes")
     val v = df.select(col(idCol), col(vecCol).as("__v"))
-    val bucketed = v
-      .withColumn("tb", explode(array((0 until tables).map(t =>
+    val planesEff = if (planes == 0) lshPlanesForCorpus(v.count()) else planes
+    verifyPairsExact(
+      lshCandidatePairs(lshMemberships(v, idCol, planesEff, tables, probes), idCol),
+      v, idCol, threshold)
+  }
+
+  /** The (id, table, bucket) membership frame of the sign-LSH pair path —
+    * one row per (vector, hash table, probed bucket). `v` must carry
+    * (idCol, __v). This frame IS the persistable index artifact: plane
+    * hyperplanes are pure functions of (planes, table), so the operating
+    * point triple is the only metadata a reload needs.
+    */
+  private def lshMemberships(v: DataFrame, idCol: String, planes: Int,
+                             tables: Int, probes: Int): DataFrame =
+    v.withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           graft.functions.Expressions.lshProbes(col("__v"), planes, t, probes).as("bs"))): _*)))
       .select(col(idCol), col("tb.t").as("table"), explode(col("tb.bs")).as("bucket"))
-    val cands = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
+
+  /** Same-bucket candidate id pairs from a membership frame: equi-join on
+    * (table, bucket), ordered ids, deduped across tables/probes.
+    */
+  private def lshCandidatePairs(bucketed: DataFrame, idCol: String): DataFrame =
+    bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
       .join(bucketed.select(col("table"), col("bucket"), col(idCol).as("id_b")),
         Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+
+  /** Exact-cosine verify tail over a candidate id-pair frame: fetch both
+    * vectors (equi-joins on id), threshold on round(cos, 6).
+    */
+  private def verifyPairsExact(cands: DataFrame, v: DataFrame, idCol: String,
+                               threshold: Double): DataFrame = {
     val withNorm = v.withColumn("__n", Similarity.norm(col("__v")))
     cands
       .join(withNorm.select(col(idCol).as("id_a"), col("__v").as("v_a"), col("__n").as("n_a")), "id_a")
@@ -756,6 +788,74 @@ object Dedup {
         round(Similarity.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** A built embedding near-dup LSH index: the (id, table, bucket)
+    * membership store plus the operating point it was built at. The
+    * production shape mirrors the ANN families' build/serve splits
+    * ([[Similarity.PqIndex]] et al.): bucketing the corpus is the one-off
+    * index pass; a pair scan (or a later re-scan at a different verify
+    * threshold — memberships are threshold-independent) serves from the
+    * persisted store without re-hashing a single vector.
+    */
+  case class EmbedNearDupIndex(planes: Int, tables: Int, probes: Int,
+                               idCol: String, buckets: DataFrame)
+
+  /** Build the membership index. `planes = 0` (default) derives the plane
+    * count from the corpus count via [[lshPlanesForCorpus]] — the
+    * production rule; the derived value is recorded in the returned index.
+    */
+  def embedNearDupIndex(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Int = 0, tables: Int = 4,
+                        probes: Int = 1): EmbedNearDupIndex = {
+    require(planes >= 0 && planes <= 24,
+      s"planes must be in [1, 24], or 0 to derive from the corpus count: $planes")
+    val v = df.select(col(idCol), col(vecCol).as("__v"))
+    val planesEff = if (planes == 0) lshPlanesForCorpus(v.count()) else planes
+    EmbedNearDupIndex(planesEff, tables, probes, idCol,
+      lshMemberships(v, idCol, planesEff, tables, probes))
+  }
+
+  /** Persist an [[EmbedNearDupIndex]] under `dir`: `buckets/` — the
+    * membership store (the corpus-sized artifact) — and `meta/` — one row
+    * of (planes, tables, probes, id_col). Buckets are BIGINT-exact, so a
+    * reloaded index reproduces the in-session pair set bit-for-bit
+    * (DedupSpec round-trip).
+    */
+  def saveEmbedNearDupIndex(index: EmbedNearDupIndex, dir: String): Unit = {
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    index.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    Seq((index.planes, index.tables, index.probes, index.idCol))
+      .toDF("planes", "tables", "probes", "id_col")
+      .repartition(1) // one metadata row
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload [[saveEmbedNearDupIndex]] output; the bucket store stays a
+    * lazy parquet scan (never collected).
+    */
+  def loadEmbedNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): EmbedNearDupIndex = {
+    val m = spark.read.parquet(s"$dir/meta")
+      .select("planes", "tables", "probes", "id_col").collect()(0)
+    EmbedNearDupIndex(m.getInt(0), m.getInt(1), m.getInt(2), m.getString(3),
+      spark.read.parquet(s"$dir/buckets"))
+  }
+
+  /** The serve half of [[embeddingNearDupPairsLsh]], against a prebuilt
+    * (possibly reloaded) index: candidate pairs come from the persisted
+    * membership store; `df` supplies the vectors for the exact-cosine
+    * verify only. Bit-identical to the one-shot form at the same
+    * operating point.
+    */
+  def embeddingNearDupPairsLshIndexed(index: EmbedNearDupIndex, df: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      threshold: Double): DataFrame = {
+    require(index.idCol == idCol,
+      s"index was built with id column '${index.idCol}', not '$idCol'")
+    val v = df.select(col(idCol), col(vecCol).as("__v"))
+    verifyPairsExact(lshCandidatePairs(index.buckets, idCol), v, idCol, threshold)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by

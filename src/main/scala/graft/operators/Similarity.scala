@@ -240,6 +240,11 @@ object Similarity {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           val vecs = encoder.encodeBatch(batch.map(_._2).toArray)
+          // fail loudly on a contract-violating encoder: a silent zip
+          // truncation would DROP rows (or vectors) without a trace
+          require(vecs.length == batch.length,
+            s"TextEncoder.encodeBatch returned ${vecs.length} vectors for " +
+              s"${batch.length} texts — the contract is index-aligned, same length")
           batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
         }
       }.toDF(idCol, outCol)
@@ -255,6 +260,9 @@ object Similarity {
                      batchSize: Int = 64,
                      outCol: String = "embedding"): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input frame — " +
+        "schema.add would create a duplicate field; drop or rename it first")
     val tIdx = df.schema.fieldIndex(textCol)
     val outSchema = df.schema.add(outCol,
       org.apache.spark.sql.types.ArrayType(
@@ -265,6 +273,9 @@ object Similarity {
         val texts = batch.map(r =>
           if (r.isNullAt(tIdx)) null else r.getString(tIdx)).toArray
         val vecs = encoder.encodeBatch(texts)
+        require(vecs.length == texts.length,
+          s"TextEncoder.encodeBatch returned ${vecs.length} vectors for " +
+            s"${texts.length} texts — the contract is index-aligned, same length")
         batch.iterator.zip(vecs.iterator).map { case (r, v) =>
           org.apache.spark.sql.Row.fromSeq(
             r.toSeq :+ (if (v == null) null else v.toSeq))

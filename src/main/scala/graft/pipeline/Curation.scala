@@ -147,14 +147,17 @@ object Curation {
                     stageSecs: Map[String, Double] = Map.empty)
 
   /** The most recent persist/storage-mode [stages] run's per-stage wall
-    * seconds — a diagnostic side-channel for Bench (qc01 is ~18% of the
-    * catalog total; its next optimization needs per-stage attribution,
-    * not a guess). Bench snapshots this immediately after measuring
-    * qc01_curation, so the value it records is that entry's last timed
-    * run. Never read on a correctness path.
+    * seconds ON THIS THREAD — a diagnostic side-channel for Bench (qc01 is
+    * ~18% of the catalog total; its next optimization needs per-stage
+    * attribution, not a guess). Bench measures an entry and snapshots this
+    * on the same thread, so the value it records is that entry's last
+    * timed run; thread-locality means concurrent curate() calls (parallel
+    * tests) can never interleave their attribution into Bench's snapshot.
+    * Never read on a correctness path.
     */
-  val lastStageSecs =
-    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+  val lastStageSecs = new ThreadLocal[Map[String, Double]] {
+    override def initialValue(): Map[String, Double] = Map.empty
+  }
 
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Curated = {
@@ -251,10 +254,30 @@ object Curation {
       stageWall(name) = (now - lastBoundary) / 1e9
       lastBoundary = now
     }
+    // Persist mode CUTS the logical plan at each materialization boundary
+    // (Bridge.cutLineage — a flat LogicalRDD view over the cache-backed
+    // physical RDD). Without the cut, stage N's LOGICAL tree embeds stage
+    // N−1's two to four times (anti-joins, pair generation reading ta/tb),
+    // so the tree grows geometrically with stage depth and the analyzer/
+    // optimizer walk ALL of it on every downstream action even though the
+    // caches deduplicate execution — measured r16 at sf0.1: the cache-mode
+    // entry ran 26.8 s against the storage-mode twin's 9.7 s for the SAME
+    // pipeline, with the gap concentrated in the deepest stages (split
+    // 4.3 s, packed 7.5 s of near-zero real compute). Storage mode never
+    // pays this (a parquet re-read is a flat scan); the cut is the
+    // cache-mode equivalent.
+    val cutOrig = scala.collection.mutable.Map.empty[DataFrame, DataFrame]
+    def cut(p: DataFrame): DataFrame = {
+      val c = org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
+      cutOrig(c) = p
+      c
+    }
     def mark(name: String, df: DataFrame): DataFrame = {
       val out =
         if (storageDir.isDefined) store(name, df)
-        else if (persist) { val p = df.persist(stageStorageLevel); audit(name) = p.count(); p }
+        else if (persist) {
+          val p = df.persist(stageStorageLevel); audit(name) = p.count(); cut(p)
+        }
         else df
       if (storageDir.isDefined || persist) stamp(name)
       out
@@ -262,9 +285,11 @@ object Curation {
     // drop an upstream stage's cache once the downstream materialization
     // has consumed it (no-op outside persist+release mode, and a no-op on
     // storage mode's never-cached scan frames); non-blocking — the store
-    // reclaims blocks as it goes, lineage stays recomputable
+    // reclaims blocks as it goes, lineage stays recomputable. Unpersists
+    // the ORIGINAL persisted frame behind a plan-cut view: the cut view's
+    // flat plan no longer maps to the cache entry.
     def drop(df: DataFrame): Unit =
-      if (persist && release) df.unpersist(blocking = false)
+      if (persist && release) cutOrig.getOrElse(df, df).unpersist(blocking = false)
     // see curateDelta's lineageCut: eager one-shot materialization (under
     // AQE) for the pair frame connectedComponents' edge union reads twice.
     // Storage mode cuts through parquet instead — at cluster scale the
@@ -448,7 +473,8 @@ object Curation {
       val p = df.persist(level)
       p.groupBy(col("split")).count().collect()
         .foreach(r => audit("split_" + r.getString(0)) = r.getLong(1))
-      p
+      // plan cut, same as mark(): downstream packing plans a flat scan
+      org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
     }
 
   /** Persist-mode materialization of the packed frame whose eager action is
@@ -469,7 +495,7 @@ object Curation {
       audit("pieces") = r.getLong(0)
       audit("sequences") = r.getLong(1)
       if (!r.isNullAt(2)) audit("packed_tokens") = r.getLong(2)
-      p
+      org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
     }
 
   /** The persisted state an incremental run needs from the batch that
@@ -654,12 +680,20 @@ object Curation {
                   cfg: Config = Config(), persist: Boolean = false,
                   release: Boolean = false): Stages = {
     // eager per-arrow materialization in persist mode, count captured;
-    // release drops each stage's cache once consumed — see stages()
+    // release drops each stage's cache once consumed; logical plan cut at
+    // each boundary (drop unpersists the original behind the cut view) —
+    // see stages() for all three
     val audit = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val cutOrig = scala.collection.mutable.Map.empty[DataFrame, DataFrame]
     def mark(name: String, df: DataFrame): DataFrame =
-      if (persist) { val p = df.persist(deltaStorageLevel); audit(name) = p.count(); p } else df
+      if (persist) {
+        val p = df.persist(deltaStorageLevel); audit(name) = p.count()
+        val c = org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
+        cutOrig(c) = p
+        c
+      } else df
     def drop(df: DataFrame): Unit =
-      if (persist && release) df.unpersist(blocking = false)
+      if (persist && release) cutOrig.getOrElse(df, df).unpersist(blocking = false)
     // Eager one-shot materialization for the verified pair frame: it fans
     // out FIVE ways (the connected-components edge union reads it twice,
     // corpusLinked twice, deltaPairs once) and its first consumer is CC's

@@ -128,9 +128,13 @@ object TextOps {
     */
   private def lshPlanesRuleCtes(targetPerBucket: Int = 8, floorP: Int = 6,
                                 capP: Int = 24): String =
+    // greatest(buckets, 1): n = 0 would make buckets−1 = −1, and DuckDB's
+    // bin(-1) is 64 one-bits (planes would read 24) while the Scala rule's
+    // buckets<=1 branch yields the floor — clamp so both engines agree for
+    // ALL n >= 0, not just non-empty fixtures
     s"""nrows AS (SELECT count(*)::BIGINT AS n FROM embeddings),
        | plc AS (SELECT greatest($floorP, least($capP,
-       |     length(bin((n + ${targetPerBucket - 1}) // $targetPerBucket - 1))))::INTEGER AS pl
+       |     length(bin(greatest((n + ${targetPerBucket - 1}) // $targetPerBucket, 1) - 1))))::INTEGER AS pl
        |   FROM nrows)""".stripMargin
 
   /** Shared bucket + probe + candidate CTEs for a query-side (vec_id < 20)

@@ -180,6 +180,58 @@ class DedupSpec extends SparkSpec {
     assert(panel.nonEmpty, "fixture panel should contain cosine≥0.2 LSH pairs")
   }
 
+  test("embeddingNearDupPairsLsh default planes ≡ lshPlanesForCorpus(count) explicit") {
+    // the production default: a caller who omits planes gets the log-N
+    // rule, not a fixed fixture-scale operating point (the r13 disk-fill
+    // shape). Pinned by equality with the explicitly-derived run.
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val derived = Dedup.lshPlanesForCorpus(e.count())
+    val byDefault = Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
+      tables = 4, probes = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val explicit = Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
+      planes = derived, tables = 4, probes = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(byDefault === explicit)
+    assert(byDefault.nonEmpty, "fixture should contain cosine≥0.4 LSH pairs")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4, planes = 25)
+    }
+  }
+
+  test("EmbedNearDupIndex: parquet round-trip serves bit-identical pairs") {
+    // the build/serve split of the ANN families applied to the near-dup
+    // production path: bucket once, persist, serve pair scans from the
+    // reloaded store without re-hashing a vector
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+    val direct = Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", 0.4,
+      tables = 4, probes = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val built = Dedup.embedNearDupIndex(e, "vec_id", "embedding",
+      tables = 4, probes = 2)
+    assert(built.planes === Dedup.lshPlanesForCorpus(e.count()),
+      "default build derives planes from the corpus count")
+    val dir = java.nio.file.Files.createTempDirectory("graft_endi_").toString
+    graft.sources.Tables.deleteOnExit(dir)
+    Dedup.saveEmbedNearDupIndex(built, dir)
+    val loaded = Dedup.loadEmbedNearDupIndex(spark, dir)
+    assert((loaded.planes, loaded.tables, loaded.probes, loaded.idCol) ===
+      ((built.planes, built.tables, built.probes, "vec_id")))
+    val served = Dedup.embeddingNearDupPairsLshIndexed(loaded, e,
+      "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served === direct)
+    // memberships are threshold-independent: a tighter re-scan of the
+    // same store selects exactly the matching subset
+    val tight = Dedup.embeddingNearDupPairsLshIndexed(loaded, e,
+      "vec_id", "embedding", 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight === direct.filter(_._3 >= 0.45))
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairsLshIndexed(loaded, e, "doc_id", "embedding", 0.4)
+    }
+  }
+
   test("semDedup: drop rule ≡ within-cell exact pairs; tau boundary; modes agree") {
     val e = graft.sources.Tables.table(spark, sf, "embeddings")
     val out = Dedup.semDedup(e, "vec_id", "embedding", nlist = 16, tau = 0.4,

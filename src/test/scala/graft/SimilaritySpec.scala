@@ -77,6 +77,28 @@ class SimilaritySpec extends SparkSpec {
       Similarity.HashTextEncoder(16))
     assert(enc.filter($"id" === 2 && $"embedding".isNull).count() === 1)
     assert(enc.filter($"embedding".isNotNull).count() === 1)
+    // contract guards fail loudly instead of corrupting silently: an
+    // existing outCol would duplicate the schema field...
+    intercept[IllegalArgumentException] {
+      Similarity.encodeTextRows(direct, "text", Similarity.HashTextEncoder(16))
+    }
+    // ...and a length-violating encoder would zip-truncate (drop rows)
+    val shortEncoder = new Similarity.TextEncoder {
+      def dim = 4
+      def encodeBatch(texts: Array[String]): Array[Array[Float]] =
+        texts.take(1).map(_ => Array(0f, 0f, 0f, 0f))
+    }
+    val err = intercept[org.apache.spark.SparkException] {
+      Similarity.encodeTextRows(docs, "text", shortEncoder, batchSize = 7).count()
+    }
+    assert(err.getMessage.contains("index-aligned") ||
+      Option(err.getCause).exists(_.getMessage.contains("index-aligned")))
+    val err2 = intercept[org.apache.spark.SparkException] {
+      Similarity.encodeText(docs.select($"ck.doc_id".as("doc_id"), $"text"),
+        "doc_id", "text", shortEncoder, batchSize = 7).count()
+    }
+    assert(err2.getMessage.contains("index-aligned") ||
+      Option(err2.getCause).exists(_.getMessage.contains("index-aligned")))
   }
 
   test("ivfTopK probes a fraction of cells with useful recall@5") {

@@ -26,6 +26,13 @@
 #   GRAFT_DUCKDB_MEM     DuckDB budget (default 70GB — leaves room for the
 #                        page cache; NEVER run the diff concurrently with a
 #                        Spark JVM, the two together exhaust RAM)
+#   GRAFT_STAGED_RETRY_TIMEOUT  wall cap for the automatic STAGED_AT_SCALE
+#                        standalone retries diffcheck runs after the main
+#                        pass (default 1500; 0 disables) — every staged
+#                        entry whose oracle skipped under the in-sweep cap
+#                        is re-run serially with this cap and the outcome
+#                        folded into the parity JSON as `retry` evidence,
+#                        so the record stays self-contained (r15 lesson)
 #   GRAFT_ONLY           comma list to restrict both dump and diff
 #   GRAFT_CAPACITY_SKIP  comma list of entries pre-declared Spark-capacity
 #                        at this fixture (marker written without running;
