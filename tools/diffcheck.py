@@ -253,22 +253,41 @@ def run_oracle(sql, name=None, timeout=None):
 # stand-in that stays green at every decade.
 CAPACITY_BY_DESIGN = {
     "q50_pagerank": "unrolled power-iteration CTEs over the full trade "
-        "graph; STAGED_AT_SCALE rescues 10x (hash-green, r12) — "
+        "graph; STAGED_AT_SCALE rescues 10x (hash-green, r12) — at 100x "
+        "the staged standalone form is MEMORY-bound: the r16 automatic "
+        "retry (1500s/70GB, BIGINT node ids) still OOMs, re-confirming "
+        "the r13 VARCHAR-era measurement post-BIGINT. "
         "q50s_pagerank_panel (the residue-class subgraph twin, r14) is "
         "the value check at decades where even the staged form exceeds "
         "the cap",
     "q50p_pagerank_prod": "same unrolled-CTE oracle premium as q50_pagerank "
         "(staged form green at 10x, r12). At 100x the staged form is "
-        "MEMORY-bound, not time-bound: standalone 1500s/85GB retry OOMs "
-        "(160M-edge contribution frames x 3 iterations, r13); Spark side "
-        "green at 100x. q50s_pagerank_panel (r14) is the "
-        "tractable-at-any-decade value check for the family",
+        "MEMORY-bound, not time-bound: standalone retries OOM at "
+        "1500s/85GB with VARCHAR node ids (r13) AND at 1500s/70GB with "
+        "BIGINT ids (r16 auto-retry) — the 160M-edge contribution frames "
+        "x 3 unrolled iterations exceed the budget regardless of key "
+        "width; Spark side green at 100x. q50s_pagerank_panel (r14) is "
+        "the tractable-at-any-decade value check for the family",
     "q53_trustrank": "same unrolled-CTE oracle premium as q50_pagerank "
-        "(personalized variant; staged form green at 10x, r12); "
+        "(personalized variant; staged form green at 10x, r12; 100x "
+        "staged standalone retry OOMs post-BIGINT, r16); "
         "q53s_trustrank_panel (r14) is the any-decade value check",
     "q53p_trustrank_prod": "same unrolled-CTE oracle premium as "
-        "q50_pagerank (staged form green at 10x, r12); "
+        "q50_pagerank (staged form green at 10x, r12; 100x staged "
+        "standalone retry OOMs post-BIGINT, r16); "
         "q53s_trustrank_panel (r14) is the any-decade value check",
+    "q31_scalar_dates": "one-statement re-derivation of the full "
+        "scalar-dates frame — green at <=100x (60M rows, 2048s at the "
+        "100x fixture, PARITY_r15_100x) but the one-statement form "
+        "outgrows any reasonable sweep cap at larger decades while the "
+        "Spark side dumps green; the 100x green record plus "
+        "q02_project_filter (always-cheap, green at every decade) carry "
+        "the family's value check beyond 100x",
+    "q32_silver_od": "one-statement re-derivation of the full silver OD "
+        "transform — green at <=100x (49.6M rows, 1612s at the 100x "
+        "fixture, PARITY_r15_100x) but beyond that the oracle outgrows "
+        "the sweep cap while the Spark side dumps green; the 100x green "
+        "record is the transform's value check at larger decades",
     "qt12_embed_neardup": "the exact all-pairs near-dup baseline (the "
         "oracle target and qt12r's ground truth) is O(n²) by definition — "
         "2·10^10 pair dot products at the 100× fixture (hits the Spark "
@@ -289,7 +308,9 @@ CAPACITY_BY_DESIGN = {
         "here is fixture-scale instrumentation, pre-declared via "
         "SPARK_GRAFT_CAPACITY_SKIP at 100×",
     "qt46_lm_buckets": "re-derives the corpus bigram-NLL model in one "
-        "query; STAGED_AT_SCALE (r14) runs it green at 100x, and "
+        "query; STAGED_AT_SCALE runs it green at 100x (r14; re-confirmed "
+        "r16 in-sweep under a 120s cap on a quiet machine — the r15 "
+        "in-sweep OOMs were environmental), and "
         "qt46s_lm_buckets_sampled is the always-cheap slice twin",
     "qc02_curation_delta": "re-derives the ENTIRE batch curation run (the "
         "corpus state) plus the delta chain; the one-statement form is "
@@ -299,15 +320,16 @@ CAPACITY_BY_DESIGN = {
         "exceeds the cap at a given decade",
     "qt46a_lm_buckets_approx": "re-derives the corpus bigram-NLL model in "
         "one query (~105 GB one-statement at the 100x fixture); "
-        "STAGED_AT_SCALE (r14) runs it green at 100x (500k rows), and "
+        "STAGED_AT_SCALE runs it green at 100x (500k rows — r14, "
+        "re-confirmed r16 via the automatic standalone retry), and "
         "qt46s_lm_buckets_sampled runs the identical chain on the "
         "doc_id % 31 slice at every decade",
     "qt40_lm_score": "one-statement corpus bigram-NLL re-derivation OOMs "
-        "DuckDB at the 100x fixture; STAGED_AT_SCALE (r14) rescues it — "
-        "per-CTE temp tables ran green at 100x in ~13 min (500k rows) — "
-        "so this registry entry is the fallback story for a decade where "
-        "even the staged form exceeds the cap; qt40s_lm_score_sampled is "
-        "the always-cheap slice twin",
+        "DuckDB at the 100x fixture; STAGED_AT_SCALE rescues it — green "
+        "at 100x (500k rows; r14 at a 900s cap, re-confirmed r16 "
+        "in-sweep under a 120s cap) — so this registry entry is the "
+        "fallback story for a decade where even the staged form exceeds "
+        "the cap; qt40s_lm_score_sampled is the always-cheap slice twin",
     "qt26r_semdedup_recall": "the recall GRID re-derives Lloyd-trained "
         "semdedup pair sets per nlist plus the sampled exact baseline in "
         "SQL — capacity-bound at the 100x fixture (timeout at 400s and at "
@@ -317,10 +339,11 @@ CAPACITY_BY_DESIGN = {
         "sets) is the recall value check at every decade",
     "qt51_entropy": "the oracle re-derives per-doc character entropy by "
         "exploding text to characters (~1e9 rows at the 100x fixture; "
-        "DuckDB OOM one-statement, r13; STAGED_AT_SCALE still times out "
-        "at 900s/70GB, r14 — compute-bound, not plan-shape-bound) — the "
-        "premium is the oracle's, not the operator's: the Spark side is "
-        "a map-side native expression, dumped green at 100x, and "
+        "DuckDB OOM one-statement, r13; STAGED_AT_SCALE retries fail at "
+        "900s/70GB (timeout, r14) and 1500s/70GB (OOM, r16 auto-retry) — "
+        "compute- and memory-bound, not plan-shape-bound) — the premium "
+        "is the oracle's, not the operator's: the Spark side is a "
+        "map-side native expression, dumped green at 100x, and "
         "qt51s_entropy_sampled (r14, the doc_id % 31 slice) is the "
         "value check at every decade",
 }
@@ -335,6 +358,20 @@ def skip_reason(name, cap):
 # EVERY oracle at the scale fixture, because the oracle executes before
 # the spark-output existence check.
 only = {s.strip() for s in os.environ.get("GRAFT_ONLY", "").split(",") if s.strip()}
+
+# GRAFT_ORACLE_SKIP=qa,qb pre-declares ORACLE capacity at this fixture:
+# the entry's skip is recorded (BY-DESIGN rationale attached) without
+# burning the wall cap on an oracle already adjudicated capacity-bound at
+# a smaller decade — the oracle-side twin of SPARK_GRAFT_CAPACITY_SKIP.
+# Entries named here must be in CAPACITY_BY_DESIGN (fail loudly: a
+# pre-declaration without a registered rationale is a silent coverage
+# hole, not a documented one). Retries don't fire on pre-declared skips.
+oracle_skip = {s.strip() for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")
+               if s.strip()}
+_unreg = oracle_skip - set(CAPACITY_BY_DESIGN)
+if _unreg:
+    raise SystemExit(f"GRAFT_ORACLE_SKIP entries not in CAPACITY_BY_DESIGN: "
+                     f"{','.join(sorted(_unreg))}")
 
 fails = 0
 capacity = []   # oracle-side OOM/timeout: the ORACLE can't run, not a diff
@@ -417,6 +454,13 @@ for name, sql in sorted(oracle.items()):
         print(f"SKIP {name}: {reason}", flush=True)
         record[name] = {"status": "skip", "reason": reason}
         capacity.append(name); continue
+    if name in oracle_skip:
+        reason = skip_reason(name, "pre-declared at this fixture; "
+                                   "adjudicated at a smaller decade")
+        print(f"SKIP {name}: {reason}", flush=True)
+        record[name] = {"status": "skip", "reason": reason,
+                        "pre_declared": True}
+        capacity.append(name); continue
     try:
         exp, cap = run_oracle(sql, name)
         if cap:
@@ -449,6 +493,7 @@ retry_timeout = float(os.environ.get("GRAFT_STAGED_RETRY_TIMEOUT", "1500") or 0)
 if timeout_s > 0 and retry_timeout > 0:
     retry_names = [n for n in sorted(STAGED_AT_SCALE)
                    if record.get(n, {}).get("status") == "skip"
+                   and not record[n].get("pre_declared")
                    and not os.path.exists(f"{out_dir}/{n}/_CAPACITY")]
     for name in retry_names:
         in_sweep = record[name]["reason"].split(" — ")[0]
