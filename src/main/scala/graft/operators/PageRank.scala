@@ -106,12 +106,27 @@ object PageRank {
                       init: Column,
                       next: (Column, Column) => Column,
                       checkpointDir: Option[String] = None): DataFrame = {
-    // Per-iteration lineage cut. Local mode (default): eager
-    // localCheckpoint — executor-memory blocks, the fast path. Reliable
-    // mode (checkpointDir set): a parquet round-trip into the given
-    // storage — localCheckpoint blocks die with their executor and are
-    // UNRECOVERABLE (lineage is truncated), so a 1000-executor run of a
-    // long iteration wants the rank frame on durable storage. Doubles
+    // Per-iteration lineage cut. Local mode (default): INTERMEDIATE
+    // iterations persist + count + Bridge.cutLineage — same eager
+    // executor-memory materialization as the localCheckpoint this
+    // replaced (r16), but the flat LogicalRDD view KEEPS the frame's
+    // hash(node) outputPartitioning, which a checkpointed RDD loses under
+    // AQE (UnknownPartitioning — measured in PlanSpec). With it visible,
+    // the next iteration's contribs join (rank renamed node→src against
+    // the hash(src)-bucketed edge store) and the dangling anti-join
+    // (rank against hash(src)-partitioned outdeg) are BOTH exchange-free
+    // on the rank side — 2 exchanges fewer per iteration; only the
+    // inflow groupBy(dst) shuffle, the iteration's one fundamental
+    // exchange, remains (guide §2.4: remove shuffles outright when the
+    // data is already partitioned as needed). The FINAL iteration stays
+    // an eager localCheckpoint: its frame has no join consumers (round +
+    // output only), and checkpoint blocks are self-contained +
+    // ContextCleaner-managed, so nothing stays pinned in the CacheManager
+    // after the caller is done (the cut view's cache would).
+    // Reliable mode (checkpointDir set): a parquet round-trip into the
+    // given storage — localCheckpoint blocks die with their executor and
+    // are UNRECOVERABLE (lineage is truncated), so a 1000-executor run of
+    // a long iteration wants the rank frame on durable storage. Doubles
     // round-trip parquet bit-exactly, so both modes produce identical
     // ranks (PageRankSpec pins it). Ping-pong between two slots: the
     // write never targets the slot the current rank is being read from,
@@ -130,6 +145,14 @@ object PageRank {
     // the job (the deployment recipe in docs/DEPLOY.md). The counter is
     // JVM-scoped (AtomicLong), so a NEW JVM reusing the dir overwrites
     // from call_1 again rather than growing it further.
+    // the still-cached intermediate rank frame (local mode): released as
+    // soon as the NEXT iteration's materialization has consumed it, and
+    // on every exit path by the finally below
+    var liveCache: Option[DataFrame] = None
+    def releaseCache(): Unit = {
+      liveCache.foreach(_.unpersist(blocking = false))
+      liveCache = None
+    }
     val cut: (DataFrame, Int) => DataFrame = checkpointDir match {
       case Some(dir) =>
         val callDir = s"$dir/call_${durableCallSeq.incrementAndGet()}"
@@ -138,7 +161,18 @@ object PageRank {
           df.write.mode("overwrite").parquet(slot)
           df.sparkSession.read.parquet(slot)
         }
-      case None => (df, _) => df.localCheckpoint()
+      case None => (df, i) =>
+        if (i == iters) { // final: self-contained, nothing left cached
+          val out = df.localCheckpoint()
+          releaseCache()
+          out
+        } else {
+          val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          p.count() // eager: the one materialization job of the iteration
+          releaseCache() // the superseded round fed this job; drop it now
+          liveCache = Some(p)
+          org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
+        }
     }
     // persisted, not checkpointed: the aggregation inherits e's hash(src)
     // partitioning (bucketed store or pre-partitioned derived frame), and
@@ -146,6 +180,23 @@ object PageRank {
     // would re-shuffle this node-sized frame once per iteration
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // The dangling node SET is iteration-independent (nodes with no
+    // out-edge); only its MASS changes per iteration. Computing the set
+    // once (r16, guide §1.2 "don't compute things you throw away")
+    // replaces the per-iteration rank⨝outdeg anti-join with a semi-join
+    // against this node-sized frame — and when the set is EMPTY (every
+    // bidirectional graph, e.g. the trade graph: both directions of every
+    // edge exist by construction) the whole dmass machinery disappears
+    // from the iteration plan: no anti-join subtree, no one-row aggregate,
+    // no broadcast job, no BroadcastNestedLoopJoin — measured 3-4 fewer
+    // AQE stage-jobs per iteration. dmass = lit(0.0) is bit-exact with
+    // the fold-over-empty it replaces (both engines coalesce to 0.0, and
+    // x + 0.0/n ≡ x, 0.0·t ≡ 0.0 for the non-negative ranks/teleports
+    // here), so the oracle twins are unchanged.
+    val danglingNodes = nodes.select(col("node"))
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nDangling = danglingNodes.count()
     var rank = nodes.withColumn("rank", init)
     try {
       for (i <- 1 to iters) {
@@ -156,26 +207,38 @@ object PageRank {
         val inflow = contribs.groupBy(col("node")).agg(
           (if (oracleMode) sortedFold(col("src"), col("c")) else sum(col("c")))
             .as("inflow"))
-        val dangling = rank.join(outdeg.withColumnRenamed("src", "node"),
-          Seq("node"), "left_anti")
-        val dmass = dangling.agg(
-          (if (oracleMode) sortedFold(col("node"), col("rank"))
-           else coalesce(sum(col("rank")), lit(0.0))).as("dmass"))
-        rank = cut(nodes.join(inflow, Seq("node"), "left")
-          .crossJoin(broadcast(dmass))
-          .withColumn("rank",
-            next(coalesce(col("inflow"), lit(0.0)), col("dmass")))
-          .drop("inflow", "dmass"), i)
+        val updated =
+          if (nDangling == 0)
+            nodes.join(inflow, Seq("node"), "left")
+              .withColumn("rank",
+                next(coalesce(col("inflow"), lit(0.0)), lit(0.0)))
+              .drop("inflow")
+          else {
+            // same rows the anti-join form produced (rank carries every
+            // node, so rank ⋉ danglingNodes ≡ rank ▷ outdeg), same sorted
+            // fold — bit-identical dmass in oracle mode
+            val dangling = rank.join(danglingNodes, Seq("node"), "left_semi")
+            val dmass = dangling.agg(
+              (if (oracleMode) sortedFold(col("node"), col("rank"))
+               else coalesce(sum(col("rank")), lit(0.0))).as("dmass"))
+            nodes.join(inflow, Seq("node"), "left")
+              .crossJoin(broadcast(dmass))
+              .withColumn("rank",
+                next(coalesce(col("inflow"), lit(0.0)), col("dmass")))
+              .drop("inflow", "dmass")
+          }
+        rank = cut(updated, i)
         // both cut modes are eager: the final round's data is materialized
         // (checkpoint blocks or parquet files) before the finally releases
         // the frames it was computed from
       }
-    } finally outdeg.unpersist() // SQL-cache entries are strongly held by
-                                 // the CacheManager until explicit
-                                 // unpersist (unlike checkpoint RDDs, GC'd
-                                 // by the ContextCleaner) — a long-lived
-                                 // session would otherwise pin a
-                                 // node-sized cache per pageRank call
+    } finally {
+      // SQL-cache entries are strongly held by the CacheManager until
+      // explicit unpersist (unlike checkpoint RDDs, GC'd by the
+      // ContextCleaner) — a long-lived session would otherwise pin a
+      // node-sized cache per pageRank call
+      releaseCache(); outdeg.unpersist(); danglingNodes.unpersist()
+    }
     rank.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
