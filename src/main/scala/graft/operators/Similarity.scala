@@ -624,9 +624,23 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   trainFraction: Double = 1.0,
                   oracleMode: Boolean = false): DataFrame = {
-    require(rerank >= k, s"rerank shortlist ($rerank) must be at least k ($k)")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = trainCentroids(c, nlist, lloydIters, trainFraction, oracleMode)
+    ivfTopKInt8Centroids(centroids, corpus, queries, k, nProbe, rerank, idCol, vecCol)
+  }
+
+  /** The serve half of [ivfTopKInt8], against already-trained centroids —
+    * the [ivfTopKCentroids] split applied to the int8 path, so a caller
+    * sweeping serve-side knobs (nProbe, rerank) over ONE trained index
+    * pays the training pass once (qt25 previously trained the identical
+    * Lloyd-1 centroids three times, one per operating point).
+    */
+  def ivfTopKInt8Centroids(centroids: Array[Array[Float]],
+                           corpus: DataFrame, queries: DataFrame, k: Int,
+                           nProbe: Int = 4, rerank: Int = 25,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank shortlist ($rerank) must be at least k ($k)")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val indexed = c.withColumn("cell", nearestCells(centroids, 1)(col("cv")).getItem(0))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(nearestCells(centroids, nProbe)(col("qv"))))

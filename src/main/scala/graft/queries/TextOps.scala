@@ -865,12 +865,18 @@ object TextOps {
     "qt10r_ivf_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
+      // the full-sample points share (nlist=16, Lloyd-1, tf=1.0): train
+      // that index ONCE and sweep nProbe on the serve side (the qt30
+      // build-once discipline, r16 — training is deterministic in oracle
+      // mode, so the served rankings are bit-identical to the per-point
+      // form); the sampled point trains its own (different sample)
+      val cents = Similarity.trainCentroids(
+        e.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
+        nlist = 16, lloydIters = 1, trainFraction = 1.0, oracleMode = true)
       recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
         Seq("query_id", "corpus_id"), ("nlist", "n_probe", "train_pct"),
-        Seq(((16, 4, 100), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
-            lloydIters = 1, oracleMode = true)),
-          ((16, 14, 100), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 14,
-            lloydIters = 1, oracleMode = true)),
+        Seq(((16, 4, 100), Similarity.ivfTopKCentroids(cents, e, q, k = 5, nProbe = 4)),
+          ((16, 14, 100), Similarity.ivfTopKCentroids(cents, e, q, k = 5, nProbe = 14)),
           ((16, 4, 25), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
             lloydIters = 1, trainFraction = 0.25, oracleMode = true))))
     }),
@@ -904,14 +910,19 @@ object TextOps {
     "qt25_ivf_int8_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
+      // all three points share (nlist=16, Lloyd-1, tf=1.0): ONE training
+      // pass, serve-side sweep (r16; deterministic oracle-mode training ⇒
+      // rankings bit-identical to the train-per-point form)
+      val cents = Similarity.trainCentroids(
+        e.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
+        nlist = 16, lloydIters = 1, trainFraction = 1.0, oracleMode = true)
       recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
         Seq("query_id", "corpus_id"), ("nlist", "n_probe", "rerank"),
-        Seq(((16, 4, 0), Similarity.ivfTopK(e, q, k = 5, nlist = 16, nProbe = 4,
-            lloydIters = 1, oracleMode = true)),
-          ((16, 4, 10), Similarity.ivfTopKInt8(e, q, k = 5, nlist = 16, nProbe = 4,
-            lloydIters = 1, rerank = 10, oracleMode = true)),
-          ((16, 4, 25), Similarity.ivfTopKInt8(e, q, k = 5, nlist = 16, nProbe = 4,
-            lloydIters = 1, rerank = 25, oracleMode = true))))
+        Seq(((16, 4, 0), Similarity.ivfTopKCentroids(cents, e, q, k = 5, nProbe = 4)),
+          ((16, 4, 10), Similarity.ivfTopKInt8Centroids(cents, e, q, k = 5,
+            nProbe = 4, rerank = 10)),
+          ((16, 4, 25), Similarity.ivfTopKInt8Centroids(cents, e, q, k = 5,
+            nProbe = 4, rerank = 25))))
     }),
 
     // Product quantization (Jégou et al. 2011): the full trained artifact —
@@ -942,12 +953,16 @@ object TextOps {
     "qt27r_pq_recall" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
+      // the two m=4 points share the identical codebook training: build
+      // ONE PqIndex (codes stay a lazy frame — no extra barrier) and
+      // sweep rerank on the serve side (r16; deterministic oracle-mode
+      // training ⇒ bit-identical rankings). m=8 trains its own.
+      val idx4 = Similarity.pqIndex(e, m = 4, ksub = 16, lloydIters = 1,
+        oracleMode = true)
       recallQuery(Similarity.bruteForceTopK(e, q, k = 5),
         Seq("query_id", "corpus_id"), ("m", "ksub", "rerank"),
-        Seq(((4, 16, 0), Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16,
-            lloydIters = 1, rerank = 0, oracleMode = true)),
-          ((4, 16, 25), Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 16,
-            lloydIters = 1, rerank = 25, oracleMode = true)),
+        Seq(((4, 16, 0), Similarity.pqTopKIndexed(idx4, e, q, k = 5, rerank = 0)),
+          ((4, 16, 25), Similarity.pqTopKIndexed(idx4, e, q, k = 5, rerank = 25)),
           ((8, 16, 25), Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 16,
             lloydIters = 1, rerank = 25, oracleMode = true))))
     }),
