@@ -241,10 +241,24 @@ object Retrieval {
       .join(dl, "__doc")
       .crossJoin(broadcast(stats))
       .select(col("__query"), col("__doc"), col("term"), contrib)
+    // Order-deterministic per-document score sum via a RUNNING-SUM window
+    // ordered by term (r16): WindowExec's running frame accumulates one
+    // row at a time in sort order, so the value is bit-identical to the
+    // previous collect_list + array_sort + fold formulation (terms are
+    // unique per (query, doc); contributions are > 0, and null+c1 ≡
+    // 0.0+c1 for positive doubles) — but the per-group array allocation,
+    // its sort, and the interpreted fold expression are replaced by one
+    // codegen-friendly sort + an incremental aggregate processor. The
+    // row kept per group is the one carrying the last term (max over the
+    // full frame rides the same WindowExec pass).
+    val w0 = Window.partitionBy(col("__query"), col("__doc")).orderBy(col("term"))
     val score = matched
-      .groupBy(col("__query"), col("__doc"))
-      .agg(round(graft.functions.Expressions.foldSumField(
-        array_sort(collect_list(struct(col("term"), col("c"))))), 6).as("score"))
+      .withColumn("__run", sum(col("c")).over(
+        w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lastTerm", max(col("term")).over(
+        w0.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("term") === col("__lastTerm"))
+      .select(col("__query"), col("__doc"), round(col("__run"), 6).as("score"))
     val w = Window.partitionBy(col("__query"))
       .orderBy(col("score").desc, col("__doc").asc)
     score.withColumn("rnk", row_number().over(w))
