@@ -204,9 +204,29 @@ object PageRank {
           .join(rank.select(col("node").as("src"), col("rank")), "src")
           .join(outdeg, "src")
           .select(col("dst").as("node"), col("src"), (col("rank") / col("odeg")).as("c"))
-        val inflow = contribs.groupBy(col("node")).agg(
-          (if (oracleMode) sortedFold(col("src"), col("c")) else sum(col("c")))
-            .as("inflow"))
+        // oracle-mode inflow: the source-ordered sum as a RUNNING-SUM
+        // window (r16, the BM25-scoring fix): WindowExec accumulates one
+        // row at a time in (node, src) sort order — bit-identical to the
+        // collect_list + array_sort + fold it replaces ((node, src) is
+        // unique per contribution row; c ≥ +0.0, so the sum buffer's
+        // null+c₁ ≡ the fold's 0.0+c₁) — without the per-node struct
+        // array, its sort, or the interpreted fold. Output partitioning
+        // is hash(node) either way, so the downstream join stays
+        // exchange-free.
+        val inflow =
+          if (oracleMode) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("node")).orderBy(col("src"))
+            contribs
+              .withColumn("__run", sum(col("c")).over(w.rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+              .withColumn("__last", max(col("src")).over(w.rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+              .filter(col("src") === col("__last"))
+              .select(col("node"), col("__run").as("inflow"))
+          } else contribs.groupBy(col("node")).agg(sum(col("c")).as("inflow"))
         val updated =
           if (nDangling == 0)
             nodes.join(inflow, Seq("node"), "left")
