@@ -339,18 +339,82 @@ object Dedup {
     */
   def nearDupDelta(corpus: DataFrame, delta: DataFrame,
                    idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
+                   n: Int, threshold: Double): DataFrame =
+    nearDupDeltaIndexed(nearDupIndexOf(corpus, idCol, textCol, n),
+      delta, idCol, textCol, threshold)
+
+  /** The persisted prefix-posting state [nearDupDelta] serves from — the
+    * corpus's sized shingle sets and its per-shingle document-frequency
+    * sidecar (the frozen rarest-first order). `sized` is corpus-sized
+    * (one row per doc: id, shingle array, its size); `dfs` is
+    * vocabulary-sized. Built once per shipped batch, persisted via
+    * [saveNearDupIndex], and served by every delta run that follows —
+    * the same build/serve seam as [Retrieval.Bm25Index] /
+    * [EmbedNearDupIndex]: re-deriving corpus shingles per delta run means
+    * re-tokenizing 100 TB every day (and the r16 plan probe showed the
+    * in-query derivation planned 3-4× inside one qc02 run).
+    */
+  case class NearDupIndex(sized: DataFrame, dfs: DataFrame, n: Int)
+
+  /** Build the [NearDupIndex] of a deduped corpus — one tokenization pass
+    * plus one vocabulary-sized aggregation.
+    */
+  def nearDupIndexOf(corpus: DataFrame, idCol: String, textCol: String,
+                     n: Int): NearDupIndex = {
+    val cSized = corpus
+      .select(col(idCol).as("__id"),
+        graft.functions.Expressions.barrier(wordShingles(col(textCol), n)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__n_sh", size(col("__sh")))
+    // the FROZEN index: per-shingle df over corpus postings only
+    val dfs = cSized.select(explode(col("__sh")).as("__shingle"))
+      .groupBy(col("__shingle")).agg(count(lit(1)).as("__df"))
+    NearDupIndex(cSized, dfs, n)
+  }
+
+  /** Persist a [NearDupIndex] under `dir` (sized/ dfs/ + the shingle-width
+    * marker). Strings and integers round-trip parquet bit-exactly, so a
+    * reloaded index serves pairs bit-identical to the in-session build
+    * (DedupSpec round-trip).
+    */
+  def saveNearDupIndex(index: NearDupIndex, dir: String): Unit = {
+    index.sized.write.mode("overwrite").parquet(s"$dir/sized")
+    index.dfs.write.mode("overwrite").parquet(s"$dir/dfs")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_graft_neardup_n.txt"),
+      s"${index.n}\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Reload [saveNearDupIndex] output — both frames lazy parquet scans;
+    * the shingle width rides the marker so serve-side tokenization of the
+    * delta cannot drift from what the index was built with.
+    */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String): NearDupIndex = {
+    val n = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_neardup_n.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    NearDupIndex(spark.read.parquet(s"$dir/sized"),
+      spark.read.parquet(s"$dir/dfs"), n)
+  }
+
+  /** The serve half of [nearDupDelta], against a prebuilt [NearDupIndex]
+    * (shingle width comes from the index — the delta side must tokenize
+    * identically or the prefix theorem's shared total order breaks).
+    */
+  def nearDupDeltaIndexed(index: NearDupIndex, delta: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
+    val n = index.n
     def sized(df: DataFrame, side: String) =
       df.select(col(idCol).as("__id"), graft.functions.Expressions.barrier(wordShingles(col(textCol), n)).as("__sh"))
         .filter(size(col("__sh")) > 0)
         .withColumn("__n_sh", size(col("__sh")))
         .withColumn("__side", lit(side))
-    val cSized = sized(corpus, "c")
+    val cSized = index.sized
+      .select(col("__id"), col("__sh"), col("__n_sh"))
+      .withColumn("__side", lit("c"))
     val dSized = sized(delta, "d")
     val allSized = cSized.unionByName(dSized)
-    // the FROZEN index: per-shingle df over corpus postings only
-    val dfs = cSized.select(explode(col("__sh")).as("__shingle"))
-      .groupBy(col("__shingle")).agg(count(lit(1)).as("__df"))
+    val dfs = index.dfs
     val tPrune = math.max(threshold - 5e-7, 0.0)
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("__shingle").asc)
@@ -445,37 +509,86 @@ object Dedup {
         df.sparkSession.read.parquet(s"$dir/$slot")
       case None => df
     }
-    var labels = durable(edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")), "labels_init")
-    if (checkpointDir.isEmpty) labels = labels.localCheckpoint(true)
+    // Local mode (r17): per-round label frames persist + materialize +
+    // Bridge.cutLineage — the PageRank iteration's shape (VERDICT r16 #5).
+    // A localCheckpoint'd label frame scans back as UnknownPartitioning
+    // under AQE, so every round re-shuffled the label frame TWICE: into
+    // the edge join (edges are hash(dst)-partitioned; labels must come
+    // hash(id)) and into the label⨝nbrMin update join. The flat LogicalRDD
+    // view keeps the frame's hash(id) outputPartitioning — established
+    // once by the init repartition and preserved by each round's left
+    // join (output partitioning = left side's) — so both per-round label
+    // exchanges drop out and only the groupBy(src) aggregation shuffle,
+    // the round's one fundamental exchange, remains. The label frame is
+    // corpus-PAIRED-node-sized; at 100 TB this removes 2 node-frame
+    // shuffles per round, same argument as the PageRank fix.
+    // the still-cached round's frame; released as soon as the next round
+    // (or the final copy-out) has consumed it, and on every exit path
+    var liveCache: Option[DataFrame] = None
+    def releaseCache(): Unit = {
+      liveCache.foreach(_.unpersist(blocking = false))
+      liveCache = None
+    }
+    // persist + materialize + cut + swap: `materialize` runs the round's
+    // ONE action against the just-persisted frame (filling the cache as a
+    // side effect), so the convergence count keeps riding the
+    // materialization — one driver round-trip per round, as before
+    def cutWith(df: DataFrame)(materialize: DataFrame => Unit): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try materialize(p)
+      catch { case t: Throwable => p.unpersist(blocking = false); throw t }
+      releaseCache()
+      liveCache = Some(p)
+      org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
+    }
+    val init = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    // explicit-count repartition on id (AQE would otherwise coalesce the
+    // distinct's output to a data-dependent partition count that cannot
+    // match the edge frame's `parts`) — one node-frame shuffle that buys
+    // exchange-free label joins for every round; see PageRank.nodeFrame
+    var labels = durable(
+      if (checkpointDir.isEmpty) init.repartition(parts, col("id")) else init,
+      "labels_init")
+    if (checkpointDir.isEmpty)
+      // init's materializing action is a NOOP-SINK write, not a count —
+      // count plans a two-stage aggregate (partial + single-partition
+      // final exchange) for a value nobody reads; the noop write computes
+      // every column in ONE job (guide §1.4)
+      labels = cutWith(labels)(_.write.format("noop").mode("overwrite").save())
     var changed = 1L
     var iter = 0
     try {
       while (changed > 0 && iter < maxIter) {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-        // LAZY checkpoint: the convergence count below is the one action of
-        // the round — it materializes the checkpoint blocks (truncating the
-        // iterative lineage, as before) AND returns the changed count in the
-        // same job, instead of an eager-checkpoint job followed by a second
-        // count job (2 driver round-trips per round → 1).
-        var next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(col("id"),
             least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
             col("component").as("prev"))
-        next =
-          if (checkpointDir.isEmpty) next.localCheckpoint(false)
-          else durable(next, s"labels_${iter % 2}")
-        changed = next.filter(col("component") =!= col("prev")).count()
-        labels.unpersist() // free the superseded round's checkpoint blocks
-        labels = next.select("id", "component")
+        val mat =
+          if (checkpointDir.isEmpty)
+            cutWith(next)(p =>
+              changed = p.filter(col("component") =!= col("prev")).count())
+          else {
+            val d = durable(next, s"labels_${iter % 2}")
+            changed = d.filter(col("component") =!= col("prev")).count()
+            d
+          }
+        labels = mat.select("id", "component")
         iter += 1
       }
       require(changed == 0,
         s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
           "(a pair graph this deep is not a near-dup cluster shape)")
-    } finally edges.unpersist() // released on the non-convergence throw too
-    labels
+      // copy the converged frame out of the cache into self-contained
+      // checkpoint blocks (ContextCleaner-managed) so the finally below
+      // can release every CacheManager entry this call pinned — a
+      // long-lived session must not accumulate a label-frame cache per
+      // connectedComponents call. One cache-scan job; the durable path
+      // returns its parquet scan as before.
+      if (checkpointDir.isEmpty) labels.localCheckpoint(true) else labels
+    } finally { releaseCache(); edges.unpersist() } // non-convergence throw too
   }
 
   /** Near-dup dedup decision: every document keeps its cluster's minimum

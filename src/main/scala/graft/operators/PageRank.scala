@@ -51,7 +51,14 @@ object PageRank {
   /** Normalized distinct edges. `assumeDistinct` says the caller serves
     * from an already-distinct MATERIALIZED edge store (the persisted-graph
     * seam): the dedup shuffle is skipped (outdegree and inflow would
-    * silently double-count on a caller who lies) and so is the eager
+    * silently double-count on a caller who lies — and since r16's
+    * running-sum inflow window, a duplicate (src, dst) edge additionally
+    * breaks the window's one-row-per-node filter(src = max(src)) in oracle
+    * mode: the node emits MULTIPLE inflow rows with different partial
+    * sums, so nodes⨝inflow duplicates node rows and the rank frame's
+    * cardinality corrupts compounding per iteration — distinctness is a
+    * hard correctness precondition here, not just a summation nicety) and
+    * so is the eager
     * localCheckpoint — re-scanning a parquet store per consumer is cheaper
     * than copying it into checkpoint blocks, and the checkpoint exists to
     * stop DERIVED edge lists recomputing per iteration (the measured 2.1×),
@@ -168,7 +175,20 @@ object PageRank {
           out
         } else {
           val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-          p.count() // eager: the one materialization job of the iteration
+          // if the materialization job fails, release p here — the finally
+          // below only tracks liveCache (the PREVIOUS iteration), so a
+          // mid-iteration failure would otherwise leak one CacheManager
+          // entry per failed call in a long-lived session.
+          // The eager materialization is a NOOP-SINK write (guide §1.4),
+          // not a count: the count's value was discarded, yet it planned a
+          // partial-agg + single-partition exchange + final-agg — one more
+          // AQE stage-job per iteration (r16 measured the graph family
+          // scheduling-bound at 27 jobs/q50-run; this is VERDICT r16 #6's
+          // "the per-iteration count() is one candidate"). The noop write
+          // computes every column of every row in one job and fills the
+          // cache the same way.
+          try p.write.format("noop").mode("overwrite").save()
+          catch { case t: Throwable => p.unpersist(blocking = false); throw t }
           releaseCache() // the superseded round fed this job; drop it now
           liveCache = Some(p)
           org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)

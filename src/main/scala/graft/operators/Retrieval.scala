@@ -79,7 +79,18 @@ object Retrieval {
       explode(graft.functions.Expressions.ngrams(col(textCol), 1)).as("term"))
     val post = tok.groupBy(col("__doc"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dl = tok.groupBy(col("__doc")).agg(count(lit(1)).cast("double").as("dl"))
+    // doc length = Σ per-term tf (exact: integer-valued doubles ≪ 2^53, so
+    // the sum is order-free and bit-identical to a count over the raw
+    // token explode). Deriving dl from `post` instead of from `tok` makes
+    // the corpus tokenization/explode a SINGLE subtree: the planner reuses
+    // post's (doc, term) exchange for all three downstream aggregations
+    // (ReusedExchange — PlanSpec gates it), so the build shuffles the
+    // token-occurrence rows once and dl re-aggregates the already-combined
+    // per-(doc, term) rows — strictly fewer bytes than the second full
+    // explode + hash(doc) shuffle of every occurrence it replaces (guide
+    // §2.3 "aggregate before you shuffle"; VERDICT r16 #7, measured at 32
+    // and 8 cores — see OPTIMIZATION_r17.md).
+    val dl = post.groupBy(col("__doc")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     Bm25Index(post, dl, dfreq, stats)

@@ -232,9 +232,12 @@ object CurationQ {
       val out = java.nio.file.Files.createTempDirectory("graft_qc02_state").toString
       Tables.deleteOnExit(out)
       val (corpusRaw, bench, _) = fixtureDelta(s, d)
+      // ngramN: the batch publisher also builds the near-dup prefix-posting
+      // index (r17) — the delta entry serves pair generation from it, the
+      // production form VERDICT r16 #4 asked for
       Curation.saveState(Curation.stateOf(
         Curation.stages(corpusRaw, bench, "doc_id", "text", cfgDelta, persist = true),
-        "doc_id", "text"), out, bucketIdCol = Some("doc_id"))
+        "doc_id", "text", ngramN = Some(cfgDelta.ngramN)), out, bucketIdCol = Some("doc_id"))
       out
     })
     Curation.loadState(s, dir)

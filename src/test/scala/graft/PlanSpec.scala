@@ -344,14 +344,23 @@ class PlanSpec extends SparkSpec {
     // output list), so the executed-plan string never shows them.
     def logical(q: String): String =
       SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+    // r16 replaced the BM25 collect_list + array_sort + fold_sum score with
+    // a running-sum window (Retrieval.bm25TopKIndexed): the gate is now the
+    // ABSENCE of the per-group array machinery and the presence of the
+    // window, so a refactor back to the interpreted fold (or to an
+    // order-nondeterministic plain groupBy sum) cannot land silently.
     val bm25 = logical("qt28_bm25")
-    assert(bm25.contains("graft_fold_sum"),
-      s"BM25 score fold lost the native kernel:\n${bm25.take(4000)}")
+    assert(!bm25.contains("collect_list"),
+      s"BM25 score path regressed to a per-group array:\n${bm25.take(4000)}")
+    assert(bm25.contains("windowspecdefinition"),
+      s"BM25 score path lost the running-sum window:\n${bm25.take(4000)}")
     val rag = logical("qr01_retrieval")
     assert(rag.contains("graft_hash_embedding"),
       "composed retrieval lost the native embedding expression")
-    assert(rag.contains("graft_fold_sum"),
-      "composed retrieval lost the native fold kernel")
+    assert(!rag.contains("collect_list"),
+      "composed retrieval regressed to a per-group array on the score path")
+    assert(rag.contains("windowspecdefinition"),
+      "composed retrieval lost the running-sum score window")
     val int8 = logical("qt25_ivf_int8_recall")
     assert(int8.contains("graft_dot_i32"),
       "int8 scoring lost the native integer-dot kernel")
