@@ -541,15 +541,20 @@ object Dedup {
       liveCache = Some(p)
       org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
     }
-    val init = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
     // explicit-count repartition on id (AQE would otherwise coalesce the
     // distinct's output to a data-dependent partition count that cannot
     // match the edge frame's `parts`) — one node-frame shuffle that buys
-    // exchange-free label joins for every round; see PageRank.nodeFrame
-    var labels = durable(
-      if (checkpointDir.isEmpty) init.repartition(parts, col("id")) else init,
-      "labels_init")
+    // exchange-free label joins for every round; see PageRank.nodeFrame.
+    // The repartition runs BEFORE the component projection: over the
+    // projection the optimizer canonicalizes the repartition key onto the
+    // `component` alias (id ≡ component at init), and the captured
+    // partitioning hash(component) then fails the round join's hash(id)
+    // requirement by exprId — one avoidable exchange on round 1 (measured
+    // via the PartProbe/JobsProbe broadcast-off dumps).
+    val ids = edges.select(col("src").as("id")).distinct()
+    val init = (if (checkpointDir.isEmpty) ids.repartition(parts, col("id")) else ids)
+      .withColumn("component", col("id"))
+    var labels = durable(init, "labels_init")
     if (checkpointDir.isEmpty)
       // init's materializing action is a NOOP-SINK write, not a count —
       // count plans a two-stage aggregate (partial + single-partition

@@ -412,6 +412,82 @@ class DedupSpec extends SparkSpec {
     assert(Set((0L, 10L, 1.0), (0L, 11L, 1.0), (1L, 10L, 1.0), (10L, 11L, 1.0)).subsetOf(at09))
   }
 
+  test("NearDupIndex: parquet round-trip serves pairs bit-identical to the in-session build") {
+    // the build/serve split of the prefix-posting near-dup path (the
+    // BM25/PQ/EmbedNearDupIndex seam applied to nearDupDelta): persist
+    // the corpus's sized shingle table + frozen df sidecar, serve a
+    // delta against the reloaded store without re-tokenizing the corpus
+    val corpus = docs
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),
+      (12L, "entirely fresh content with no overlap whatsoever in any shingle")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.9)) {
+      val direct = Dedup.nearDupDelta(corpus, delta, "doc_id", "text", n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("graft_ndix_").toString
+      graft.sources.Tables.deleteOnExit(dir)
+      Dedup.saveNearDupIndex(Dedup.nearDupIndexOf(corpus, "doc_id", "text", 3), dir)
+      val loaded = Dedup.loadNearDupIndex(spark, dir)
+      assert(loaded.n === 3, "shingle width must ride the store marker")
+      val served = Dedup.nearDupDeltaIndexed(loaded, delta, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(served === direct, s"served pair set diverged from in-session build at t=$t")
+    }
+  }
+
+  test("connectedComponents keeps label partitioning across rounds (scale regime: no broadcast)") {
+    // At fixture scale AQE broadcasts the tiny label frame, so the
+    // per-round plan shape this gates is only visible with auto-broadcast
+    // off — the 100 TB regime, where both per-round label joins go
+    // sort-merge. The r17 persist+cutLineage round shape keeps the label
+    // frame's hash(id) partitioning visible, so the ONLY
+    // planner-inserted (ENSURE_REQUIREMENTS) exchange keyed on the label
+    // id in any round plan is gone: edges come hash(dst)-partitioned from
+    // the init repartition, labels hash(id) from theirs, and nbrMin
+    // hash(src) from its aggregation — the groupBy(src) exchange is the
+    // round's one fundamental shuffle. A regression to the pre-r17
+    // localCheckpoint shape (UnknownPartitioning) re-inserts a label-side
+    // exchange per join per round; this pins it out.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a 4-chain plus a disjoint pair: ≥2 label-propagation rounds
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.listenerManager.unregister(listener)
+    }
+    // drain the async listener bus before reading the captured plans
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    import scala.jdk.CollectionConverters._
+    def roundPlans = plans.asScala.filter(_.contains("nbr_min"))
+    while (roundPlans.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    Thread.sleep(500)
+    val rounds = roundPlans.toSeq
+    assert(rounds.nonEmpty, "listener captured no round plans")
+    val labelExchange = """Exchange hashpartitioning\(id#\d+L, \d+\), ENSURE_REQUIREMENTS""".r
+    rounds.foreach { p =>
+      assert(labelExchange.findFirstIn(p).isEmpty,
+        s"a planner-inserted label-side exchange re-appeared in a CC round:\n${p.take(4000)}")
+    }
+  }
+
   test("duplicateSpans: planted shared run is found at window granularity, exactly") {
     // docs 0/1 identical (14 tokens): every 6-token window duplicated.
     // doc 2 shares the leading 13 tokens with doc 0 → windows 1..8 of 9.
